@@ -1,0 +1,148 @@
+"""Text-analysis expressions: tokenization, shingles, quality metrics,
+language-ID scoring, fingerprints.
+
+Everything here is a pure ``Column`` expression over built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen-friendly, no
+Python in the hot path. Each helper has a DuckDB-SQL twin (suffix
+``_sql``) generated from the same constants, so the correctness oracle
+and the Spark plan share one source of truth.
+
+Scale note: all of these are narrow (per-row) transformations — they
+pipeline with the scan and never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list used for quality scoring (small on purpose — the point
+# is the ratio computation pattern, swappable for a real list).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+# Marker words per language for the n-gram-heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein"],
+    "en": ["the", "and", "of", "is", "a", "to", "it"],
+    "es": ["el", "la", "de", "que", "los", "una", "es"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+_LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break: first wins
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------- tokens
+
+def tokens_column(text: Column | str) -> Column:
+    """Whitespace tokens, with runs of spaces collapsed first."""
+    return F.split(F.regexp_replace(F.trim(_col(text)), " +", " "), " ")
+
+
+def tokens_sql(text_expr: str) -> str:
+    return f"string_split(regexp_replace(trim({text_expr}), ' +', ' ', 'g'), ' ')"
+
+
+def token_count_column(text: Column | str) -> Column:
+    return F.size(tokens_column(text)).cast("bigint")
+
+
+def token_count_sql(text_expr: str) -> str:
+    return f"CAST(len({tokens_sql(text_expr)}) AS BIGINT)"
+
+
+# -------------------------------------------------------------- shingles
+
+def shingles_column(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word ``n``-gram shingles as an array<string>; empty array when the
+    document has fewer than ``n`` tokens."""
+    toks = tokens_column(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    out = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(out) if distinct else out
+
+
+def shingles_sql(text_expr: str, n: int = 3, distinct: bool = True) -> str:
+    toks = tokens_sql(text_expr)
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return f"list_distinct({grams})" if distinct else grams
+
+
+# -------------------------------------------------------- quality metrics
+
+def _count_in_set_column(arr: Column, words: list[str]) -> Column:
+    """How many elements of ``arr`` are in ``words`` (multiplicity kept)."""
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(arr, lambda t: F.array_contains(wordlist, t))).cast("bigint")
+
+
+def _count_in_set_sql(arr_expr: str, words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"CAST(len(list_filter({arr_expr}, t -> list_contains({lst}, t))) AS BIGINT)"
+
+
+def stopword_count_column(text: Column | str) -> Column:
+    return _count_in_set_column(tokens_column(text), STOPWORDS)
+
+
+def stopword_count_sql(text_expr: str) -> str:
+    return _count_in_set_sql(tokens_sql(text_expr), STOPWORDS)
+
+
+# ------------------------------------------------------------ language ID
+
+def lang_score_column(text: Column | str, lang: str) -> Column:
+    return _count_in_set_column(tokens_column(text), LANG_MARKERS[lang])
+
+
+def lang_score_sql(text_expr: str, lang: str) -> str:
+    return _count_in_set_sql(tokens_sql(text_expr), LANG_MARKERS[lang])
+
+
+def langid_column(text: Column | str) -> Column:
+    """Argmax language by marker-word score; ties break to the
+    alphabetically-first language (deterministic)."""
+    scores = {lang: lang_score_column(text, lang) for lang in _LANG_ORDER}
+    expr = F.lit(_LANG_ORDER[-1])
+    # fold right-to-left so earlier languages win ties via strict '>'
+    for lang in reversed(_LANG_ORDER[:-1]):
+        later = [scores[other] for other in _LANG_ORDER if other > lang]
+        best_later = later[0] if len(later) == 1 else F.greatest(*later)
+        expr = F.when(scores[lang] >= best_later, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def langid_sql(text_expr: str) -> str:
+    parts = []
+    for lang in _LANG_ORDER[:-1]:
+        later = [lang_score_sql(text_expr, other) for other in _LANG_ORDER if other > lang]
+        best_later = later[0] if len(later) == 1 else "greatest(" + ", ".join(later) + ")"
+        parts.append(f"WHEN {lang_score_sql(text_expr, lang)} >= {best_later} THEN '{lang}'")
+    return "(CASE " + " ".join(parts) + f" ELSE '{_LANG_ORDER[-1]}' END)"
+
+
+# ------------------------------------------------------------ fingerprints
+
+def md5_fingerprint_column(text: Column | str) -> Column:
+    """Exact-dedup fingerprint: md5 hex digest (identical across engines)."""
+    return F.md5(_col(text))
+
+
+def min_shingle_md5_column(text: Column | str, n: int = 3) -> Column:
+    """Near-dup sketch: lexicographic min of md5(shingle) — a 1-perm
+    MinHash whose hash function (md5) is portable across engines."""
+    sh = shingles_column(text, n)
+    return F.array_min(F.transform(sh, F.md5))
+
+
+def min_shingle_md5_sql(text_expr: str, n: int = 3) -> str:
+    return f"list_min(list_transform({shingles_sql(text_expr, n)}, s -> md5(s)))"

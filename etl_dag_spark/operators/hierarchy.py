@@ -1,0 +1,112 @@
+"""Recursive-hierarchy operators: Spark has no WITH RECURSIVE, so the
+reference's recursive CTEs (sql_definitions.sql:54-84 descendant
+expansion, :93-121 manager-chain concatenation) are re-expressed as
+iterative frontier joins to a fixpoint.
+
+Scale design: each iteration is one distributed join of the current
+frontier against the (broadcastable or key-partitioned) edge set; the
+frontier is persisted so lineage doesn't re-execute; termination is
+detected from the frontier's count — an aggregate, never data to the
+driver. Total work is O(edges × depth); depth for org charts and
+region/nation/customer trees is small and bounded by ``max_iter``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Transitive closure with levels, seeded with every node as its own
+    ancestor at level 0 (exactly the reference's first recursive query:
+    every employee is a root of its own subtree).
+
+    nodes: (id), edges: (child, parent) → (ancestor_id, node_id, level)
+    """
+    closure = nodes.select(
+        F.col("id").alias("ancestor_id"),
+        F.col("id").alias("node_id"),
+        F.lit(0).cast("int").alias("level"),
+    )
+    frontier = closure.persist(StorageLevel.MEMORY_AND_DISK)
+    results = [closure]
+    for _ in range(max_iter):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.node_id") == F.col("e.parent"))
+            .select(
+                F.col("f.ancestor_id").alias("ancestor_id"),
+                F.col("e.child").alias("node_id"),
+                (F.col("f.level") + 1).cast("int").alias("level"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        results.append(nxt)
+        frontier.unpersist()
+        frontier = nxt
+    else:
+        raise RuntimeError(f"hierarchy deeper than max_iter={max_iter} (cycle?)")
+    out = results[0]
+    for part in results[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def ancestor_chain(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sep: str = " -> ",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Path-to-root name chain per node (the reference's second recursive
+    query: ``ManagerChain || ' → ' || e.Name`` filtered to complete
+    chains).
+
+    nodes: (id, name), edges: (child, parent) →
+    (node_id, chain, depth) — only nodes whose chain reaches a root.
+    """
+    parents = edges.join(nodes, edges["parent"] == nodes["id"]).select(
+        F.col("child").alias("p_child"),
+        F.col("parent").alias("p_parent"),
+        F.col("name").alias("p_name"),
+    )
+    state = nodes.select(
+        F.col("id").alias("node_id"),
+        F.col("name").alias("chain"),
+        F.col("id").alias("cursor"),
+        F.lit(1).cast("int").alias("depth"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    done_parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        step = state.alias("s").join(
+            parents.alias("p"), F.col("s.cursor") == F.col("p.p_child"), "left"
+        )
+        finished = step.where(F.col("p.p_parent").isNull()).select(
+            F.col("s.node_id").alias("node_id"),
+            F.col("s.chain").alias("chain"),
+            F.col("s.depth").alias("depth"),
+        )
+        ongoing = step.where(F.col("p.p_parent").isNotNull()).select(
+            F.col("s.node_id").alias("node_id"),
+            F.concat(F.col("s.chain"), F.lit(sep), F.col("p.p_name")).alias("chain"),
+            F.col("p.p_parent").alias("cursor"),
+            (F.col("s.depth") + 1).cast("int").alias("depth"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        done_parts.append(finished)
+        if ongoing.isEmpty():
+            ongoing.unpersist()
+            state.unpersist()
+            break
+        state.unpersist()
+        state = ongoing
+    else:
+        raise RuntimeError(f"chain deeper than max_iter={max_iter} (cycle?)")
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out

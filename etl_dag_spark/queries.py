@@ -1,0 +1,810 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query.
+
+Each entry pairs a Spark DataFrame plan with (where SQL-expressible) a
+DuckDB oracle producing identical values. The two sides are generated
+from shared constants/fragments wherever possible so they cannot drift.
+
+Portability rules that make value-hash equality hold between engines:
+
+- Money sums use exact integer cents (``floor(x*100)`` → BIGINT sum →
+  ``/100.0``): integer sums are order-independent, unlike double sums.
+- Event-time arithmetic uses integer nanoseconds or wall-clock
+  TIMESTAMP_NTZ — never session-timezone-dependent conversions.
+- Every computed column is explicitly aliased AND cast the same way on
+  both sides; ranks are INT, counts BIGINT, ratios DOUBLE.
+- Rankings order by (measure, unique id) so ties are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_dag_spark.functions.country import iso3_sql_case
+from etl_dag_spark.functions.text import (
+    langid_column,
+    langid_sql,
+    md5_fingerprint_column,
+    min_shingle_md5_column,
+    min_shingle_md5_sql,
+    shingles_sql,
+    stopword_count_column,
+    stopword_count_sql,
+    token_count_column,
+    token_count_sql,
+    tokens_column,
+    tokens_sql,
+)
+from etl_dag_spark.functions.vectors import cosine_sql
+from etl_dag_spark.operators import dedup as dd
+from etl_dag_spark.operators import similarity as sim
+from etl_dag_spark.operators import star
+from etl_dag_spark.operators import validation as val
+from etl_dag_spark.operators import windows as win
+from etl_dag_spark.operators.hierarchy import ancestor_chain, recursive_expand
+from etl_dag_spark.operators.multimodal import attach_binary_payload, extract_media_meta
+from etl_dag_spark.sources.tables import load_events, load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _cents_sql(x: str) -> str:
+    return f"CAST(floor(({x}) * 100) AS BIGINT)"
+
+
+_REV_CENTS_SQL = _cents_sql("l_extendedprice * (1.0 - l_discount)")
+
+
+# =====================================================================
+# 2a. Reference ETL surface
+# =====================================================================
+
+@register("etl_dq_report", oracle=val.dq_report_sql())
+def etl_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule report (ETL_DAG.py:90-142) — one aggregate scan
+    per table for its whole rule set."""
+    tables = {t: load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "part", "customer")}
+    return val.dq_report(tables)
+
+
+@register(
+    "etl_country_iso3",
+    oracle=f"""
+SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+       c_name AS name,
+       n_name AS country_name,
+       {iso3_sql_case("n_name")} AS country_iso3
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+""",
+)
+def etl_country_iso3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer dim with country normalized to ISO alpha-3
+    (ETL_DAG.py:144-151) — broadcast dim join + literal-map lookup."""
+    return star.build_customer_dim(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "nation")
+    )
+
+
+@register(
+    "etl_star_fact",
+    oracle=f"""
+SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS transaction_id,
+       strftime(o_orderdate, '%Y-%m-%d') AS transaction_date,
+       CAST(o_custkey AS BIGINT) AS customer_id,
+       CAST(l_partkey AS BIGINT) AS product_id,
+       {_REV_CENTS_SQL} / 100.0 AS amount
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+)
+def etl_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema fact build at order-line grain
+    (sql_definitions.sql:158-165, ETL_DAG.py:206-229)."""
+    return star.build_fact(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "etl_dates_dim",
+    oracle="""
+WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0, CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+d AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+SELECT strftime(d, '%Y-%m-%d') AS date_key,
+       CAST(year(d) AS INT) AS year_num,
+       CAST(month(d) AS INT) AS month_num,
+       CAST(day(d) AS INT) AS day_num
+FROM d
+""",
+)
+def etl_dates_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension (sql_definitions.sql:184-190)."""
+    return star.date_dim(load_table(spark, sf_dir, "orders"))
+
+
+# =====================================================================
+# 2b. Reference BI/SQL surface
+# =====================================================================
+
+@register(
+    "bi_revenue_by_category",
+    oracle=f"""
+SELECT p_brand AS product_category,
+       sum({_REV_CENTS_SQL}) / 100.0 AS total_sales_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def bi_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total revenue per product category (BI_Questions.sql:1-10).
+    part-dim is broadcast; aggregation is map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", star.revenue_cents().alias("rc")
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("product_category"))
+        .agg((F.sum("rc") / 100.0).alias("total_sales_revenue"))
+    )
+
+
+@register(
+    "bi_top_customers",
+    oracle="""
+WITH agg AS (
+  SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS pc
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, pc, CAST(rank() OVER (ORDER BY pc DESC) AS INT) AS top_rank FROM agg
+)
+SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+       c_name AS customer_name,
+       pc / 100.0 AS purchase_amount,
+       top_rank
+FROM r JOIN customer ON c_custkey = o_custkey
+WHERE top_rank <= 5
+""",
+)
+def bi_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by purchase amount with RANK()
+    (BI_Questions.sql:12-24). Global top-N via TakeOrderedAndProject
+    threshold — no single-partition window over all customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(F.sum(star.cents("o_totalprice")).alias("pc"))
+    top = win.top_n_with_rank(agg, "pc", n=5)
+    return (
+        customer.join(F.broadcast(top), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_custkey").cast("bigint").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            (F.col("pc") / 100.0).alias("purchase_amount"),
+            "top_rank",
+        )
+    )
+
+
+@register(
+    "bi_monthly_trend",
+    oracle="""
+WITH anchor AS (
+  SELECT strftime(max(o_orderdate) - INTERVAL 11 MONTH, '%Y-%m') AS from_month FROM orders
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS sales_month,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_sales
+FROM orders, anchor
+WHERE strftime(o_orderdate, '%Y-%m') >= from_month
+GROUP BY sales_month
+""",
+)
+def bi_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly sales for the trailing 12 months (BI_Questions.sql:27-37),
+    anchored at MAX(o_orderdate) for determinism."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", star.cents("o_totalprice").alias("tc")
+    )
+    filtered = win.trailing_months_filter(o, "o_orderdate", months=12)
+    return (
+        filtered.groupBy(win.month_key("o_orderdate").alias("sales_month"))
+        .agg((F.sum("tc") / 100.0).alias("total_sales"))
+    )
+
+
+def _hierarchy_nodes_edges_sql() -> str:
+    """Shared DuckDB fragment for the region→nation→customer tree."""
+    return """
+nodes AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name FROM region
+  UNION ALL
+  SELECT CAST(n_nationkey + 100 AS BIGINT), n_name FROM nation
+  UNION ALL
+  SELECT CAST(c_custkey + 1000 AS BIGINT), c_name FROM customer
+),
+edges AS (
+  SELECT CAST(n_nationkey + 100 AS BIGINT) AS child, CAST(n_regionkey AS BIGINT) AS parent FROM nation
+  UNION ALL
+  SELECT CAST(c_custkey + 1000 AS BIGINT), CAST(c_nationkey + 100 AS BIGINT) FROM customer
+)"""
+
+
+def _hierarchy_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    nodes = (
+        region.select(F.col("r_regionkey").cast("bigint").alias("id"), F.col("r_name").alias("name"))
+        .unionByName(nation.select((F.col("n_nationkey") + 100).cast("bigint").alias("id"), F.col("n_name").alias("name")))
+        .unionByName(customer.select((F.col("c_custkey") + 1000).cast("bigint").alias("id"), F.col("c_name").alias("name")))
+    )
+    edges = (
+        nation.select(
+            (F.col("n_nationkey") + 100).cast("bigint").alias("child"),
+            F.col("n_regionkey").cast("bigint").alias("parent"),
+        )
+        .unionByName(
+            customer.select(
+                (F.col("c_custkey") + 1000).cast("bigint").alias("child"),
+                (F.col("c_nationkey") + 100).cast("bigint").alias("parent"),
+            )
+        )
+    )
+    return nodes, edges
+
+
+@register(
+    "bi_hierarchy_levels",
+    oracle=f"""
+WITH RECURSIVE {_hierarchy_nodes_edges_sql()},
+closure AS (
+  SELECT id AS ancestor_id, id AS node_id, 0 AS level FROM nodes
+  UNION ALL
+  SELECT c.ancestor_id, e.child, c.level + 1
+  FROM closure c JOIN edges e ON e.parent = c.node_id
+)
+SELECT c.ancestor_id, na.name AS ancestor_name,
+       c.node_id, nn.name AS node_name,
+       CAST(c.level AS INT) AS level
+FROM closure c
+JOIN nodes na ON na.id = c.ancestor_id
+JOIN nodes nn ON nn.id = c.node_id
+""",
+)
+def bi_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive descendant expansion with levels
+    (sql_definitions.sql:54-84) — WITH RECURSIVE re-expressed as an
+    iterative frontier join over the region→nation→customer tree."""
+    nodes, edges = _hierarchy_frames(spark, sf_dir)
+    closure = recursive_expand(nodes.select("id"), edges)
+    na = nodes.select(F.col("id").alias("ancestor_id"), F.col("name").alias("ancestor_name"))
+    nn = nodes.select(F.col("id").alias("node_id"), F.col("name").alias("node_name"))
+    return (
+        closure.join(na, "ancestor_id")
+        .join(nn, "node_id")
+        .select("ancestor_id", "ancestor_name", "node_id", "node_name", "level")
+    )
+
+
+@register(
+    "bi_ancestor_chain",
+    oracle=f"""
+WITH RECURSIVE {_hierarchy_nodes_edges_sql()},
+chains AS (
+  SELECT n.id AS node_id, n.name AS chain, n.id AS cursor, 1 AS depth FROM nodes n
+  UNION ALL
+  SELECT c.node_id, c.chain || ' -> ' || pn.name, e.parent, c.depth + 1
+  FROM chains c JOIN edges e ON e.child = c.cursor JOIN nodes pn ON pn.id = e.parent
+)
+SELECT node_id, chain, CAST(depth AS INT) AS depth
+FROM chains c
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.child = c.cursor)
+""",
+)
+def bi_ancestor_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-to-root name chain (sql_definitions.sql:93-121 ManagerChain),
+    complete chains only."""
+    nodes, edges = _hierarchy_frames(spark, sf_dir)
+    return ancestor_chain(nodes, edges)
+
+
+@register(
+    "bi_customers_no_purchase",
+    oracle="""
+SELECT DISTINCT CAST(o_custkey AS BIGINT) AS customer_id
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase'
+)
+""",
+)
+def bi_customers_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join (sql_definitions.sql:133-139): customers
+    present in orders with no purchase event. The distinct purchase-user
+    set is broadcast, so the orders side never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_events(spark, sf_dir)
+    buyers = (
+        events.where(F.col("event_type") == "purchase").select(F.col("user_id").alias("uid")).distinct()
+    )
+    return (
+        orders.select(F.col("o_custkey").cast("bigint").alias("customer_id"))
+        .distinct()
+        .join(F.broadcast(buyers), F.col("customer_id") == F.col("uid"), "left_anti")
+    )
+
+
+# =====================================================================
+# 2c. OLAP breadth
+# =====================================================================
+
+@register(
+    "olap_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum({_cents_sql("l_extendedprice")}) / 100.0 AS sum_base_price,
+       sum({_REV_CENTS_SQL}) / 100.0 AS sum_disc_price,
+       sum({_cents_sql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}) / 100.0 AS sum_charge,
+       sum(l_quantity) / count(*) AS avg_qty,
+       sum({_cents_sql("l_extendedprice")}) / count(*) / 100.0 AS avg_price,
+       CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS DOUBLE) / count(*) / 10000.0 AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m-%d') <= '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-class pricing summary: single scan, map-side partial
+    aggregation, 6 measures in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(F.date_format("l_shipdate", "yyyy-MM-dd") <= "2000-12-01")
+    cnt = F.count(F.lit(1))
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum(star.cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+        (F.sum(star.revenue_cents()) / 100.0).alias("sum_disc_price"),
+        (
+            F.sum(star.cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))))
+            / 100.0
+        ).alias("sum_charge"),
+        (F.sum("l_quantity") / cnt).alias("avg_qty"),
+        (F.sum(star.cents("l_extendedprice")) / cnt / 100.0).alias("avg_price"),
+        (F.sum(F.floor(F.col("l_discount") * 10000).cast("bigint")).cast("double") / cnt / 10000.0).alias("avg_disc"),
+        cnt.cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "olap_shipping_priority",
+    oracle=f"""
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       sum({_REV_CENTS_SQL}) / 100.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND strftime(o_orderdate, '%Y-%m-%d') < '1997-01-01'
+  AND strftime(l_shipdate, '%Y-%m-%d') > '1997-01-01'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-class: selective dim filter → 3-way join → agg → top-10.
+    Customer filter is broadcast; top-10 is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.date_format("o_orderdate", "yyyy-MM-dd") < "1997-01-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.date_format("l_shipdate", "yyyy-MM-dd") > "1997-01-01"
+    ).select("l_orderkey", star.revenue_cents().alias("rc"))
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg((F.sum("rc") / 100.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "olap_rollup_sales",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(n_name, 'ALL') AS nation_name,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_sales,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def olap_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region → nation → grand total)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", star.cents("o_totalprice").alias("tc"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg((F.sum("tc") / 100.0).alias("total_sales"), F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "total_sales",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "olap_running_totals",
+    oracle="""
+WITH m AS (
+  SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS mc
+  FROM orders GROUP BY 1, 2
+)
+SELECT customer_id, month,
+       mc / 100.0 AS monthly_amount,
+       sum(mc) OVER w_run / 100.0 AS running_total,
+       CAST(sum(mc) OVER w_mov AS DOUBLE) / count(mc) OVER w_mov / 100.0 AS moving_avg3,
+       lag(mc) OVER w_ord / 100.0 AS prev_amount
+FROM m
+WINDOW w_run AS (PARTITION BY customer_id ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_mov AS (PARTITION BY customer_id ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       w_ord AS (PARTITION BY customer_id ORDER BY month)
+""",
+)
+def olap_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total, 3-month moving average, and previous-month value
+    per customer — one shuffle (by customer) feeds all three windows."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
+        win.month_key("o_orderdate").alias("month"),
+    ).agg(F.sum(star.cents("o_totalprice")).alias("mc"))
+    w = Window.partitionBy("customer_id").orderBy("month")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w.rowsBetween(-2, Window.currentRow)
+    return m.select(
+        "customer_id",
+        "month",
+        (F.col("mc") / 100.0).alias("monthly_amount"),
+        (F.sum("mc").over(w_run) / 100.0).alias("running_total"),
+        (F.sum("mc").over(w_mov).cast("double") / F.count("mc").over(w_mov) / 100.0).alias("moving_avg3"),
+        (F.lag("mc").over(w) / 100.0).alias("prev_amount"),
+    )
+
+
+@register(
+    "olap_sessionize",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, ts, epoch_ns(ts) AS tsn FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, tsn,
+         CASE WHEN lag(tsn) OVER w IS NULL OR tsn > lag(tsn) OVER w + 1800000000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def olap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) over the event stream. Gap
+    logic runs on exact integer nanoseconds — engine-portable and
+    immune to timestamp-precision truncation."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_ns").over(w)
+    flagged = e.select("user_id", "event_id", "ts_ns").withColumn(
+        "ns_flag",
+        F.when(prev.isNull() | (F.col("ts_ns") > prev + F.lit(1_800_000_000_000)), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("ns_flag").over(w_run).cast("bigint"))
+
+    def fmt(ns_col: str):
+        return F.date_format(
+            F.expr(
+                f"timestampadd(MICROSECOND, {ns_col} DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts_ns").alias("__min_ns"),
+            F.max("ts_ns").alias("__max_ns"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            fmt("__min_ns").alias("session_start"),
+            fmt("__max_ns").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregate per event_type — the batch twin of the
+    Structured Streaming job in streaming/events.py (same plan after
+    readStream; equality asserted in tests)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts_utc"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# 2d. LLM-training-data operators
+# =====================================================================
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text,
+    keeping the smallest doc_id."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+       CAST(doc_id_b AS BIGINT) AS doc_id_b,
+       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_id_a
+JOIN sizes nb ON nb.doc_id = doc_id_b
+WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs at word-3-gram Jaccard ≥ 0.8 via inverted
+    shingle index (the exactness oracle for the LSH variants)."""
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+@register("dedup_minhash_lsh")  # approximate → rows-only driver check; recall in pytest
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64perm)+LSH(16 bands) near-dup pairs, verified at exact
+    Jaccard ≥ 0.8 — the 100 TB-scale path for dedup_ngram_jaccard."""
+    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+@register("dedup_simhash")  # approximate → rows-only driver check; recall in pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 64 bits), banded LSH
+    candidates."""
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round({cosine_sql("a.embedding", "b.embedding")}, 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4, exact all-pairs —
+    the candidate step LSH replaces at scale)."""
+    return sim.cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round({cosine_sql("qv", "e.embedding")}, 6) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 10
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the query subset (vec_id % 10 = 0):
+    broadcast queries × one corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, F.col("vec_id") % 10 == 0, k=10)
+
+
+@register("ann_topk_lsh")  # approximate → rows-only driver check; recall in pytest
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed approximate top-10 (scale path for
+    ann_topk_bruteforce)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, F.col("vec_id") % 10 == 0, k=10, n_planes=8, dim=64)
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+SELECT doc_id, lang AS declared_lang, {langid_sql("text")} AS predicted_lang
+FROM documents
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic), deterministic
+    alphabetical tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        langid_column("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_txt,
+       {token_count_sql("text")} AS n_tokens,
+       {stopword_count_sql("text")} AS n_stopwords,
+       CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")} AS stopword_ratio,
+       CAST(length(regexp_replace(trim(text), ' +', ' ', 'g')) - ({token_count_sql("text")} - 1) AS DOUBLE)
+           / {token_count_sql("text")} AS avg_token_len,
+       CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")} * 0.5
+           + least(CAST({token_count_sql("text")} AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality_score
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, token count, stopword ratio, mean token
+    length, and a composite score — all single-pass Column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_column("text")
+    n_stop = stopword_count_column("text")
+    collapsed_len = F.length(F.regexp_replace(F.trim(F.col("text")), " +", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_txt"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        ((collapsed_len - (n_tok - 1)).cast("double") / n_tok).alias("avg_token_len"),
+        (
+            n_stop.cast("double") / n_tok * 0.5
+            + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       {token_count_sql("text")} AS n_tokens,
+       CAST(len(list_distinct({tokens_sql("text")})) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_filter({tokens_sql("text")}, t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) AS n_alpha_tokens
+FROM documents
+""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics: whitespace tokens, distinct tokens, and
+    regex-word tokens (the BPE-ish pre-tokenization count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_column("text")
+    return docs.select(
+        "doc_id",
+        token_count_column("text").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("bigint").alias("n_alpha_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id, md5(text) AS fingerprint,
+       {min_shingle_md5_sql("text", 3)} AS min_shingle_fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5) and shingle-sketch (min
+    md5-of-3-gram — a portable 1-permutation MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint_column("text").alias("fingerprint"),
+        min_shingle_md5_column("text", 3).alias("min_shingle_fingerprint"),
+    )
+
+
+@register("mm_binary_meta")  # mapInPandas plumbing → rows-only driver check
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: attach a binary payload and
+    run the Arrow-batched metadata/decode-stub extractor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_meta(attach_binary_payload(docs))

@@ -1,0 +1,74 @@
+"""Structured Streaming jobs mirroring the batch event operators.
+
+The batch DAG of the reference runs daily (ETL_DAG.py:254); the
+streaming versions give the same results continuously. Each job here
+has a batch twin in ``queries.py`` and a test asserting
+stream-result == batch-result on the same input — the property that
+matters when a pipeline is migrated from scheduled batch to streaming.
+
+Scale notes: watermarks bound state; ``dropDuplicatesWithinWatermark``
+bounds the dedup map; file sources at 100 TB become Kafka sources with
+the identical plan after ``readStream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over event parquet files (ts arrives as int64
+    nanos — same nanosAsLong workaround as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return raw.withColumn(
+        "ts_utc",
+        F.expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sum per event_type with a
+    watermark bounding state for late data."""
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark window —
+    bounded state, the streaming twin of batch drop-duplicates."""
+    return events.withWatermark("ts_utc", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+    """Drain an availableNow stream into an in-memory table (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

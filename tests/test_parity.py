@@ -1,0 +1,67 @@
+"""Mirror of the driver's correctness gate: run every registered query
+on Spark AND its oracle on DuckDB over the same parquet tables, then
+compare row count, column names, and exact values (rows and columns
+sorted). Any nondeterminism or engine divergence fails here first.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from etl_dag_spark.queries import ORACLES, SPARK_QUERIES
+from etl_dag_spark.sources.tables import TABLES
+
+from tests.conftest import SF_DIR
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _assert_equal(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if isinstance(a, float) and isinstance(b, float):
+                ok = (math.isnan(a) and math.isnan(b)) or a == b
+            else:
+                ok = a == b or (a is None and b is None) or (pd.isna(a) and pd.isna(b))
+            assert ok, f"{name}: value mismatch col={col} row={i}: spark={a!r} duck={b!r}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    spark_df = SPARK_QUERIES[name](spark, SF_DIR)
+    spark_pdf = spark_df.toPandas()
+    con = _duck(SF_DIR)
+    duck_pdf = con.execute(ORACLES[name]).fetchdf()
+    _assert_equal(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(SPARK_QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = SPARK_QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
