@@ -35,6 +35,37 @@ def cosine_column(a: Column | str, b: Column | str) -> Column:
     return dot_column(a, b) / F.nullif(denom, F.lit(0.0))
 
 
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Unrolled fixed-dimension dot product.
+
+    Bit-identical to :func:`dot_column` (same left-to-right double
+    accumulation starting from 0.0) but expands to a flat Add/Multiply
+    tree of ``get``s — plain codegen-able expressions instead of
+    interpreted higher-order lambdas, ~2 orders of magnitude faster in
+    pair-join hot paths.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return acc
+
+
+def norm_fixed(a: Column | str, dim: int) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
+
+
+def dim_of(df, vec_col: str) -> int:
+    """Array length of ``vec_col`` (peeked from one row — parquet has no
+    fixed-size-list in Spark's schema). Tiny driver-side job, run once
+    per plan build."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dimension of empty/null column {vec_col}")
+    return int(row["d"])
+
+
 def dot_sql(a_expr: str, b_expr: str) -> str:
     """Sequential double-precision dot product in DuckDB SQL."""
     return (

