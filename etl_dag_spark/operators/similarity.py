@@ -220,20 +220,33 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate cosine top-k: queries only score corpus rows in the
-    same hyperplane bucket. 2^n_planes buckets ⇒ candidate set shrinks
-    ~2^n_planes× while same-bucket vectors are the angularly-close ones.
+    """Approximate cosine top-k: queries only score corpus rows sharing
+    a hyperplane bucket in at least one of ``n_tables`` independent
+    hash tables. Per table, 2^n_planes buckets shrink the candidate set
+    ~2^n_planes×; multiple tables recover the recall a single table
+    loses when a cluster straddles a plane (standard LSH design — at
+    100 TB each table is one shuffle-key, candidates are unioned).
 
     → (query_id, neighbor_id, rank, sim) — same contract as
     :func:`brute_force_topk`; recall is measured in tests.
     """
     spark = embeddings.sparkSession
-    planes = np.array(_hyperplanes(n_planes, dim, seed))
+    planes = np.array(
+        [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
+    )  # n_tables × n_planes × dim
     powers = (1 << np.arange(n_planes)).astype(np.int64)
 
     def buckets_of(mat: np.ndarray) -> np.ndarray:
-        return ((mat @ planes.T >= 0).astype(np.int64) * powers[None, :]).sum(axis=1)
+        """→ (rows × n_tables) bucket ids."""
+        return np.stack(
+            [
+                ((mat @ planes[t].T >= 0).astype(np.int64) * powers[None, :]).sum(axis=1)
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )
 
     q_pdf = embeddings.where(query_filter).select(id_col, vec_col).toPandas()
     q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
@@ -252,7 +265,8 @@ def lsh_topk(
             sims = _seq_dot_block(c_mat, bq_mat) / np.outer(_seq_norms(c_mat), bq_norm)
             sims_r = np.round(sims, 6)
             for j in range(len(bq_ids)):
-                idx = np.flatnonzero((c_bkt == bq_bkt[j]) & (c_ids != bq_ids[j]))
+                shared = (c_bkt == bq_bkt[j][None, :]).any(axis=1)
+                idx = np.flatnonzero(shared & (c_ids != bq_ids[j]))
                 order = idx[np.lexsort((c_ids[idx], -sims_r[idx, j]))][:local_k]
                 if not len(order):
                     continue

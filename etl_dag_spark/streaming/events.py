@@ -31,10 +31,10 @@ def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    return raw.withColumn(
-        "ts_utc",
-        F.expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-    )
+    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ): epoch-micros is
+    # timezone-agnostic storage; the session tz only affects rendering,
+    # and the streaming jobs run under our UTC-pinned session factory.
+    return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -62,12 +62,18 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts_utc", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
-    """Drain an availableNow stream into an in-memory table (tests)."""
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
+                  mode: str = "complete") -> None:
+    """Drain an availableNow stream into an in-memory table (tests).
+
+    ``mode``: "complete" for aggregations (emits every window including
+    ones still above the watermark — what the batch-equality tests
+    need); "append" for non-aggregating streams like dedup, where
+    complete mode is not allowed."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,151 @@
+"""Recall/behavior tests for the approximate dedup and ANN operators
+against exact ground truth computed in-test (SURVEY §5.3).
+
+The synthetic corpus plants known near-duplicates (one appended token →
+3-gram Jaccard ≈ n/(n+1) ≥ 0.9) among seeded-random filler docs, so the
+exact pair set is known and the LSH variants' recall is measurable.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_dag_spark.operators import dedup as dd
+from etl_dag_spark.operators import similarity as sim
+
+VOCAB = [f"w{i:03d}" for i in range(400)]
+
+
+def _corpus():
+    rng = random.Random(7)
+    docs, planted = [], []
+    doc_id = 0
+    # 200-token docs: long enough that SimHash bit-sums have real margin
+    # (a one-token change flips ~1-2 of 64 bits) while one appended token
+    # keeps 3-gram Jaccard ≈ 198/201 ≈ 0.985 — a planted near-dup for
+    # every operator under test.
+    for _ in range(30):  # 30 planted near-dup pairs
+        base = " ".join(rng.choice(VOCAB) for _ in range(200))
+        docs.append((doc_id, base))
+        docs.append((doc_id + 1, base + " " + rng.choice(VOCAB)))
+        planted.append((doc_id, doc_id + 1))
+        doc_id += 2
+    for _ in range(40):  # unrelated filler
+        docs.append((doc_id, " ".join(rng.choice(VOCAB) for _ in range(200))))
+        doc_id += 1
+    return docs, planted
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs, planted = _corpus()
+    return spark.createDataFrame(docs, "doc_id long, text string"), planted
+
+
+def test_exact_jaccard_finds_planted_pairs(spark, corpus):
+    documents, planted = corpus
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.ngram_jaccard_pairs(documents, n=3, threshold=0.8).collect()
+    }
+    assert set(planted) <= got
+
+
+def test_minhash_lsh_recall_vs_exact(spark, corpus):
+    documents, _ = corpus
+    exact = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.ngram_jaccard_pairs(documents, n=3, threshold=0.8).collect()
+    }
+    approx = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.minhash_lsh_pairs(documents, n=3, threshold=0.8).collect()
+    }
+    # verification step makes precision exact; banding controls recall
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) >= 0.9
+    # every verified pair really is >= the threshold
+    for r in dd.minhash_lsh_pairs(documents, n=3, threshold=0.8).collect():
+        assert r.jaccard >= 0.8
+
+
+def test_simhash_finds_planted_pairs_and_no_random_ones(spark, corpus):
+    documents, planted = corpus
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.simhash_pairs(documents, max_hamming=3).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found / len(planted) >= 0.8  # one appended token ⇒ tiny hamming
+    # unrelated random docs should essentially never collide at hamming<=3
+    planted_set = set(planted)
+    false_pairs = [p for p in got if p not in planted_set]
+    assert len(false_pairs) <= 2
+
+
+def test_exact_dedup_counts(spark):
+    documents = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "aa")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.n_copies for r in dd.exact_dedup(documents).collect()}
+    assert rows == {1: 3, 3: 1}
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """20 tight clusters × 25 points: true neighbors are same-cluster,
+    so hyperplane-LSH recall is meaningfully measurable."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(20, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vec_id = 0
+    for c in centers:
+        for _ in range(25):
+            v = c + rng.normal(scale=0.02, size=64)
+            rows.append((vec_id, [float(x) for x in v]))
+            vec_id += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, clustered_embeddings):
+    emb = clustered_embeddings
+    qf = F.col("vec_id") % 25 == 0  # one query per cluster
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, qf, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_topk(emb, qf, k=10, n_planes=8, dim=64, n_tables=4).collect()
+    }
+    assert len(truth) == 20 * 10
+    assert len(approx & truth) / len(truth) >= 0.9
+    # single-table recall is structurally worse — the n_tables knob is
+    # what buys recall at scale
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_topk(emb, qf, k=10, n_planes=8, dim=64, n_tables=1).collect()
+    }
+    assert len(single & truth) <= len(approx & truth)
+
+
+def test_bruteforce_topk_is_exact_topk(spark, clustered_embeddings):
+    """Independent ground truth: numpy cosine on the collected matrix."""
+    emb = clustered_embeddings
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat_n @ mat_n.T
+    got = sim.brute_force_topk(emb, F.col("vec_id") == 0, k=5).collect()
+    got_ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    q = int(np.flatnonzero(ids == 0)[0])
+    order = np.lexsort((ids, -np.round(sims[q], 6)))
+    expect = [int(ids[i]) for i in order if ids[i] != 0][:5]
+    assert got_ids == expect

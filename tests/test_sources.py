@@ -1,0 +1,79 @@
+"""Source readers (schema + rename maps — ETL_DAG.py:162-187 surface)
+and truncate-and-load / dynamic-partition-overwrite sinks
+(ETL_DAG.py:210-229 surface)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_dag_spark.functions.country import iso3_column, with_iso3
+from etl_dag_spark.sources.readers import read_source
+from etl_dag_spark.sources.sinks import overwrite_parquet
+
+
+def test_read_csv_with_schema_and_rename(spark, tmp_path):
+    p = tmp_path / "sales.csv"
+    p.write_text("TXN_ID,AMOUNT\n1,10.5\n2,20.0\n")
+    df = read_source(
+        spark,
+        str(p),
+        fmt="csv",
+        schema="TXN_ID int, AMOUNT double",
+        rename={"TXN_ID": "transaction_id", "AMOUNT": "amount"},
+    )
+    assert df.columns == ["transaction_id", "amount"]
+    assert df.schema.simpleString() == "struct<transaction_id:int,amount:double>"
+    assert {(r.transaction_id, r.amount) for r in df.collect()} == {(1, 10.5), (2, 20.0)}
+
+
+def test_rename_missing_column_raises(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("a\n1\n")
+    with pytest.raises(ValueError, match="missing columns"):
+        read_source(spark, str(p), fmt="csv", schema="a int", rename={"nope": "b"})
+
+
+def test_unsupported_format_raises(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_source(spark, "/dev/null", fmt="xml")
+
+
+def test_overwrite_parquet_is_truncate_and_load(spark, tmp_path):
+    path = str(tmp_path / "t")
+    overwrite_parquet(spark.range(10).withColumnRenamed("id", "v"), path)
+    overwrite_parquet(spark.range(3).withColumnRenamed("id", "v"), path)
+    assert spark.read.parquet(path).count() == 3  # second load replaced the first
+
+
+def test_dynamic_partition_overwrite_replaces_only_written_partitions(spark, tmp_path):
+    path = str(tmp_path / "part")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], "day string, v int"
+    )
+    overwrite_parquet(full, path, partition_by=["day"])
+    # backfill ONE day; the other day's data must survive
+    fix = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    overwrite_parquet(fix, path, partition_by=["day"])
+    # partition-column values come back type-inferred (here: date)
+    got = {(str(r.day), r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)}
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == [
+        "day=2024-01-01",
+        "day=2024-01-02",
+    ]
+
+
+def test_country_iso3_aliases_and_unknowns(spark):
+    df = spark.createDataFrame(
+        [(1, "  united states "), (2, "UK"), (3, "Atlantis"), (4, "NATION_7"), (5, None)],
+        "id int, country string",
+    )
+    got = {r.id: r.iso3 for r in df.select("id", iso3_column("country").alias("iso3")).collect()}
+    assert got == {1: "USA", 2: "GBR", 3: None, 4: "DEU", 5: None}
+    # broadcast-join variant must agree with the literal-map variant
+    got2 = {r.id: r.country_iso3 for r in with_iso3(df, "country").collect()}
+    assert got2 == got

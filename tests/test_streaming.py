@@ -1,0 +1,84 @@
+"""Structured Streaming mirrors of the batch event operators
+(SURVEY §2e): stream-result == batch-result on the same input, and
+bounded-state streaming dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_dag_spark.queries import SPARK_QUERIES
+from etl_dag_spark.streaming.events import (
+    dedup_stream,
+    read_event_stream,
+    run_to_memory,
+    windowed_counts,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """Copy the events table into several files so maxFilesPerTrigger
+    actually exercises multi-batch incremental processing."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+    )
+    return out
+
+
+def test_stream_windowed_counts_equals_batch(spark, stream_src):
+    stream = windowed_counts(read_event_stream(spark, stream_src))
+    run_to_memory(stream, "win_stream", mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, float(r.total_value))
+        for r in spark.table("win_stream").collect()
+    }
+    batch = SPARK_QUERIES["stream_windowed_counts"](spark, SF_DIR).collect()
+    want = {
+        (r.window_start, r.event_type): (r.n_events, float(r.total_value))
+        for r in batch
+    }
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches collapse to one row."""
+    src = str(tmp_path / "dup_events")
+    base = spark.range(100).select(
+        (F.col("id") % 50).alias("event_id"),  # every id appears twice
+        (F.lit(1_700_000_000_000_000_000) + F.col("id") * 1_000_000_000).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    base.repartition(4).write.mode("overwrite").parquet(src)
+    deduped = dedup_stream(read_event_stream(spark, src))
+    run_to_memory(deduped, "dedup_stream_t", mode="append")
+    out = spark.table("dedup_stream_t").select("event_id").collect()
+    ids = [r.event_id for r in out]
+    assert sorted(set(ids)) == list(range(50))
+    assert len(ids) == 50  # no duplicate survived
+
+
+def test_stream_incremental_batches(spark, stream_src):
+    """maxFilesPerTrigger=1 really processes multiple micro-batches —
+    the incremental path, not one giant batch."""
+    stream = windowed_counts(read_event_stream(spark, stream_src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_stream_batches")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2
