@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from etl_dag_spark.functions.text import (
     md5_fingerprint_column,
-    shingles_column,
+    shingle_rows,
     tokens_column,
 )
 
@@ -66,13 +66,14 @@ def ngram_jaccard_pairs(
     word n-grams — a single integer division, so the value is
     bit-identical across engines.
     """
-    sh = documents.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.explode(shingles_column(text_col, n)).alias("s"),
-    )
+    sh = shingle_rows(documents, n=n, id_col=id_col, text_col=text_col)
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.where(F.col("__df") <= max_shingle_freq).select("s"), "s")
+    # the inverted index feeds three consumers (sizes + both join sides):
+    # materialize it once instead of recomputing the shingle subtree per
+    # branch (at cluster scale: persist/stage-cache the index)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -133,9 +134,8 @@ def minhash_signatures(
     drop out (they cannot be near-dups under this measure).
     """
     a_coef, b_coef = _perm_coeffs(k, seed)
-    sh_rows = documents.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.explode(shingles_column(text_col, n)).alias("s"),
+    sh_rows = shingle_rows(
+        documents, n=n, id_col=id_col, text_col=text_col, distinct=False
     ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_HASH_SPACE)).alias("h"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{j}")
@@ -191,7 +191,6 @@ def minhash_lsh_pairs(
     banded = banded.withColumn("__bsz", F.count(F.lit(1)).over(w)).where(
         F.col("__bsz") <= max_bucket_size
     ).drop("__bsz")
-
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -204,9 +203,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh_arrays = documents.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        shingles_column(text_col, n).alias("sh"),
+    sh_arrays = (
+        shingle_rows(documents, n=n, id_col=id_col, text_col=text_col, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))  # collect_set dedupes itself
     )
     sh_a = sh_arrays.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh_arrays.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))

@@ -28,7 +28,7 @@ from etl_dag_spark.functions.text import (
     langid_sql,
     md5_fingerprint_column,
     min_shingle_md5_sql,
-    shingles_column,
+    shingle_rows,
     shingles_sql,
     stopword_count_column,
     stopword_count_sql,
@@ -801,7 +801,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the oracle's list_min over an empty list."""
     docs = load_table(spark, sf_dir, "documents")
     sketch = (
-        docs.select("doc_id", F.explode(shingles_column("text", 3)).alias("s"))
+        shingle_rows(docs, n=3, distinct=False)
         .groupBy("doc_id")
         .agg(F.min(F.md5("s")).alias("min_shingle_fingerprint"))
     )
