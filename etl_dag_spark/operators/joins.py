@@ -1,0 +1,99 @@
+"""Time-series join operators Spark lacks as built-ins: as-of join and
+range (interval) join.
+
+As-of join — "for each left row, the latest right row at or before its
+timestamp, per key" — is composed from a union + one window pass:
+tag both sides, sort each key group by (time, side), and carry the last
+non-null right payload forward. That is ONE shuffle by key and one
+sort — the canonical distributed formulation (a per-key merge of two
+time-sorted streams), with none of the O(left × right) blowup of a
+naive inequality join. At 100 TB both sides shuffle-partition on the
+key and each group streams through sorted — skew on hot keys is
+handled by AQE.
+
+Range join stays a plain equi-join on the key with the interval
+predicate as a post-join filter — Catalyst evaluates it inside the
+sort-merge join, so the cost is the equi-join's, not a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """For every left row: the right row with the greatest ``right_ts``
+    ≤ ``left_ts`` in the same ``key`` group (backward as-of join, the
+    DuckDB/pandas ``merge_asof`` default). Left rows with no earlier
+    right row keep NULL payloads.
+
+    ``right_order`` breaks ties among right rows sharing a timestamp
+    (the greatest value wins); pass a unique id for determinism.
+
+    Returns all of ``left``'s columns plus ``payload_cols``.
+    """
+    left_cols = left.columns  # must include ``key``; right shares the name
+    l2 = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__ord"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r2 = right.select(
+        *[
+            F.col(key).alias(c)
+            if c == key
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        (F.col(right_order) if right_order is not None else F.lit(0))
+        .cast("long")
+        .alias("__ord"),
+        *payload_cols,
+    )
+    unioned = l2.unionByName(r2)
+    # right rows sort before left rows at equal __t (0 < 1) → "at or
+    # before" is inclusive; __ord breaks right-side timestamp ties
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__is_left", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left_cols,
+        "__is_left",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    ts_right: str,
+    lower: Column,
+    upper: Column,
+    how: str = "left",
+) -> DataFrame:
+    """Join right rows whose ``ts_right`` falls in [lower, upper) of the
+    matching left row (interval containment per key)."""
+    cond = (
+        (F.col(key_left) == F.col(key_right))
+        & (F.col(ts_right) >= lower)
+        & (F.col(ts_right) < upper)
+    )
+    return left.join(right, cond, how)

@@ -65,6 +65,75 @@ def trailing_months_filter(df: DataFrame, ts_col: str, months: int = 12) -> Data
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per group, one shuffle.
+
+    Engines disagree on the float expression inside their native
+    percentile_cont (last-ulp differences), so the interpolation is
+    spelled out — ``lo + (hi - lo) * frac`` on doubles — and the DuckDB
+    oracle uses the same literal formula, making results bit-identical.
+    Rank + pick + interpolate is a single window sort followed by one
+    aggregate: the same cost envelope as the built-in.
+
+    ``qs``: output column name → quantile in [0, 1].
+    → (group_col, *qs keys)
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wg = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).cast("double").alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    aggs = []
+    for name, q in qs.items():
+        t = (F.col("__n") - 1).cast("double") * F.lit(q)
+        lo_rn = F.floor(t) + 1
+        frac = t - F.floor(t).cast("double")
+        lo = F.max(F.when(F.col("__rn") == lo_rn, F.col("__v")))
+        hi = F.max(F.when(F.col("__rn") == lo_rn + 1, F.col("__v")))
+        fr = F.max(F.when(F.col("__rn") == lo_rn, frac))
+        aggs.append((lo + (F.coalesce(hi, lo) - lo) * fr).alias(name))
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def percentile_oracle_sql(
+    table: str, group_col: str, value_expr: str, qs: dict[str, float]
+) -> str:
+    """DuckDB twin of :func:`exact_percentiles` — same interpolation
+    formula text, so the float ops match term for term."""
+    cols = []
+    for name, q in qs.items():
+        # bare 0.9 parses as DECIMAL in DuckDB — cast keeps both engines
+        # in double arithmetic so the interpolation is bit-identical
+        qd = f"CAST({q!r} AS DOUBLE)"
+        cols.append(
+            f"max(CASE WHEN __rn = floor((__n - 1) * {qd}) + 1 THEN __v END) + "
+            f"(coalesce(max(CASE WHEN __rn = floor((__n - 1) * {qd}) + 2 THEN __v END), "
+            f"max(CASE WHEN __rn = floor((__n - 1) * {qd}) + 1 THEN __v END)) - "
+            f"max(CASE WHEN __rn = floor((__n - 1) * {qd}) + 1 THEN __v END)) * "
+            f"max(CASE WHEN __rn = floor((__n - 1) * {qd}) + 1 THEN "
+            f"(__n - 1) * {qd} - floor((__n - 1) * {qd}) END) AS {name}"
+        )
+    return f"""
+WITH __ranked AS (
+  SELECT {group_col},
+         CAST({value_expr} AS DOUBLE) AS __v,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY CAST({value_expr} AS DOUBLE)) AS __rn,
+         count(*) OVER (PARTITION BY {group_col}) AS __n
+  FROM {table}
+)
+SELECT {group_col}, {", ".join(cols)}
+FROM __ranked GROUP BY {group_col}
+"""
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

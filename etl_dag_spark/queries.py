@@ -39,6 +39,7 @@ from etl_dag_spark.functions.text import (
 )
 from etl_dag_spark.functions.vectors import cosine_sql
 from etl_dag_spark.operators import dedup as dd
+from etl_dag_spark.operators import joins
 from etl_dag_spark.operators import similarity as sim
 from etl_dag_spark.operators import star
 from etl_dag_spark.operators import validation as val
@@ -818,3 +819,334 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the Arrow-batched metadata/decode-stub extractor."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_meta(attach_binary_payload(docs))
+
+
+# =====================================================================
+# 2c-ext. OLAP breadth extensions: cube, pivot, percentiles, top-k per
+# group, as-of / range joins, session windows, incremental upsert
+# =====================================================================
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "olap_cube_sales",
+    oracle="""
+SELECT r_name AS region_name, n_name AS nation_name,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_sales,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_name)
+""",
+)
+def olap_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, nation): every subtotal combination in one
+    pass — Catalyst expands the grouping sets, dims broadcast."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", star.cents("o_totalprice").alias("tc"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.cube(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            (F.sum("tc") / 100.0).alias("total_sales"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "olap_pivot_events",
+    oracle="""
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+""",
+)
+def olap_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: month × event_type count matrix. The pivot value list is
+    fixed, so the plan is a single-pass pivot aggregate (no extra job
+    to discover distinct values)."""
+    e = load_events(spark, sf_dir)
+    p = (
+        e.groupBy(F.date_format("ts_utc", "yyyy-MM").alias("month"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "month",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES],
+    )
+
+
+_PCT_QS = {"p50_value": 0.5, "p90_value": 0.9}
+
+
+@register(
+    "olap_percentiles",
+    oracle=win.percentile_oracle_sql(
+        "(SELECT event_type, value FROM events WHERE value IS NOT NULL)",
+        "event_type",
+        "value",
+        _PCT_QS,
+    ),
+)
+def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90) of event value per
+    event_type — explicit lo+(hi-lo)*frac interpolation so both engines
+    compute bit-identical doubles (native percentile_cont differs in
+    the last ulp across engines)."""
+    e = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    return win.exact_percentiles(e.select("event_type", "value"), "event_type", "value", _PCT_QS)
+
+
+@register(
+    "olap_topk_per_group",
+    oracle=f"""
+WITH pr AS (
+  SELECT p_brand, l_partkey, sum({_REV_CENTS_SQL}) AS rc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey
+)
+SELECT p_brand AS brand, CAST(l_partkey AS BIGINT) AS product_id,
+       rc / 100.0 AS revenue,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY rc DESC, l_partkey) AS INT) AS brand_rank
+FROM pr QUALIFY brand_rank <= 3
+""",
+)
+def olap_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 products by revenue within every brand: per-group window
+    rank after a partial-aggregated join — the shuffle is by brand, and
+    each group ranks independently (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", star.revenue_cents().alias("rc"))
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pr = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("rc").alias("rc"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("rc").desc(), F.col("l_partkey"))
+    return (
+        pr.withColumn("brand_rank", F.rank().over(w).cast("int"))
+        .where(F.col("brand_rank") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").cast("bigint").alias("product_id"),
+            (F.col("rc") / 100.0).alias("revenue"),
+            "brand_rank",
+        )
+    )
+
+
+@register(
+    "olap_asof_join",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS tsn,
+         CAST(arg_max(event_id, event_id) AS BIGINT) AS last_event_id,
+         arg_max(event_type, event_id) AS last_event_type
+  FROM events GROUP BY user_id, epoch_ns(ts)
+),
+o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+         CAST(o_custkey AS BIGINT) AS customer_id,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         epoch_ns(o_orderdate) AS odn
+  FROM orders
+)
+SELECT order_id, customer_id, order_date, last_event_id, last_event_type
+FROM o ASOF LEFT JOIN ev ON o.customer_id = ev.user_id AND ev.tsn <= o.odn
+""",
+)
+def olap_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event of that customer at
+    or before the order date (operators/joins.py::asof_join — one
+    shuffle by key + one sorted window pass, no inequality-join blowup).
+    Events are deduped to one row per (user, ts) first so the match is
+    well-defined; ties break to the highest event_id."""
+    ev = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id", "ts_ns")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("__m"))
+        .select(
+            F.col("user_id").alias("customer_id"),
+            "ts_ns",
+            F.col("__m.event_id").cast("bigint").alias("last_event_id"),
+            F.col("__m.event_type").alias("last_event_type"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("order_id"),
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            )
+            * 1000
+        ).alias("odn"),
+    )
+    out = joins.asof_join(
+        o,
+        ev,
+        key="customer_id",
+        left_ts="odn",
+        right_ts="ts_ns",
+        payload_cols=["last_event_id", "last_event_type"],
+        right_order="last_event_id",
+    )
+    return out.select("order_id", "customer_id", "order_date", "last_event_id", "last_event_type")
+
+
+@register(
+    "olap_range_join",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+         CAST(o_custkey AS BIGINT) AS customer_id,
+         epoch_ns(o_orderdate) AS odn
+  FROM orders
+),
+e AS (SELECT user_id, epoch_ns(ts) AS tsn, CAST(floor(value * 100) AS BIGINT) AS vc FROM events)
+SELECT order_id, customer_id,
+       CAST(count(tsn) AS BIGINT) AS n_events_7d,
+       coalesce(sum(vc), 0) / 100.0 AS value_7d
+FROM o LEFT JOIN e
+  ON e.user_id = o.customer_id
+ AND e.tsn >= o.odn AND e.tsn < o.odn + 604800000000000
+GROUP BY order_id, customer_id
+""",
+)
+def olap_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events of the same customer within 7 days
+    after each order, aggregated per order. Equi-join on the key with
+    the interval predicate evaluated inside the join — never a cross
+    product."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("order_id"),
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            )
+            * 1000
+        ).alias("odn"),
+    )
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts_ns", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    week_ns = 7 * 24 * 3600 * 1_000_000_000
+    joined = joins.range_join(
+        o, e, "customer_id", "user_id", "ts_ns",
+        lower=F.col("odn"), upper=F.col("odn") + F.lit(week_ns), how="left",
+    )
+    return joined.groupBy("order_id", "customer_id").agg(
+        F.count("ts_ns").cast("bigint").alias("n_events_7d"),
+        (F.coalesce(F.sum("vc"), F.lit(0)) / 100.0).alias("value_7d"),
+    )
+
+
+@register(
+    "olap_session_windows",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+flagged AS (
+  SELECT user_id, tu,
+         CASE WHEN lag(tu) OVER w IS NULL OR tu >= lag(tu) OVER w + 1800000000
+              THEN 1 ELSE 0 END AS nf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+),
+sess AS (
+  SELECT user_id, tu,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY tu
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(make_timestamp(min(tu)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(max(tu) + 1800000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def olap_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user — Spark's built-in
+    gap-merged session operator, the batch twin of the streaming
+    session job. Window end is last-event + gap (session_window
+    semantics; a new session starts when the gap is reached exactly)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts_utc", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "etl_upsert_latest",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(event_id AS BIGINT) AS event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at,
+       CAST(floor(value * 100) AS BIGINT) / 100.0 AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1
+""",
+)
+def etl_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert / CDC compaction: latest record per business
+    key (user, event_type) by (event time, id) — the merge-into
+    pattern a daily truncate-and-load becomes when the table stops
+    fitting a full rewrite. One shuffle by key."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.date_format(
+                F.expr(
+                    "timestampadd(MICROSECOND, ts_ns DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("updated_at"),
+            (F.floor(F.col("value") * 100).cast("bigint") / 100.0).alias("value"),
+        )
+    )
+
+
+@register("dedup_approx_cardinality")  # HLL sketch differs per engine → rows-only; tolerance in pytest
+def dedup_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-document cardinality per language via HLL
+    (approx_count_distinct) next to the exact count — the sketch path
+    that replaces exact countDistinct at 100 TB (mergeable, fixed
+    memory). Accuracy vs exact asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
+        F.countDistinct("text").alias("exact_distinct_texts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )

@@ -56,6 +56,26 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-merged) over the stream — the
+    streaming twin of the batch ``olap_session_windows`` query. The
+    watermark bounds session state: a session closes once event time
+    passes its end by the watermark delay."""
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.session_window("ts_utc", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark window —
     bounded state, the streaming twin of batch drop-duplicates."""

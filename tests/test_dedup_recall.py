@@ -149,3 +149,18 @@ def test_bruteforce_topk_is_exact_topk(spark, clustered_embeddings):
     order = np.lexsort((ids, -np.round(sims[q], 6)))
     expect = [int(ids[i]) for i in order if ids[i] != 0][:5]
     assert got_ids == expect
+
+
+def test_approx_cardinality_within_tolerance(spark):
+    """HLL sketch (rsd=0.02) must track the exact distinct count within
+    a loose 10% band on the real documents table."""
+    from etl_dag_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["dedup_approx_cardinality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_distinct_texts - r.exact_distinct_texts) <= max(
+            2, 0.1 * r.exact_distinct_texts
+        )

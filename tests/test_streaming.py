@@ -82,3 +82,23 @@ def test_stream_incremental_batches(spark, stream_src):
     )
     q.awaitTermination(120)
     assert q.lastProgress["batchId"] >= 2
+
+
+def test_stream_session_windows_equals_batch(spark, stream_src):
+    from etl_dag_spark.streaming.events import session_counts
+
+    # files arrive in arbitrary time order: a watermark wider than the
+    # table's span means nothing is treated as late, so cross-batch
+    # session MERGING (the semantics under test) is isolated from
+    # late-data eviction (covered by the dedup/watermark test)
+    stream = session_counts(read_event_stream(spark, stream_src), watermark="90 days")
+    run_to_memory(stream, "sess_stream", mode="complete")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table("sess_stream").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in SPARK_QUERIES["olap_session_windows"](spark, SF_DIR).collect()
+    }
+    assert got == want
