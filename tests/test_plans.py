@@ -1,0 +1,59 @@
+"""Physical-plan audits: the properties that make these queries scale
+(SURVEY §6) are asserted on the actual executed plans so a regression
+in join strategy, pushdown, or Python placement fails CI — not just a
+benchmark eyeball.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_dag_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return SPARK_QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
+def test_no_cartesian_product_and_no_rowwise_python(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    # Python is allowed only Arrow-batched (mapInPandas / pandas_udf),
+    # never row-at-a-time
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
+
+
+def test_revenue_by_category_is_broadcast_pruned_partial(spark):
+    plan = _plan(spark, "bi_revenue_by_category")
+    assert "BroadcastHashJoin" in plan  # part dim broadcast
+    assert "partial_sum" in plan        # map-side combine before shuffle
+    # lineitem scan pruned to the 3 needed columns
+    scan = next(l for l in plan.splitlines() if "Scan parquet" in l and "l_partkey" in l)
+    assert "l_extendedprice" in scan and "l_discount" in scan
+    assert "l_comment" not in scan and "l_quantity" not in scan
+
+
+def test_shipping_priority_pushes_dim_filter_to_scan(spark):
+    plan = _plan(spark, "olap_shipping_priority")
+    scan = next(l for l in plan.splitlines() if "Scan parquet" in l and "c_mktsegment" in l)
+    assert "BUILDING" in scan  # selective predicate reaches the file scan
+
+
+def test_star_fact_prunes_order_columns(spark):
+    plan = _plan(spark, "etl_star_fact")
+    scan = next(l for l in plan.splitlines() if "Scan parquet" in l and "o_orderkey" in l)
+    assert "o_orderpriority" not in scan and "o_orderstatus" not in scan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "bi_customers_no_purchase")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pricing_summary_is_single_scan_partial_agg(spark):
+    plan = _plan(spark, "olap_pricing_summary")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_sum" in plan
