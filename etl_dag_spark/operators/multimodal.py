@@ -72,3 +72,80 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, resized binary, n_bytes_out bigint"
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize: → (doc_id, width, height, resized,
+    n_bytes_out). The pixel resample itself is STUBBED (no codec libs
+    in this container) as a deterministic byte resample — take
+    width×height evenly-spaced bytes, zero-padded — so output size,
+    schema, and batching behave exactly like a real thumbnailer.
+    Swap ``_stub_resize`` for PIL's ``Image.resize`` and nothing else
+    changes."""
+    cols = df.select("doc_id", "payload")
+
+    def _stub_resize(payload: bytes) -> bytes:
+        target = width * height
+        if not payload:
+            return b"\x00" * target
+        step = max(len(payload) // target, 1)
+        sampled = payload[::step][:target]
+        return sampled + b"\x00" * (target - len(sampled))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: _stub_resize(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized": resized,
+                    "n_bytes_out": resized.map(len).astype("int64"),
+                }
+            )
+
+    return cols.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_checksum string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Arrow-batched frame sampling: treat each binary payload as a
+    "video" and emit ``n_frames`` evenly-spaced chunks as one row per
+    frame — the fan-out shape (1 row in → n rows out via mapInPandas)
+    a real keyframe extractor has. The chunking stands in for the
+    codec's frame decode; checksums make each frame independently
+    verifiable downstream."""
+    cols = df.select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                chunk = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = raw[i * chunk : (i + 1) * chunk] or b"\x00"
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(frame)
+                    out["frame_checksum"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame": out["frame"],
+                    "frame_checksum": out["frame_checksum"],
+                }
+            )
+
+    return cols.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1150,3 +1150,33 @@ def dedup_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text").alias("exact_distinct_texts"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
+
+
+_BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) AS DOUBLE)
+         / nullif(len(regexp_extract_all(text, '{_BPE_PATTERN}')), 0) AS chars_per_token
+FROM documents
+""",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization count (letters / digits / punctuation
+    runs with leading-space merge, the GPT-2 pre-tokenizer shape minus
+    lookaheads so one pattern runs identically under Java regex and
+    RE2). chars-per-token is the compression-ratio proxy used for
+    quality filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text").cast("double") / F.nullif(n, F.lit(0))).alias("chars_per_token"),
+    )

@@ -1,0 +1,51 @@
+"""Resize and frame-sample plumbing: schema, fan-out shape,
+determinism, and byte accounting (decode itself is a marked stub)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from etl_dag_spark.operators.multimodal import (
+    attach_binary_payload,
+    resize_media,
+    sample_frames,
+)
+
+
+def _docs(spark):
+    return attach_binary_payload(
+        spark.createDataFrame(
+            [(1, "x" * 1000), (2, "short"), (3, "")],
+            "doc_id long, text string",
+        )
+    )
+
+
+def test_resize_fixed_output_size(spark):
+    out = {r.doc_id: r for r in resize_media(_docs(spark), 16, 8).collect()}
+    for doc_id in (1, 2, 3):
+        r = out[doc_id]
+        assert (r.width, r.height) == (16, 8)
+        assert r.n_bytes_out == 16 * 8  # every thumbnail is exactly w*h bytes
+        assert len(bytes(r.resized)) == 16 * 8
+
+
+def test_resize_is_deterministic(spark):
+    a = {r.doc_id: bytes(r.resized) for r in resize_media(_docs(spark), 8, 8).collect()}
+    b = {r.doc_id: bytes(r.resized) for r in resize_media(_docs(spark), 8, 8).collect()}
+    assert a == b
+
+
+def test_sample_frames_fanout_and_checksums(spark):
+    rows = sample_frames(_docs(spark), n_frames=4).collect()
+    assert len(rows) == 3 * 4  # one row per (doc, frame)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert sorted(f.frame_idx for f in frames) == [0, 1, 2, 3]
+        for f in frames:
+            assert f.frame_checksum == hashlib.md5(bytes(f.frame)).hexdigest()
+    # frames of the 1000-byte doc reassemble its prefix in order
+    doc1 = sorted(by_doc[1], key=lambda f: f.frame_idx)
+    assert b"".join(bytes(f.frame) for f in doc1) == b"x" * 1000

@@ -1,0 +1,55 @@
+"""Salted join: result equality with a plain join on skewed data, and
+the plan property that the shuffle key includes the salt."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_dag_spark.operators.skew import salted_join
+
+
+def _frames(spark):
+    # 10k rows of one hot key + a tail of normal keys
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    tail = spark.range(100).select((F.col("id") + 2).alias("k"), F.col("id").alias("v"))
+    skewed = hot.unionByName(tail)
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (50, "b"), (101, "c"), (999, "unmatched")],
+        "k long, name string",
+    )
+    return skewed, dim
+
+
+def test_salted_join_equals_plain_join(spark):
+    skewed, dim = _frames(spark)
+    got = salted_join(skewed, dim, "k", n_salts=8)
+    want = skewed.join(dim, "k")
+    # hot key matches 10k rows; tail keys 2..101 match dim keys {2,50,101}
+    assert got.count() == want.count() == 10_003
+    assert (
+        got.groupBy("k", "name").count().exceptAll(want.groupBy("k", "name").count()).count()
+        == 0
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    skewed, dim = _frames(spark)
+    got = salted_join(skewed, dim, "k", n_salts=8, how="left")
+    assert got.count() == skewed.count()
+    assert got.where(F.col("name").isNull()).count() == skewed.join(dim, "k", "left").where(
+        F.col("name").isNull()
+    ).count()
+
+
+def test_salt_scatters_hot_key(spark):
+    skewed, dim = _frames(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8))
+    dist = (
+        skewed.where(F.col("k") == 1)
+        .withColumn("__salt", salt)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(dist) == 8  # the hot key's rows hit every salt bucket
+    assert max(r["count"] for r in dist) < 10_000 * 0.25  # no bucket dominates

@@ -102,3 +102,45 @@ def test_stream_session_windows_equals_batch(spark, stream_src):
         for r in SPARK_QUERIES["olap_session_windows"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals_across_batches(spark, stream_src):
+    """applyInPandasWithState: per-user state accumulates across
+    micro-batches; the final emitted total per user equals the batch
+    aggregate over the same input."""
+    from etl_dag_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(read_event_stream(spark, stream_src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2  # state really crossed batches
+    # update mode re-emits per batch: the max per user is the final state
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in spark.sql(
+            """SELECT user_id, max(n_events) AS n_events, max(total_cents) AS total_cents
+               FROM user_totals GROUP BY user_id"""
+        ).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .parquet(stream_src)
+        .selectExpr(
+            "user_id",
+            "CAST(coalesce(value, 0) * 100 AS BIGINT) AS vc",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("cents"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.cents) for r in batch}
+    assert got == want
