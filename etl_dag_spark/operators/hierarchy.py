@@ -14,8 +14,8 @@ region/nation/customer trees is small and bounded by ``max_iter``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+from pyspark.sql import functions as F
 
 
 def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -30,8 +30,12 @@ def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> 
         F.col("id").alias("node_id"),
         F.lit(0).cast("int").alias("level"),
     )
+    # Each frontier is persisted and STAYS persisted until the caller
+    # materializes the union — unpersisting mid-loop would force the
+    # final union to replay the whole join chain. Entries are small
+    # (one level of the closure each) and bounded by tree depth.
     frontier = closure.persist(StorageLevel.MEMORY_AND_DISK)
-    results = [closure]
+    results = [frontier]
     for _ in range(max_iter):
         nxt = (
             frontier.alias("f")
@@ -44,10 +48,8 @@ def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> 
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if nxt.isEmpty():
-            nxt.unpersist()
             break
         results.append(nxt)
-        frontier.unpersist()
         frontier = nxt
     else:
         raise RuntimeError(f"hierarchy deeper than max_iter={max_iter} (cycle?)")
@@ -83,26 +85,34 @@ def ancestor_chain(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     done_parts: list[DataFrame] = []
     for _ in range(max_iter):
-        step = state.alias("s").join(
-            parents.alias("p"), F.col("s.cursor") == F.col("p.p_child"), "left"
+        # one persisted join per iteration; finished/ongoing are two
+        # cheap filters over it, and the final union of finished parts
+        # reads the cache instead of replaying the join chain (persists
+        # stay live until the caller materializes — small, depth-bounded)
+        step = (
+            state.alias("s")
+            .join(parents.alias("p"), F.col("s.cursor") == F.col("p.p_child"), "left")
+            .select(
+                F.col("s.node_id").alias("node_id"),
+                F.col("s.chain").alias("chain"),
+                F.col("s.depth").alias("depth"),
+                F.col("p.p_parent").alias("next_cursor"),
+                F.col("p.p_name").alias("next_name"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        finished = step.where(F.col("p.p_parent").isNull()).select(
-            F.col("s.node_id").alias("node_id"),
-            F.col("s.chain").alias("chain"),
-            F.col("s.depth").alias("depth"),
+        finished = step.where(F.col("next_cursor").isNull()).select(
+            "node_id", "chain", "depth"
         )
-        ongoing = step.where(F.col("p.p_parent").isNotNull()).select(
-            F.col("s.node_id").alias("node_id"),
-            F.concat(F.col("s.chain"), F.lit(sep), F.col("p.p_name")).alias("chain"),
-            F.col("p.p_parent").alias("cursor"),
-            (F.col("s.depth") + 1).cast("int").alias("depth"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ongoing = step.where(F.col("next_cursor").isNotNull()).select(
+            "node_id",
+            F.concat(F.col("chain"), F.lit(sep), F.col("next_name")).alias("chain"),
+            F.col("next_cursor").alias("cursor"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+        )
         done_parts.append(finished)
         if ongoing.isEmpty():
-            ongoing.unpersist()
-            state.unpersist()
             break
-        state.unpersist()
         state = ongoing
     else:
         raise RuntimeError(f"chain deeper than max_iter={max_iter} (cycle?)")

@@ -1180,3 +1180,11 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         (F.length("text").cast("double") / F.nullif(n, F.lit(0))).alias("chars_per_token"),
     )
+
+
+@register("ann_topk_ivf")  # approximate → rows-only driver check; recall in pytest
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (k-means coarse quantizer,
+    multi-probe) — the inverted-file alternative to ann_topk_lsh."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, F.col("vec_id") % 10 == 0, k=10, n_lists=16, n_probe=4)

@@ -164,3 +164,17 @@ def test_approx_cardinality_within_tolerance(spark):
         assert abs(r.approx_distinct_texts - r.exact_distinct_texts) <= max(
             2, 0.1 * r.exact_distinct_texts
         )
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, clustered_embeddings):
+    emb = clustered_embeddings
+    qf = F.col("vec_id") % 25 == 0
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, qf, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, qf, k=10, n_lists=16, n_probe=4).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.9

@@ -77,3 +77,15 @@ def test_country_iso3_aliases_and_unknowns(spark):
     # broadcast-join variant must agree with the literal-map variant
     got2 = {r.id: r.country_iso3 for r in with_iso3(df, "country").collect()}
     assert got2 == got
+
+
+def test_read_json_with_schema_and_rename(spark, tmp_path):
+    p = tmp_path / "events.json"
+    p.write_text('{"Id": 1, "Kind": "click"}\n{"Id": 2, "Kind": "view"}\n')
+    df = read_source(
+        spark, str(p), fmt="json",
+        schema="Id bigint, Kind string",
+        rename={"Id": "event_id", "Kind": "event_type"},
+    )
+    assert df.columns == ["event_id", "event_type"]
+    assert {(r.event_id, r.event_type) for r in df.collect()} == {(1, "click"), (2, "view")}
