@@ -1188,3 +1188,38 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe) — the inverted-file alternative to ann_topk_lsh."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, F.col("vec_id") % 10 == 0, k=10, n_lists=16, n_probe=4)
+
+
+@register(
+    "olap_set_ops",
+    oracle="""
+WITH h1 AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS customer_id FROM orders
+  WHERE month(o_orderdate) <= 6
+),
+h2 AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS customer_id FROM orders
+  WHERE month(o_orderdate) > 6
+)
+SELECT customer_id, 'both_halves' AS cohort FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+UNION ALL
+SELECT customer_id, 'h1_only' AS cohort FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+UNION ALL
+SELECT customer_id, 'h2_only' AS cohort FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
+""",
+)
+def olap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT) as cohort analysis: customers
+    ordering in both calendar half-years vs only one. Spark plans these
+    as aggregate/anti-join combinations — no materialized intermediates."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
+        F.month("o_orderdate").alias("__m"),
+    )
+    h1 = o.where(F.col("__m") <= 6).select("customer_id").distinct()
+    h2 = o.where(F.col("__m") > 6).select("customer_id").distinct()
+    return (
+        h1.intersect(h2).select("customer_id", F.lit("both_halves").alias("cohort"))
+        .unionByName(h1.exceptAll(h2).select("customer_id", F.lit("h1_only").alias("cohort")))
+        .unionByName(h2.exceptAll(h1).select("customer_id", F.lit("h2_only").alias("cohort")))
+    )
