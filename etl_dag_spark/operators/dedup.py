@@ -226,6 +226,74 @@ def minhash_lsh_pairs(
     return verified
 
 
+# ------------------------------------------------- near-dup clustering
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup ``pairs`` → one cluster id per
+    document (the min doc_id in its component) and a keep flag for the
+    canonical representative — the step that turns pairwise similarity
+    into an actual deduplicated corpus.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; fixpoint in
+    O(component diameter) rounds (near-dup components are tiny — chains
+    of copies — so this is 2-3 rounds in practice). Labels live in a
+    (node, label) frame shuffled by node; edges are symmetrized once.
+    No driver-side graph state.
+
+    → (doc_id, cluster_id, is_canonical)
+    """
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = documents.select(
+        F.col(id_col).cast("bigint").alias("node"),
+        F.col(id_col).cast("bigint").alias("label"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 

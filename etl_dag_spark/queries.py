@@ -1223,3 +1223,116 @@ def olap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(h1.exceptAll(h2).select("customer_id", F.lit("h1_only").alias("cohort")))
         .unionByName(h2.exceptAll(h1).select("customer_id", F.lit("h2_only").alias("cohort")))
     )
+
+
+@register(
+    "dedup_cluster",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_id_a
+  JOIN sizes nb ON nb.doc_id = doc_id_b
+  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+       (node = min(r)) AS is_canonical
+FROM reach GROUP BY node
+""",
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact Jaccard pairs → connected components
+    (iterative min-label propagation) → canonical representative per
+    cluster. The step that turns pairwise similarity into an actual
+    deduplicated corpus; checked against a DuckDB recursive-CTE
+    reachability oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dd.cluster_pairs(pairs, docs)
+
+
+@register(
+    "pipeline_corpus_clean",
+    oracle=f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text, lang,
+         {langid_sql("text")} AS predicted_lang,
+         CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens,
+         {stopword_count_sql("text")} AS n_stop
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+),
+sh AS (SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM filtered),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM common
+  JOIN sizes na ON na.doc_id = doc_id_a
+  JOIN sizes nb ON nb.doc_id = doc_id_b
+  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM filtered
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+canon AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT f.doc_id, f.predicted_lang, f.n_tokens
+FROM filtered f JOIN canon c ON f.doc_id = c.node
+WHERE c.node = c.cluster_id
+""",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline: language-ID + quality
+    filter (length, stopword ratio) → near-dup clustering → keep one
+    canonical doc per cluster. One declarative plan end-to-end — the
+    whole cleanup is lazy, so Catalyst prunes the documents scan to the
+    columns the filters touch."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_column("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        langid_column("text").alias("predicted_lang"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        stopword_count_column("text").alias("n_stop"),
+    )
+    filtered = scored.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05)
+    )
+    pairs = dd.ngram_jaccard_pairs(filtered, n=3, threshold=0.8)
+    clusters = dd.cluster_pairs(pairs, filtered)
+    return (
+        filtered.join(clusters.where("is_canonical"), "doc_id")
+        .select("doc_id", "predicted_lang", "n_tokens")
+    )

@@ -82,6 +82,43 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts_utc", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def upsert_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+    timeout_s: int = 180,
+    latest_wins: bool = True,
+) -> None:
+    """foreachBatch upsert sink: every micro-batch MERGEs into the
+    parquet target (latest-per-key), giving an incrementally-maintained
+    table instead of an append log — the streaming continuation of the
+    reference's truncate-and-load. Exactly-once per key comes from the
+    idempotence of the merge + the checkpointed source offsets."""
+    from etl_dag_spark.sources.merge import merge_into_parquet
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_parquet(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            key_cols,
+            order_col,
+            partition_col=partition_col,
+            latest_wins=latest_wins,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
                   mode: str = "complete") -> None:
     """Drain an availableNow stream into an in-memory table (tests).

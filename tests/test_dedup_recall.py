@@ -178,3 +178,23 @@ def test_ann_ivf_recall_vs_bruteforce(spark, clustered_embeddings):
         for r in sim.ivf_topk(emb, qf, k=10, n_lists=16, n_probe=4).collect()
     }
     assert len(approx & truth) / len(truth) >= 0.9
+
+
+def test_cluster_pairs_components(spark):
+    """Known topology: chain 1-2-3 (one component), pair 10-11, and
+    isolated 20 → min-label clusters with canonical = min id."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dd.cluster_pairs(pairs, docs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True),
+    }
