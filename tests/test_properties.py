@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): operators vs independent
+reference implementations (pandas / numpy) on randomized small inputs —
+the edge cases constructed examples miss (empty sides, all-ties,
+single-element groups, duplicated keys)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_dag_spark.operators.joins import asof_join
+from etl_dag_spark.operators.windows import exact_percentiles
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 3), min_size=0, max_size=8))
+    left = [(k, draw(st.integers(0, 50))) for k in keys]
+    rkeys = draw(st.lists(st.integers(0, 3), min_size=0, max_size=8))
+    right = [
+        (k, draw(st.integers(0, 50)), i) for i, k in enumerate(rkeys)
+    ]
+    return left, right
+
+
+@given(case=asof_case())
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    if not left_rows:
+        return
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, t long, lid int"
+    )
+    if right_rows:
+        # dedupe (k, t) like the production query does: max rid wins
+        best: dict = {}
+        for k, t, rid in right_rows:
+            if (k, t) not in best or rid > best[(k, t)]:
+                best[(k, t)] = rid
+        right_rows = [(k, t, rid) for (k, t), rid in best.items()]
+        right = spark.createDataFrame(right_rows, "k int, t long, rid int")
+        got_df = asof_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            payload_cols=["rid"], right_order="rid",
+        )
+    else:
+        return
+    got = {r.lid: r.rid for r in got_df.collect()}
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], columns=["k", "t", "lid"]
+    ).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "rid"]).sort_values("t", kind="stable")
+    want_df = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_exact_percentiles_match_numpy(spark, data, q):
+    df = spark.createDataFrame(data, "g int, v long")
+    got = {
+        r.g: r.p for r in exact_percentiles(df, "g", "v", {"p": q}).collect()
+    }
+    for g in {g for g, _ in data}:
+        vals = np.array([v for gg, v in data if gg == g], dtype=np.float64)
+        want = float(np.quantile(vals, q, method="linear"))
+        assert got[g] == pytest.approx(want, rel=1e-12, abs=1e-9)
