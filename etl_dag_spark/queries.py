@@ -1336,3 +1336,32 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered.join(clusters.where("is_canonical"), "doc_id")
         .select("doc_id", "predicted_lang", "n_tokens")
     )
+
+
+@register("olap_percentiles_sketch")  # sketch values are engine-specific → rows-only; tolerance in pytest
+def olap_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL/GK-style approx_percentile
+    sketch — the mergeable fixed-memory path that replaces the exact
+    sort at 100 TB. Accuracy vs the exact operator asserted in tests."""
+    e = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    pcts = F.percentile_approx("value", [0.5, 0.9], 10_000)
+    return e.groupBy("event_type").agg(
+        pcts[0].alias("p50_approx"), pcts[1].alias("p90_approx")
+    )
+
+
+@register("etl_stratified_sample")  # sampling is engine-specific → rows-only; proportions in pytest
+def etl_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample: 10% of each order-priority stratum
+    (sampleBy) — the debugging/eval-split primitive for giant tables;
+    deterministic under a fixed seed, no shuffle (per-partition
+    Bernoulli filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {
+        "1-URGENT": 0.1, "2-HIGH": 0.1, "3-MEDIUM": 0.1,
+        "4-NOT SPECIFIED": 0.1, "5-LOW": 0.1,
+    }
+    return o.sampleBy("o_orderpriority", fractions, seed=42).select(
+        F.col("o_orderkey").cast("bigint").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+    )

@@ -89,3 +89,36 @@ def test_read_json_with_schema_and_rename(spark, tmp_path):
     )
     assert df.columns == ["event_id", "event_type"]
     assert {(r.event_id, r.event_type) for r in df.collect()} == {(1, "click"), (2, "view")}
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from etl_dag_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    a = SPARK_QUERIES["etl_stratified_sample"](spark, sf)
+    b = SPARK_QUERIES["etl_stratified_sample"](spark, sf)
+    rows_a = {r.order_id for r in a.collect()}
+    rows_b = {r.order_id for r in b.collect()}
+    assert rows_a == rows_b  # seeded → reproducible
+    per = {r.priority: r["count"] for r in a.groupBy("priority").count().collect()}
+    assert set(per) == {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
+    for n in per.values():
+        assert 200 <= n <= 400  # ~10% of ~3000 per stratum
+
+
+def test_percentile_sketch_tracks_exact(spark):
+    from etl_dag_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: (r.p50_approx, r.p90_approx)
+        for r in SPARK_QUERIES["olap_percentiles_sketch"](spark, sf).collect()
+    }
+    exact = {
+        r.event_type: (r.p50_value, r.p90_value)
+        for r in SPARK_QUERIES["olap_percentiles"](spark, sf).collect()
+    }
+    for et, (a50, a90) in approx.items():
+        e50, e90 = exact[et]
+        assert abs(a50 - e50) <= max(0.5, 0.02 * abs(e50))
+        assert abs(a90 - e90) <= max(0.5, 0.02 * abs(e90))
