@@ -261,6 +261,7 @@ def cluster_pairs(
         F.col(id_col).cast("bigint").alias("node"),
         F.col(id_col).cast("bigint").alias("label"),
     ).localCheckpoint(eager=False)
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -277,14 +278,14 @@ def cluster_pairs(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-        )
+        # labels only ever decrease, so the label sum is a strictly
+        # monotone convergence witness: one scalar aggregate per round
+        # (carried in a driver variable) instead of an old-vs-new join
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed.isEmpty():
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
     return labels.select(

@@ -113,6 +113,42 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     return cols.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+FEATURES_SCHEMA = "doc_id bigint, embedding array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction: binary payload → unit-norm
+    ``array<float>`` embedding, the column the similarity/ANN operators
+    consume. The encoder is STUBBED (no model runtime here) as a
+    content-derived deterministic projection — md5 bytes seeded per
+    chunk — so identical payloads embed identically and the
+    Spark-side contract (schema, batching, downstream join shape) is
+    fully real. Swap the body for a real encoder batch call."""
+    import hashlib
+
+    import numpy as np
+
+    cols = df.select("doc_id", "payload")
+
+    def _stub_embed(payload: bytes) -> list[float]:
+        raw = hashlib.md5(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(raw[:8], "big"))
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v) or 1.0
+        return [float(x) for x in v]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": pdf["payload"].map(lambda p: _stub_embed(bytes(p))),
+                }
+            )
+
+    return cols.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_checksum string"
 
 

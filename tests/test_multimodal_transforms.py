@@ -49,3 +49,26 @@ def test_sample_frames_fanout_and_checksums(spark):
     # frames of the 1000-byte doc reassemble its prefix in order
     doc1 = sorted(by_doc[1], key=lambda f: f.frame_idx)
     assert b"".join(bytes(f.frame) for f in doc1) == b"x" * 1000
+
+
+def test_extract_features_unit_norm_and_joinable(spark):
+    import numpy as np
+
+    from etl_dag_spark.operators.multimodal import extract_features
+    from etl_dag_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    docs = attach_binary_payload(
+        spark.createDataFrame(
+            [(i, f"document number {i} body") for i in range(20)]
+            + [(99, "document number 7 body")],  # identical text to doc 7
+            "doc_id long, text string",
+        )
+    )
+    emb = extract_features(docs, dim=32)
+    rows = {r.doc_id: np.array(r.embedding) for r in emb.collect()}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in rows.values())
+    assert np.allclose(rows[7], rows[99])  # identical payload → identical embedding
+    # the output column feeds the ANN operators directly
+    top = brute_force_topk(emb, F.col("doc_id") == 7, k=1, id_col="doc_id", vec_col="embedding")
+    assert [r.neighbor_id for r in top.collect()] == [99]
