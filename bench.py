@@ -34,13 +34,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min-of-2 per query: the second pass runs against a warmed JVM and
+    # irons out host-level CPU noise (observed 1.5x run-to-run swings on
+    # shared hardware); min is the standard microbenchmark estimator of
+    # the true cost
     timings: dict[str, float] = {}
-    t_all = time.time()
-    for name, fn in sorted(SPARK_QUERIES.items()):
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    for _ in range(2):
+        for name, fn in sorted(SPARK_QUERIES.items()):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

@@ -61,6 +61,14 @@ def _matrix(pdf: pd.DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, n
     return ids, mat
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small single-file tables scan as ONE partition, which would run
+    the Arrow scoring pass on one core; round-robin repartition spreads
+    the corpus across the cluster first (cost: one tiny shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_filter: Column,
@@ -114,7 +122,7 @@ def brute_force_topk(
                     }
                 )
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
+    scored = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         score, "query_id long, neighbor_id long, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -169,7 +177,7 @@ def cosine_pairs(
                 }
             )
 
-    out = embeddings.select(id_col, vec_col).mapInPandas(
+    out = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         pairs, "vec_id_a long, vec_id_b long, sim_raw double"
     )
     return (
@@ -286,7 +294,7 @@ def ivf_topk(
                     }
                 )
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
+    scored = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         score, "query_id long, neighbor_id long, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -365,7 +373,7 @@ def lsh_topk(
                     }
                 )
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(
+    scored = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         score, "query_id long, neighbor_id long, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
