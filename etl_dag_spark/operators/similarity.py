@@ -57,6 +57,10 @@ def _seq_norms(mat: np.ndarray) -> np.ndarray:
 
 def _matrix(pdf: pd.DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if not len(pdf):
+        # np.vstack raises on an empty list; keep a (0, 0) matrix so
+        # empty corpora / empty query sets degrade to empty results
+        return ids, np.zeros((0, 0))
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, mat
 
@@ -96,6 +100,10 @@ def brute_force_topk(
     q_pdf = (
         embeddings.where(query_filter).select(id_col, vec_col).toPandas()
     )
+    if not len(q_pdf):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
     q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
     q_norm = _seq_norms(q_mat)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
@@ -258,10 +266,14 @@ def ivf_topk(
     """
     spark = embeddings.sparkSession
     all_pdf = embeddings.select(id_col, vec_col).toPandas()
+    q_pdf = embeddings.where(query_filter).select(id_col, vec_col).toPandas()
+    if not len(all_pdf) or not len(q_pdf):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
     _, train_mat = _matrix(all_pdf, id_col, vec_col)
     centroids = _kmeans_centroids(train_mat, n_lists, seed=seed)
 
-    q_pdf = embeddings.where(query_filter).select(id_col, vec_col).toPandas()
     q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
     qc = ((q_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(qc, axis=1)[:, :n_probe]  # queries × n_probe cells
@@ -344,6 +356,10 @@ def lsh_topk(
         )
 
     q_pdf = embeddings.where(query_filter).select(id_col, vec_col).toPandas()
+    if not len(q_pdf):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
     q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
     bc = spark.sparkContext.broadcast(
         (q_ids, q_mat, _seq_norms(q_mat), buckets_of(q_mat))

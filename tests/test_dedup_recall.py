@@ -198,3 +198,25 @@ def test_cluster_pairs_components(spark):
         10: (10, True), 11: (10, False),
         20: (20, True),
     }
+
+
+def test_operators_degrade_on_empty_inputs(spark):
+    """Empty corpora / empty query sets → empty results, not crashes."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    some_emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    assert dd.exact_dedup(empty_docs).count() == 0
+    assert dd.ngram_jaccard_pairs(empty_docs).count() == 0
+    assert dd.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dd.simhash_pairs(empty_docs).count() == 0
+    assert dd.cluster_pairs(
+        spark.createDataFrame([], "doc_id_a long, doc_id_b long"), empty_docs
+    ).count() == 0
+    assert sim.cosine_pairs(empty_emb, dim=8).count() == 0
+    # no rows match the query filter → empty top-k, not a crash
+    assert sim.brute_force_topk(some_emb, F.col("vec_id") > 99, dim=8).count() == 0
+    assert sim.lsh_topk(some_emb, F.col("vec_id") > 99, n_planes=4, dim=8).count() == 0
+    assert sim.ivf_topk(some_emb, F.col("vec_id") > 99, n_lists=2).count() == 0
+    assert sim.ivf_topk(empty_emb, F.col("vec_id") > 99, n_lists=2).count() == 0
