@@ -1365,3 +1365,34 @@ def etl_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("order_id"),
         F.col("o_orderpriority").alias("priority"),
     )
+
+
+@register(
+    "sql_revenue_by_category",
+    oracle=f"""
+SELECT p_brand AS product_category,
+       sum({_REV_CENTS_SQL}) / 100.0 AS total_sales_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def sql_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's BI question 1 run as RAW SQL text through
+    spark.sql over registered views (etl_dag_spark/sql.py) — the
+    interface a reference user migrating their Snowflake queries
+    actually uses; compiles to the same Catalyst plan as the
+    DataFrame registry entry."""
+    from etl_dag_spark.sql import REVENUE_BY_CATEGORY_SQL, run_sql
+
+    return run_sql(spark, sf_dir, REVENUE_BY_CATEGORY_SQL)
+
+
+@register(
+    "sql_top_customers",
+    oracle=ORACLES["bi_top_customers"],
+)
+def sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's BI question 2 (RANK window) as raw Spark SQL."""
+    from etl_dag_spark.sql import TOP_CUSTOMERS_SQL, run_sql
+
+    return run_sql(spark, sf_dir, TOP_CUSTOMERS_SQL)
