@@ -14,7 +14,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = {"csv", "parquet", "json"}
+_FORMATS = {"csv", "parquet", "json", "orc"}
 
 
 def read_source(

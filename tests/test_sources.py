@@ -122,3 +122,12 @@ def test_percentile_sketch_tracks_exact(spark):
         e50, e90 = exact[et]
         assert abs(a50 - e50) <= max(0.5, 0.02 * abs(e50))
         assert abs(a90 - e90) <= max(0.5, 0.02 * abs(e90))
+
+
+def test_orc_round_trip(spark, tmp_path):
+    p = str(tmp_path / "t_orc")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.mode("overwrite").orc(p)
+    df = read_source(spark, p, fmt="orc", rename={"v": "value"})
+    assert df.columns == ["k", "value"]
+    assert df.count() == 100
+    assert df.agg({"value": "sum"}).first()[0] == sum(2 * i for i in range(100))
