@@ -1396,3 +1396,27 @@ def sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_dag_spark.sql import TOP_CUSTOMERS_SQL, run_sql
 
     return run_sql(spark, sf_dir, TOP_CUSTOMERS_SQL)
+
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g')) AS norm_text,
+       md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))) AS norm_fingerprint
+FROM documents
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup keys: lowercase +
+    whitespace collapse + trim, with the fingerprint of the normalized
+    form (what exact-dedup should really hash — raw md5 misses
+    case/spacing variants). Pure Column expressions, pipelines with the
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \\t\\r\\n]+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fingerprint"),
+    )
