@@ -1420,3 +1420,86 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.md5(norm).alias("norm_fingerprint"),
     )
+
+
+@register(
+    "etl_dq_uniqueness",
+    oracle="""
+SELECT 'orders' AS table_name, 'o_orderkey' AS key_cols,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS duplicate_rows
+FROM orders
+UNION ALL
+SELECT 'customer', 'c_custkey',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'lineitem', 'l_orderkey,l_linenumber',
+       CAST(count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT) FROM lineitem
+""",
+)
+def etl_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit: duplicate-row count per declared business
+    key — one aggregate scan per table (count minus distinct-count,
+    no self-join)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(df: DataFrame, table: str, key_label: str, key: F.Column) -> DataFrame:
+        return df.agg(
+            (F.count(F.lit(1)) - F.countDistinct(key)).cast("bigint").alias("duplicate_rows")
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.lit(key_label).alias("key_cols"),
+            "duplicate_rows",
+        )
+
+    return (
+        one(o, "orders", "o_orderkey", F.col("o_orderkey"))
+        .unionByName(one(c, "customer", "c_custkey", F.col("c_custkey")))
+        .unionByName(
+            one(
+                li,
+                "lineitem",
+                "l_orderkey,l_linenumber",
+                F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+            )
+        )
+    )
+
+
+@register(
+    "etl_dq_referential",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS orphan_rows
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+""",
+)
+def etl_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-row count per foreign key via
+    broadcast anti-joins (the dim key set broadcasts; the fact side
+    never shuffles)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+
+    def orphans(fact: DataFrame, fk: F.Column, dim: DataFrame, pk: str, label: str) -> DataFrame:
+        return (
+            fact.select(fk.alias("__fk"))
+            .join(F.broadcast(dim.select(F.col(pk).alias("__pk")).distinct()),
+                  F.col("__fk") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
+            .select(F.lit(label).alias("fk"), "orphan_rows")
+        )
+
+    return (
+        orphans(li, F.col("l_orderkey"), o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, F.col("o_custkey"), c, "c_custkey", "orders->customer"))
+        .unionByName(orphans(li, F.col("l_partkey"), pt, "p_partkey", "lineitem->part"))
+    )

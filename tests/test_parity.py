@@ -65,3 +65,16 @@ def test_rows_only_queries_run(spark, name):
     df = SPARK_QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema) > 0
+
+
+def test_driver_contract_shape():
+    """__spark_entry__ invariants the driver depends on: every oracle
+    key has a query, all entries callable, names are stable
+    identifiers."""
+    import __spark_entry__ as ent
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+    assert all(name.replace("_", "").isalnum() for name in qs)

@@ -144,3 +144,28 @@ def test_stateful_running_totals_across_batches(spark, stream_src):
     )
     want = {r.user_id: (r.n, r.cents) for r in batch}
     assert got == want
+
+
+def test_stream_static_join_enriches_events(spark, stream_src):
+    """Stream-static join: the streaming fact side joins a static dim
+    per micro-batch (dim broadcast, stream never blocked)."""
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(150)], "user_id long, segment string"
+    )
+    stream = read_event_stream(spark, stream_src).join(dim, "user_id")
+    q = (
+        stream.select("event_id", "user_id", "segment")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("enriched")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_src = spark.read.schema(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    ).parquet(stream_src).count()
+    assert out.count() == n_src  # every event found its dim row
+    assert out.where("segment NOT RLIKE '^segment_[0-2]$'").count() == 0
