@@ -119,3 +119,51 @@ def iso3_sql_case(col_expr: str) -> str:
         f"WHEN '{name}' THEN '{iso3}'" for name, iso3 in COUNTRY_TO_ISO3.items()
     )
     return f"(CASE upper(trim({col_expr}))\n{whens}\nELSE NULL END)"
+
+
+def fuzzy_iso3_frame(df: DataFrame, src_col: str, max_distance: int = 3) -> DataFrame:
+    """Fuzzy country resolution — the scalable twin of the reference's
+    per-row ``pycountry.countries.search_fuzzy`` (ETL_DAG.py:144-151):
+    names that miss the exact alias map match the nearest dictionary
+    entry by Levenshtein distance ≤ ``max_distance`` (ties break to the
+    alphabetically-first candidate). Distances are computed per DISTINCT
+    unmatched name (not per row) against the broadcast dictionary, then
+    joined back — at scale the distinct-name set is tiny relative to
+    the fact table.
+
+    → input columns + (country_iso3, match_kind ∈ exact|fuzzy|none)
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local twin import)
+
+    norm = F.upper(F.trim(F.col(src_col)))
+    tagged = df.withColumn("__exact", iso3_column(src_col)).withColumn("__name", norm)
+    spark = df.sparkSession
+    mapping = spark.createDataFrame(
+        sorted(COUNTRY_TO_ISO3.items()), ["__cand", "__cand_iso3"]
+    )
+    names = (
+        tagged.where(F.col("__exact").isNull() & F.col("__name").isNotNull())
+        .select("__name")
+        .distinct()
+    )
+    scored = (
+        names.join(F.broadcast(mapping))
+        .withColumn("__dist", F.levenshtein(F.col("__name"), F.col("__cand")))
+        .where(F.col("__dist") <= max_distance)
+    )
+    w = Window.partitionBy("__name").orderBy("__dist", "__cand")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__name", F.col("__cand_iso3").alias("__fuzzy"))
+    )
+    out = tagged.join(F.broadcast(best), on="__name", how="left")
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col("__exact"), F.col("__fuzzy")).alias("country_iso3"),
+        F.when(F.col("__exact").isNotNull(), F.lit("exact"))
+        .when(F.col("__fuzzy").isNotNull(), F.lit("fuzzy"))
+        .otherwise(F.lit("none"))
+        .alias("match_kind"),
+    )

@@ -1503,3 +1503,59 @@ def etl_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(o, F.col("o_custkey"), c, "c_custkey", "orders->customer"))
         .unionByName(orphans(li, F.col("l_partkey"), pt, "p_partkey", "lineitem->part"))
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "etl_profile_orders",
+    oracle="""
+SELECT 'o_orderkey' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(o_orderkey) AS BIGINT) AS n_non_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT), CAST(count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT), CAST(count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT), CAST(count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority) FROM orders
+""",
+)
+def etl_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling audit (row/non-null/distinct counts, min/max per
+    column) — the discovery pass run before designing DQ rules. All
+    columns profile in ONE aggregate scan, then unpivot; numeric
+    min/max stringified the same way on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{col}__rows"),
+            F.count(col).cast("bigint").alias(f"{col}__nn"),
+            F.countDistinct(col).cast("bigint").alias(f"{col}__nd"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nn, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_non_null, n_distinct, min_value, max_value)"
+    )

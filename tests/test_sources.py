@@ -131,3 +131,31 @@ def test_orc_round_trip(spark, tmp_path):
     assert df.columns == ["k", "value"]
     assert df.count() == 100
     assert df.agg({"value": "sum"}).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_fuzzy_country_resolution(spark):
+    from etl_dag_spark.functions.country import fuzzy_iso3_frame
+
+    df = spark.createDataFrame(
+        [
+            (1, "United States"),   # exact (alias map)
+            (2, "UNTED STATES"),    # 1 edit → fuzzy USA
+            (3, "GERMANI"),         # 2 edits → fuzzy DEU
+            (4, "Atlantis"),        # nothing close → none
+            (5, None),              # NULL stays none
+            (6, "UNTED STATES"),    # duplicate name: same resolution
+        ],
+        "id int, country string",
+    )
+    got = {
+        r.id: (r.country_iso3, r.match_kind)
+        for r in fuzzy_iso3_frame(df, "country").collect()
+    }
+    assert got == {
+        1: ("USA", "exact"),
+        2: ("USA", "fuzzy"),
+        3: ("DEU", "fuzzy"),
+        4: (None, "none"),
+        5: (None, "none"),
+        6: ("USA", "fuzzy"),
+    }
