@@ -1559,3 +1559,130 @@ def etl_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_rows, n_non_null, n_distinct, min_value, max_value)"
     )
+
+
+@register(
+    "etl_country_fuzzy",
+    oracle="""
+WITH src AS (
+  SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+         replace(n_name, '_', '-') AS raw_country
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+names AS (SELECT DISTINCT raw_country FROM src),
+cands AS (SELECT DISTINCT n_name FROM nation),
+best AS (
+  SELECT raw_country, n_name,
+         row_number() OVER (
+           PARTITION BY raw_country
+           ORDER BY levenshtein(upper(trim(raw_country)), n_name), n_name
+         ) AS rn,
+         levenshtein(upper(trim(raw_country)), n_name) AS dist
+  FROM names, cands
+)
+SELECT s.customer_id, s.raw_country,
+       CASE WHEN b.dist <= 3 THEN b.n_name END AS resolved_nation
+FROM src s JOIN best b ON b.raw_country = s.raw_country AND b.rn = 1
+""",
+)
+def etl_country_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy reference-data resolution, oracle-checked: country names
+    perturbed ('_' → '-') so the exact map misses, then resolved to the
+    nearest nation name by Levenshtein ≤ 3 over the DISTINCT-name set
+    against the broadcast dictionary — the reference's search_fuzzy
+    (ETL_DAG.py:144-151) as a set-based plan."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    src = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        F.col("c_custkey").cast("bigint").alias("customer_id"),
+        F.replace(F.col("n_name"), F.lit("_"), F.lit("-")).alias("raw_country"),
+    )
+    names = src.select("raw_country").distinct()
+    cands = n.select("n_name").distinct()
+    dist = F.levenshtein(F.upper(F.trim(F.col("raw_country"))), F.col("n_name"))
+    w = Window.partitionBy("raw_country").orderBy(dist, F.col("n_name"))
+    best = (
+        names.join(F.broadcast(cands))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "raw_country",
+            F.when(dist <= 3, F.col("n_name")).alias("resolved_nation"),
+        )
+    )
+    return src.join(F.broadcast(best), "raw_country").select(
+        "customer_id", "raw_country", "resolved_nation"
+    )
+
+
+@register(
+    "olap_rolling_7d",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tsu, CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, tsu,
+       CAST(sum(vc) OVER (
+         PARTITION BY user_id ORDER BY tsu
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) / 100.0 AS rolling_7d_value,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY tsu
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_7d_events
+FROM e
+""",
+)
+def olap_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-purchase trailing-7-day spend and count
+    per user — a value-based (not row-count) frame over exact integer
+    nanoseconds, the idiom rows-BETWEEN frames cannot express when
+    events are irregularly spaced."""
+    # µs granularity on BOTH sides: DuckDB's TIMESTAMP is µs, so a
+    # ns-precision frame here would disagree at sub-µs boundaries
+    e = load_events(spark, sf_dir).where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts_ns DIV 1000").alias("tsu"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-week_us, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "tsu",
+        (F.sum("vc").over(w).cast("bigint") / 100.0).alias("rolling_7d_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rolling_7d_events"),
+    )
+
+
+@register(
+    "olap_ntile_quartiles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS pc
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+       pc / 100.0 AS total_spend,
+       CAST(ntile(4) OVER (ORDER BY pc DESC, o_custkey) AS INT) AS spend_quartile
+FROM spend
+""",
+)
+def olap_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE customer segmentation: spend quartiles over the aggregated
+    per-customer totals (deterministic tie-break by key). The global
+    sort is over the AGGREGATED frame (|customers| rows), never the
+    fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(F.sum(star.cents("o_totalprice")).alias("pc"))
+    w = Window.orderBy(F.col("pc").desc(), F.col("o_custkey"))
+    return agg.select(
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
+        (F.col("pc") / 100.0).alias("total_spend"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+    )
