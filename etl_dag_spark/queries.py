@@ -1686,3 +1686,57 @@ def olap_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pc") / 100.0).alias("total_spend"),
         F.ntile(4).over(w).cast("int").alias("spend_quartile"),
     )
+
+
+@register(
+    "stream_json_props",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the event payload (`props`) is a JSON
+    string; parse with a declared schema (`from_json`) so the field
+    access is a typed struct read inside codegen, then aggregate —
+    never string-ops over JSON per row downstream of the parse."""
+    e = load_events(spark, sf_dir)
+    parsed = e.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("p.k").cast("bigint").alias("k_total"),
+        F.min("p.k").cast("bigint").alias("k_min"),
+        F.max("p.k").cast("bigint").alias("k_max"),
+    )
+
+
+_HIST_BIN = 50_000  # cents → $500-wide bins
+
+
+@register(
+    "etl_value_histogram",
+    oracle=f"""
+SELECT CAST(floor(CAST(floor(o_totalprice * 100) AS BIGINT) / {_HIST_BIN}) AS BIGINT) AS bin,
+       CAST(floor(CAST(floor(o_totalprice * 100) AS BIGINT) / {_HIST_BIN}) * {_HIST_BIN} AS BIGINT) / 100.0 AS bin_low,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1, 2
+""",
+)
+def etl_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals ($500 bins on exact
+    cents) — the distribution-profiling companion to the column
+    profiler; one aggregate scan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = star.cents("o_totalprice")
+    bin_col = F.floor(cents / _HIST_BIN).cast("bigint")
+    return o.groupBy(
+        bin_col.alias("bin"),
+        ((bin_col * _HIST_BIN).cast("bigint") / 100.0).alias("bin_low"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
