@@ -53,3 +53,39 @@ def test_salt_scatters_hot_key(spark):
     )
     assert len(dist) == 8  # the hot key's rows hit every salt bucket
     assert max(r["count"] for r in dist) < 10_000 * 0.25  # no bucket dominates
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling: a pathologically skewed key in a sort-merge
+    join gets split at runtime (the adaptive plan marks the join
+    skew=true) — the first line of defense before manual salting."""
+    skewed = spark.range(400_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE id END AS k", "id AS v"
+    )
+    other = spark.range(50_000).selectExpr("id AS k2", "id * 2 AS w")
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        joined = skewed.join(other, skewed["k"] == other["k2"])
+        # execute THIS DataFrame's own query execution (count() would
+        # clone the plan and leave this one un-finalized), then read the
+        # final adaptive plan back
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # hot key (360k rows) matches k2=1; tail ids 9,19,...,49999 → 5000
+    assert n == 360_000 + 5_000
+    assert "skew=true" in plan

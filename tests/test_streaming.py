@@ -169,3 +169,51 @@ def test_stream_static_join_enriches_events(spark, stream_src):
     ).parquet(stream_src).count()
     assert out.count() == n_src  # every event found its dim row
     assert out.where("segment NOT RLIKE '^segment_[0-2]$'").count() == 0
+
+
+def test_stream_stream_join_equals_batch(spark, stream_src):
+    """Stream-stream inner join (clicks → purchases within 1h per user)
+    equals the equivalent batch join. Wide watermark again isolates join
+    semantics from late-data eviction."""
+    from etl_dag_spark.streaming.events import click_purchase_join
+
+    stream = click_purchase_join(
+        read_event_stream(spark, stream_src), watermark="90 days"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cp_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.table("cp_join").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = (
+        spark.read.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .parquet(stream_src)
+        .select("event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tu"))
+    )
+    clicks = e.where("event_type = 'click'").selectExpr(
+        "user_id AS cu", "event_id AS click_id", "tu AS ct"
+    )
+    purchases = e.where("event_type = 'purchase'").selectExpr(
+        "user_id AS pu", "event_id AS purchase_id", "tu AS pt"
+    )
+    want = {
+        (r.pu, r.purchase_id, r.click_id)
+        for r in clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("ct") <= F.col("pt"))
+            & (F.col("ct") >= F.col("pt") - 3600 * 1_000_000),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
