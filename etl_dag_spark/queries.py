@@ -1740,3 +1740,45 @@ def etl_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_col.alias("bin"),
         ((bin_col * _HIST_BIN).cast("bigint") / 100.0).alias("bin_low"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+
+
+@register(
+    "olap_above_customer_avg",
+    oracle="""
+WITH cust_avg AS (
+  SELECT o_custkey AS ck,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / CAST(count(*) AS DOUBLE) AS avg_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+       CAST(o_custkey AS BIGINT) AS customer_id,
+       CAST(floor(o_totalprice * 100) AS BIGINT) / 100.0 AS order_total,
+       avg_cents / 100.0 AS customer_avg
+FROM orders JOIN cust_avg ON o_custkey = ck
+WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > avg_cents
+""",
+)
+def olap_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (orders above their own customer's
+    average) decorrelated into an aggregate + self-join — what Catalyst
+    does to correlated scalar subqueries anyway, written explicitly so
+    the aggregation is provably one pass. Exact-cents average kept as
+    an integer-derived double on both sides."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("order_id"),
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
+        star.cents("o_totalprice").alias("tc"),
+    )
+    avg = o.groupBy(F.col("customer_id").alias("ck")).agg(
+        (F.sum("tc") / F.count(F.lit(1)).cast("double")).alias("avg_cents")
+    )
+    return (
+        o.join(avg, F.col("customer_id") == F.col("ck"))
+        .where(F.col("tc") > F.col("avg_cents"))
+        .select(
+            "order_id",
+            "customer_id",
+            (F.col("tc") / 100.0).alias("order_total"),
+            (F.col("avg_cents") / 100.0).alias("customer_avg"),
+        )
+    )
