@@ -1782,3 +1782,83 @@ def olap_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("avg_cents") / 100.0).alias("customer_avg"),
         )
     )
+
+
+@register(
+    "etl_scd2_history",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(floor(value * 100) AS BIGINT) / 100.0 AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id)
+""",
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each change record gets a
+    [valid_from, valid_to) interval via lead() over the business key's
+    event-time order, open-ended (is_current) for the latest — the
+    history-preserving alternative to the latest-per-key upsert. One
+    shuffle by key."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    nxt = F.lead("ts_ns").over(w)
+
+    def fmt(ns_col):
+        return F.date_format(
+            F.expr(
+                f"timestampadd(MICROSECOND, {ns_col} DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+
+    return (
+        e.withColumn("__next_ns", nxt)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            (F.floor(F.col("value") * 100).cast("bigint") / 100.0).alias("value"),
+            fmt("ts_ns").alias("valid_from"),
+            fmt("__next_ns").alias("valid_to"),  # NULL lead → NULL (open interval)
+            F.col("__next_ns").isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
+    "olap_grouping_sets",
+    oracle="""
+SELECT r_name AS region_name, n_name AS nation_name,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_sales
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name))
+""",
+)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-region and per-nation totals in one
+    pass without cube's cross products or the grand total; via Spark
+    SQL over the registered views (the DataFrame API has no grouping
+    sets entry point)."""
+    from etl_dag_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
+                 AS total_sales
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name))
+        """,
+    )
