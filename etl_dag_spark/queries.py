@@ -1862,3 +1862,73 @@ def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name), (n_name))
         """,
     )
+
+
+@register(
+    "olap_order_id_list",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_ids
+FROM orders GROUP BY o_custkey
+""",
+)
+def olap_order_id_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation: per customer, the sorted order-id list
+    (collect_list → array_sort → array_join). Emitted as a joined
+    string because array-valued columns don't compare portably across
+    engine result formats; the sort makes the value deterministic
+    under any shuffle order."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").cast("bigint").alias("customer_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("o_orderkey").cast("bigint"))),
+                ",",
+            ).alias("order_ids"),
+        )
+    )
+
+
+@register(
+    "olap_value_moments",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS s1,
+         sum(CAST(floor(value * 100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(s1 AS DOUBLE) / n / 100.0 AS mean_value,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) / 10000.0 AS var_value,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) / 100.0 AS stddev_value
+FROM s
+""",
+)
+def olap_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-portable moments: native stddev/variance aggregates
+    accumulate doubles in engine-specific order (last-ulp divergence),
+    so mean/var/stddev derive from EXACT integer sums (Σx, Σx² on
+    cents) with the identical double formula on both sides —
+    order-independent and bit-reproducible. Integer Σx² stays well
+    inside int64 at these magnitudes (documented bound)."""
+    e = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vc).alias("s1"),
+        F.sum(vc * vc).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    var_cents = (s2 - s1 * s1 / n) / (n - 1)
+    return s.select(
+        "event_type",
+        "n",
+        (s1 / n / 100.0).alias("mean_value"),
+        (var_cents / 10000.0).alias("var_value"),
+        (F.sqrt(var_cents) / 100.0).alias("stddev_value"),
+    )
