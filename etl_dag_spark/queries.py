@@ -1932,3 +1932,94 @@ def olap_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_cents / 10000.0).alias("var_value"),
         (F.sqrt(var_cents) / 100.0).alias("stddev_value"),
     )
+
+
+@register(
+    "olap_local_supplier_volume",
+    oracle=f"""
+SELECT n_name AS nation_name,
+       sum({_REV_CENTS_SQL}) / 100.0 AS local_revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE s_nationkey = c_nationkey
+GROUP BY n_name
+""",
+)
+def olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 class: revenue where customer and supplier share a
+    nation — a 5-way join whose dims all broadcast, leaving ONE fact
+    shuffle (lineitem⋈orders on orderkey); the local-supplier predicate
+    evaluates inside the join, and the aggregation partials map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", star.revenue_cents().alias("rc")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            (F.sum("rc") / 100.0).alias("local_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "olap_returned_items",
+    oracle=f"""
+WITH r AS (
+  SELECT o_custkey, sum({_REV_CENTS_SQL}) AS lost_cents,
+         count(*) AS n_returned
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, lost_cents, n_returned,
+         row_number() OVER (ORDER BY lost_cents DESC, o_custkey) AS rn
+  FROM r
+)
+SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+       c_name AS customer_name,
+       lost_cents / 100.0 AS returned_revenue,
+       CAST(n_returned AS BIGINT) AS n_returned
+FROM ranked JOIN customer ON c_custkey = o_custkey
+WHERE rn <= 20
+""",
+)
+def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 class: top-20 customers by revenue lost to returns
+    (l_returnflag='R'). The selective flag filter pushes to the
+    lineitem scan; the top-20 threshold runs over the aggregated frame
+    via TakeOrderedAndProject, never a global sort of customers."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", star.revenue_cents().alias("rc"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rc").alias("lost_cents"),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+    )
+    top = agg.orderBy(F.col("lost_cents").desc(), F.col("o_custkey")).limit(20)
+    return top.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_custkey").cast("bigint").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        (F.col("lost_cents") / 100.0).alias("returned_revenue"),
+        F.col("n_returned").cast("bigint").alias("n_returned"),
+    )
