@@ -2023,3 +2023,32 @@ def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lost_cents") / 100.0).alias("returned_revenue"),
         F.col("n_returned").cast("bigint").alias("n_returned"),
     )
+
+
+@register(
+    "olap_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY n_orders
+""",
+)
+def olap_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 class: the distribution of orders-per-customer,
+    INCLUDING zero-order customers (left join, count of the nullable
+    side) — two cascaded aggregations, the second over |customers|
+    rows only."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
