@@ -2052,3 +2052,14 @@ def olap_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+@register("dedup_cluster_lsh")  # LSH candidates → rows-only; agreement vs exact path in pytest
+def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering path: near-dup pairs from MinHash-LSH
+    (linear candidate generation) instead of the exact inverted index,
+    then the same connected-components labeling. Agreement with the
+    exact-pair clustering is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    return dd.cluster_pairs(pairs, docs)

@@ -220,3 +220,20 @@ def test_operators_degrade_on_empty_inputs(spark):
     assert sim.lsh_topk(some_emb, F.col("vec_id") > 99, n_planes=4, dim=8).count() == 0
     assert sim.ivf_topk(some_emb, F.col("vec_id") > 99, n_lists=2).count() == 0
     assert sim.ivf_topk(empty_emb, F.col("vec_id") > 99, n_lists=2).count() == 0
+
+
+def test_lsh_clustering_agrees_with_exact(spark, corpus):
+    """Scale-path clustering (LSH candidates) must reproduce the exact
+    inverted-index clustering on the planted corpus (banding recall is
+    ~1 at jaccard ≥ 0.9, so components come out identical here)."""
+    documents, _ = corpus
+    exact = dd.cluster_pairs(
+        dd.ngram_jaccard_pairs(documents, n=3, threshold=0.8), documents
+    )
+    approx = dd.cluster_pairs(
+        dd.minhash_lsh_pairs(documents, n=3, threshold=0.8), documents
+    )
+    exact_map = {r.doc_id: r.cluster_id for r in exact.collect()}
+    approx_map = {r.doc_id: r.cluster_id for r in approx.collect()}
+    agree = sum(1 for d in exact_map if approx_map[d] == exact_map[d])
+    assert agree / len(exact_map) >= 0.98
