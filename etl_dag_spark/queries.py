@@ -2063,3 +2063,32 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, n=3, threshold=0.8)
     return dd.cluster_pairs(pairs, docs)
+
+
+@register(
+    "olap_priority_shipping",
+    oracle="""
+SELECT l_linestatus,
+       CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+         AS high_priority_lines,
+       CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+         AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+""",
+)
+def olap_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 class: conditional aggregation — high/low priority line
+    counts per line status in ONE pass (sum-of-CASE, no per-branch
+    scans), fact⋈fact join on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_priority_lines"),
+        )
+    )

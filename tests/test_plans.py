@@ -57,3 +57,11 @@ def test_pricing_summary_is_single_scan_partial_agg(spark):
     plan = _plan(spark, "olap_pricing_summary")
     assert plan.count("Scan parquet") == 1
     assert "partial_sum" in plan
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark):
+    """TPC-H Q5-class plan: exactly one shuffle-side join (the fact⋈fact
+    on orderkey under AQE); every dim join broadcasts."""
+    plan = _plan(spark, "olap_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, supplier, nation
+    assert "CartesianProduct" not in plan
