@@ -2092,3 +2092,38 @@ def olap_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_priority_lines"),
         )
     )
+
+
+@register(
+    "bi_yoy_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS sales_year,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT sales_year,
+       cents / 100.0 AS total_sales,
+       CAST(cents - lag(cents) OVER (ORDER BY sales_year) AS BIGINT) / 100.0 AS yoy_delta,
+       CAST(cents - lag(cents) OVER (ORDER BY sales_year) AS DOUBLE)
+         / nullif(lag(cents) OVER (ORDER BY sales_year), 0) AS yoy_growth
+FROM yearly
+""",
+)
+def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year sales growth: lag over the aggregated yearly
+    series (a |years|-row frame — the global window sort is trivial by
+    construction). First year's delta/growth is NULL, not zero; growth
+    is an exact-cents ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("sales_year")
+    ).agg(F.sum(star.cents("o_totalprice")).alias("cents"))
+    w = Window.orderBy("sales_year")
+    prev = F.lag("cents").over(w)
+    return yearly.select(
+        "sales_year",
+        (F.col("cents") / 100.0).alias("total_sales"),
+        ((F.col("cents") - prev).cast("bigint") / 100.0).alias("yoy_delta"),
+        ((F.col("cents") - prev).cast("double") / F.nullif(prev, F.lit(0))).alias("yoy_growth"),
+    )
