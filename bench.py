@@ -38,6 +38,8 @@ def main() -> None:
     # irons out host-level CPU noise (observed 1.5x run-to-run swings on
     # shared hardware); min is the standard microbenchmark estimator of
     # the true cost
+    from etl_dag_spark.operators.hierarchy import release_persisted
+
     timings: dict[str, float] = {}
     for _ in range(2):
         for name, fn in sorted(SPARK_QUERIES.items()):
@@ -45,6 +47,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            # reclaim iterative-operator frontier caches between queries
+            release_persisted()
     total = round(sum(timings.values()), 3)
 
     print(

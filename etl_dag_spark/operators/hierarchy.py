@@ -17,6 +17,27 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
+# Frontier frames persisted by the iterative operators. They must stay
+# cached until the caller MATERIALIZES the returned union (unpersisting
+# mid-loop replays the join chain), so cleanup is a post-materialization
+# hook: long-lived sessions (bench loops, repeated registry invocations)
+# call release_persisted() after consuming each result.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every frontier cached by prior hierarchy calls. Safe to
+    call unconditionally; only valid AFTER the returned frames have been
+    materialized (or abandoned)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """Transitive closure with levels, seeded with every node as its own
@@ -33,8 +54,9 @@ def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> 
     # Each frontier is persisted and STAYS persisted until the caller
     # materializes the union — unpersisting mid-loop would force the
     # final union to replay the whole join chain. Entries are small
-    # (one level of the closure each) and bounded by tree depth.
-    frontier = closure.persist(StorageLevel.MEMORY_AND_DISK)
+    # (one level of the closure each) and bounded by tree depth;
+    # release_persisted() reclaims them post-materialization.
+    frontier = _persist(closure)
     results = [frontier]
     for _ in range(max_iter):
         nxt = (
@@ -45,8 +67,8 @@ def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> 
                 F.col("e.child").alias("node_id"),
                 (F.col("f.level") + 1).cast("int").alias("level"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        nxt = _persist(nxt)
         if nxt.isEmpty():
             break
         results.append(nxt)
@@ -82,7 +104,8 @@ def ancestor_chain(
         F.col("name").alias("chain"),
         F.col("id").alias("cursor"),
         F.lit(1).cast("int").alias("depth"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = _persist(state)
     done_parts: list[DataFrame] = []
     for _ in range(max_iter):
         # one persisted join per iteration; finished/ongoing are two
@@ -99,8 +122,8 @@ def ancestor_chain(
                 F.col("p.p_parent").alias("next_cursor"),
                 F.col("p.p_name").alias("next_name"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        step = _persist(step)
         finished = step.where(F.col("next_cursor").isNull()).select(
             "node_id", "chain", "depth"
         )

@@ -28,7 +28,17 @@ def salted_join(
     shuffle. Result columns = skewed's + small's (minus the duplicate
     key). The salt is content-derived (hash of the whole row), so
     re-computation under task retry lands rows on the same salt —
-    no correctness dependence on nondeterministic row order."""
+    no correctness dependence on nondeterministic row order.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated ``n_salts``×, so right/full/semi/anti joins would emit
+    each unmatched small-side key ``n_salts`` times."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "the replicated small side duplicates unmatched keys under "
+            "right/full/semi/anti semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("__salt", salt)
     right = small.withColumn(

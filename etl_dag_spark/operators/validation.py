@@ -9,7 +9,11 @@ for its whole rule set, with the scan pruned to only the columns the
 rules touch.
 
 Rule predicates are ANSI-SQL boolean strings (TRUE = valid) so the exact
-same text runs in Spark and in the DuckDB oracle.
+same text runs in Spark and in the DuckDB oracle. A row is a violation
+when its predicate ``IS NOT TRUE`` — i.e. NULL inputs (NULL AMOUNT under
+``AMOUNT > 0``) count as violations, matching the reference's pandas
+semantics where NaN comparisons are falsy (``na=False``, NaN > 0 is
+False) and the check raises.
 """
 
 from __future__ import annotations
@@ -59,7 +63,9 @@ def dq_report(tables: dict[str, DataFrame], rules: tuple[Rule, ...] = DEFAULT_RU
     for table, table_rules in by_table.items():
         df = tables[table]
         aggs = [
-            F.sum(F.when(~F.expr(r.predicate), 1).otherwise(0)).cast("bigint").alias(r.name)
+            F.sum(F.when(F.expr(f"({r.predicate}) IS NOT TRUE"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(r.name)
             for r in table_rules
         ]
         aggs.append(F.count(F.lit(1)).alias("__total"))
@@ -84,7 +90,7 @@ def dq_report_sql(rules: tuple[Rule, ...] = DEFAULT_RULES) -> str:
     """DuckDB oracle twin of :func:`dq_report`, from the same rules."""
     selects = [
         f"SELECT '{r.table}' AS table_name, '{r.name}' AS rule_name, "
-        f"CAST(sum(CASE WHEN NOT ({r.predicate}) THEN 1 ELSE 0 END) AS BIGINT) AS violations, "
+        f"CAST(sum(CASE WHEN ({r.predicate}) IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS violations, "
         f"CAST(count(*) AS BIGINT) AS total_rows FROM {r.table}"
         for r in rules
     ]
@@ -96,7 +102,12 @@ def split_valid(df: DataFrame, rules: list[Rule]) -> tuple[DataFrame, DataFrame]
     reference's raise-on-any-violation: bad rows are quarantined with the
     list of failed rules instead of failing the whole load."""
     failed = F.filter(
-        F.array(*[F.when(~F.expr(r.predicate), F.lit(r.name)) for r in rules]),
+        F.array(
+            *[
+                F.when(F.expr(f"({r.predicate}) IS NOT TRUE"), F.lit(r.name))
+                for r in rules
+            ]
+        ),
         lambda x: x.isNotNull(),
     )
     tagged = df.withColumn("__failed_rules", failed)

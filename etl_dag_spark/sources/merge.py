@@ -7,6 +7,13 @@ column, only the partitions PRESENT IN THE UPDATE BATCH are read and
 rewritten (dynamic partition overwrite) — a daily backfill touches one
 day of a 100 TB table, not all of it.
 
+Crash durability: the merged output is STAGED to a sibling directory
+(validated via its ``_SUCCESS`` marker) and then swapped in with
+directory renames — the target is never half-deleted mid-write, and a
+crash before the swap leaves it untouched. Each swapped partition is
+whole; a crash between partition swaps is repaired by replaying the
+same batch (the latest-wins key merge is idempotent).
+
 Caveats by design: parquet has no transaction log, so this is the
 classic pre-lakehouse merge — correct for a single writer. A real
 deployment swaps the sink for Delta/Iceberg ``MERGE INTO`` and keeps
@@ -16,9 +23,22 @@ the exact same dataflow.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _swap_dir(src: str, dst: str) -> None:
+    """Replace directory ``dst`` with ``src`` via two renames (each
+    atomic on POSIX); the trash dir bounds the non-atomic window to
+    between them, and a leftover trash from a prior crash is cleared."""
+    trash = dst.rstrip("/") + "__trash"
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
+    os.rename(dst, trash)
+    os.rename(src, dst)
+    shutil.rmtree(trash)
 
 
 def _latest_per_key(
@@ -77,10 +97,30 @@ def merge_into_parquet(
     merged = _latest_per_key(
         target.unionByName(upd.select(target.columns)), key_cols, order_col, latest_wins
     )
-    # materialize before writing: Spark (rightly) refuses a plan that
-    # overwrites the path it is still reading from
-    merged = merged.localCheckpoint(eager=True)
-    writer = merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    # Stage to a sibling dir: the plan reads the live target while
+    # writing elsewhere (no read-write cycle, no driver checkpoint) and
+    # the live target survives any crash before the swap below.
+    staging = target_path.rstrip("/") + "__staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    writer = merged.write.mode("overwrite")
     if partition_col:
         writer = writer.partitionBy(partition_col)
-    writer.parquet(target_path)
+    writer.parquet(staging)
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise RuntimeError(f"staged merge write has no _SUCCESS marker: {staging}")
+
+    if partition_col:
+        # swap only the touched partitions; untouched ones never move
+        for v in touched:
+            part = f"{partition_col}={v}"
+            src, dst = os.path.join(staging, part), os.path.join(target_path, part)
+            if not os.path.isdir(src):
+                continue
+            if os.path.isdir(dst):
+                _swap_dir(src, dst)
+            else:
+                os.rename(src, dst)
+        shutil.rmtree(staging)
+    else:
+        _swap_dir(staging, target_path)

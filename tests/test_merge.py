@@ -102,3 +102,30 @@ def test_streaming_upsert_sink(spark, tmp_path):
         .groupBy("event_id").agg(F.max("ts").alias("ts")).collect()
     }
     assert got == want
+
+
+def test_merge_stages_then_swaps(spark, tmp_path):
+    """The merge writes to a __staging sibling and swaps directories in:
+    after a successful merge no staging/trash dirs remain, and the
+    untouched partition's files were never rewritten."""
+    path = str(tmp_path / "t3")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "2024-01"), (2, "b", 1, "2024-02")],
+        "k long, val string, ver long, month string",
+    )
+    merge_into_parquet(spark, path, base, ["k"], "ver", partition_col="month")
+    untouched = os.path.join(path, "month=2024-02")
+    before = sorted(os.listdir(untouched))
+    mtime_before = os.path.getmtime(untouched)
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 2, "2024-01")], "k long, val string, ver long, month string"
+    )
+    merge_into_parquet(spark, path, updates, ["k"], "ver", partition_col="month")
+
+    assert not os.path.exists(path.rstrip("/") + "__staging")
+    assert not any(d.endswith("__trash") for d in os.listdir(str(tmp_path)))
+    assert sorted(os.listdir(untouched)) == before
+    assert os.path.getmtime(untouched) == mtime_before
+    got = {r.k: (r.val, r.ver) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a2", 2), 2: ("b", 1)}

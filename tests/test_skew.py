@@ -89,3 +89,17 @@ def test_aqe_splits_skewed_join_partitions(spark):
     # hot key (360k rows) matches k2=1; tail ids 9,19,...,49999 → 5000
     assert n == 360_000 + 5_000
     assert "skew=true" in plan
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """The replicated small side would emit unmatched keys n_salts
+    times under right/full/semi/anti joins — those types must raise."""
+    import pytest
+
+    from etl_dag_spark.operators.skew import salted_join
+
+    a = spark.range(10).selectExpr("id AS k", "id AS v")
+    b = spark.range(5).selectExpr("id AS k", "id * 2 AS w")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(a, b, "k", n_salts=4, how=how)

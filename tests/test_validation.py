@@ -68,3 +68,25 @@ def test_dq_report_single_scan_per_table(spark, sales):
     contains exactly one scan of the input."""
     plan = dq_report({"sales": sales}, RULES)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
+
+
+def test_null_input_counts_as_violation(spark):
+    """NULL predicate inputs are violations (pred IS NOT TRUE), matching
+    the reference's pandas semantics where NaN comparisons are falsy and
+    validate_data raises — a NULL AMOUNT must not silently pass."""
+    df = spark.createDataFrame(
+        [(1, 10.0, "a@b.com"), (2, None, None)],
+        "id int, amount double, email string",
+    )
+    rules = (
+        Rule("t", "amount_positive", "amount > 0"),
+        Rule("t", "email_well_formed", "email RLIKE '^[^@]+@[^@]+\\\\.[^@]+$'"),
+    )
+    rows = {
+        r.rule_name: r.violations for r in dq_report({"t": df}, rules).collect()
+    }
+    assert rows == {"amount_positive": 1, "email_well_formed": 1}
+    valid, invalid = split_valid(df, list(rules))
+    assert {r.id for r in valid.collect()} == {1}
+    bad = {r.id: sorted(r["__failed_rules"]) for r in invalid.collect()}
+    assert bad == {2: ["amount_positive", "email_well_formed"]}

@@ -5,7 +5,9 @@ runs entry(), then every queries() entry at the given SF dir, compares
 each against oracle_sql() via DuckDB exactly like the driver's t2 gate
 (row count + sorted column names + order-insensitive value comparison).
 
-Usage: python tools/driver_sim.py [sf_dir] [--tz TZ]
+Usage: python tools/driver_sim.py [sf_dir]
+(for a hostile-timezone probe, set the TZ env var before launching:
+ TZ=Pacific/Kiritimati python tools/driver_sim.py)
 """
 
 from __future__ import annotations
@@ -63,12 +65,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
         )
 
+    from etl_dag_spark.operators.hierarchy import release_persisted
+
     queries, oracles = ent.queries(), ent.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in sorted(queries.items()):
         t0 = time.time()
         try:
             spdf = fn(spark, sf_dir).toPandas()
+            release_persisted()
             if name not in oracles:
                 print(f"  {name}: rows-only, {len(spdf)} rows [{time.time()-t0:.1f}s]")
                 n_pass += 1
