@@ -6,8 +6,10 @@
 - Hyperplane-LSH top-k: the scale path. Signatures bucket the corpus so
   each query only scores its bucket; recall vs brute force is measured
   in tests (IVF-style coarse quantization would slot in the same shape).
-- Cosine near-dup pairs: all-pairs above a threshold; the candidate
-  step is the part you'd replace with LSH buckets at scale.
+- Cosine near-dup pairs: all-pairs above a threshold (exactness
+  baseline for broadcast-sized corpora); :func:`cosine_pairs_lsh` is
+  the 100 TB path — hyperplane-LSH bucket equi-join candidates + exact
+  cosine verify, mirroring dedup_cluster_lsh vs dedup_cluster.
 
 Hot-path design: norms are computed once per row BEFORE the pair join
 (never per pair), and the per-pair dot product is an unrolled
@@ -227,14 +229,32 @@ def lsh_bucket_column(vec_col: Column | str, n_planes: int, dim: int, seed: int 
     return bucket
 
 
+def _train_sample(
+    embeddings: DataFrame, id_col: str, vec_col: str, cap: int, seed: int
+) -> pd.DataFrame:
+    """Driver-sized training sample: ``sample(fraction).limit(cap)`` so
+    the collect is bounded by ``cap`` rows no matter the corpus size —
+    codebook training must never pull the full corpus to the driver."""
+    total = embeddings.count()
+    if total <= cap:
+        return embeddings.select(id_col, vec_col).toPandas()
+    # 1.2x oversample so the post-sample limit() almost surely fills cap
+    frac = min(1.0, 1.2 * cap / total)
+    return (
+        embeddings.select(id_col, vec_col)
+        .sample(fraction=frac, seed=seed)
+        .limit(cap)
+        .toPandas()
+    )
+
+
 def _kmeans_centroids(
     mat: np.ndarray, k: int, seed: int = 42, n_iter: int = 10
 ) -> np.ndarray:
-    """Deterministic Lloyd's k-means on the (collected) training matrix.
-    Coarse quantization only needs rough centroids, so a handful of
-    iterations on a sample is the standard IVF training recipe — at
-    100 TB you train on a driver-sized sample and broadcast the
-    codebook; assignment stays fully distributed."""
+    """Deterministic Lloyd's k-means on the (sampled, driver-sized)
+    training matrix. Coarse quantization only needs rough centroids, so
+    a handful of iterations on a sample is the standard IVF training
+    recipe — the codebook broadcasts; assignment stays distributed."""
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
     for _ in range(n_iter):
@@ -256,22 +276,34 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
+    scored_counter=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means codebook
     partitions the corpus into ``n_lists`` cells; each query scores only
     the ``n_probe`` cells nearest its own vector. The coarse-quantizer
     alternative to :func:`lsh_topk` — same contract, recall measured in
-    tests. Corpus scan is one distributed pass; the codebook (n_lists ×
-    dim floats) broadcasts.
+    tests.
+
+    Scale shape: the codebook trains on a ``sample().limit(train_cap)``
+    subset (driver memory is bounded by the cap, never the corpus), the
+    (n_lists × dim) codebook broadcasts, and the corpus streams through
+    one Arrow pass where each query's dot products are computed ONLY for
+    rows whose cell is among its probes — probe restriction prunes the
+    compute, not just the emission. ``scored_counter`` (a Spark
+    accumulator) counts scored (row, query) pairs so tests can assert
+    the pruning.
     """
     spark = embeddings.sparkSession
-    all_pdf = embeddings.select(id_col, vec_col).toPandas()
     q_pdf = embeddings.where(query_filter).select(id_col, vec_col).toPandas()
-    if not len(all_pdf) or not len(q_pdf):
+    train_pdf = _train_sample(
+        embeddings, id_col, vec_col, train_cap or max(256 * n_lists, 4096), seed
+    )
+    if not len(train_pdf) or not len(q_pdf):
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, sim double"
         )
-    _, train_mat = _matrix(all_pdf, id_col, vec_col)
+    _, train_mat = _matrix(train_pdf, id_col, vec_col)
     centroids = _kmeans_centroids(train_mat, n_lists, seed=seed)
 
     q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
@@ -290,19 +322,24 @@ def ivf_topk(
             c_ids, c_mat = _matrix(pdf, id_col, vec_col)
             cd = ((c_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             c_cell = cd.argmin(axis=1)
-            sims = _seq_dot_block(c_mat, bq_mat) / np.outer(_seq_norms(c_mat), bq_norm)
-            sims_r = np.round(sims, 6)
+            c_norm = _seq_norms(c_mat)
             for j in range(len(bq_ids)):
                 in_probe = np.isin(c_cell, bq_probes[j])
                 idx = np.flatnonzero(in_probe & (c_ids != bq_ids[j]))
-                order = idx[np.lexsort((c_ids[idx], -sims_r[idx, j]))][:local_k]
-                if not len(order):
+                if not len(idx):
                     continue
+                if scored_counter is not None:
+                    scored_counter.add(int(len(idx)))
+                # dot products ONLY over the probe-matched candidates
+                sims = _seq_dot_block(c_mat[idx], bq_mat[j : j + 1])[:, 0] / (
+                    c_norm[idx] * bq_norm[j]
+                )
+                order = np.lexsort((c_ids[idx], -np.round(sims, 6)))[:local_k]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(order), bq_ids[j], dtype=np.int64),
-                        "neighbor_id": c_ids[order],
-                        "sim_raw": sims[order, j],
+                        "neighbor_id": c_ids[idx[order]],
+                        "sim_raw": sims[order],
                     }
                 )
 
@@ -328,6 +365,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 4,
+    scored_counter=None,
 ) -> DataFrame:
     """Approximate cosine top-k: queries only score corpus rows sharing
     a hyperplane bucket in at least one of ``n_tables`` independent
@@ -335,6 +373,12 @@ def lsh_topk(
     ~2^n_planes×; multiple tables recover the recall a single table
     loses when a cluster straddles a plane (standard LSH design — at
     100 TB each table is one shuffle-key, candidates are unioned).
+
+    The dot products are computed ONLY for bucket-matched candidates —
+    the bucketing prunes compute, not just emission (corpus-side work is
+    the O(corpus × n_planes × n_tables) signature pass plus candidate
+    scoring). ``scored_counter`` (a Spark accumulator) counts scored
+    (row, query) pairs so tests can assert the pruning.
 
     → (query_id, neighbor_id, rank, sim) — same contract as
     :func:`brute_force_topk`; recall is measured in tests.
@@ -373,19 +417,24 @@ def lsh_topk(
                 continue
             c_ids, c_mat = _matrix(pdf, id_col, vec_col)
             c_bkt = buckets_of(c_mat)
-            sims = _seq_dot_block(c_mat, bq_mat) / np.outer(_seq_norms(c_mat), bq_norm)
-            sims_r = np.round(sims, 6)
+            c_norm = _seq_norms(c_mat)
             for j in range(len(bq_ids)):
                 shared = (c_bkt == bq_bkt[j][None, :]).any(axis=1)
                 idx = np.flatnonzero(shared & (c_ids != bq_ids[j]))
-                order = idx[np.lexsort((c_ids[idx], -sims_r[idx, j]))][:local_k]
-                if not len(order):
+                if not len(idx):
                     continue
+                if scored_counter is not None:
+                    scored_counter.add(int(len(idx)))
+                # dot products ONLY over the bucket-matched candidates
+                sims = _seq_dot_block(c_mat[idx], bq_mat[j : j + 1])[:, 0] / (
+                    c_norm[idx] * bq_norm[j]
+                )
+                order = np.lexsort((c_ids[idx], -np.round(sims, 6)))[:local_k]
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(len(order), bq_ids[j], dtype=np.int64),
-                        "neighbor_id": c_ids[order],
-                        "sim_raw": sims[order, j],
+                        "neighbor_id": c_ids[idx[order]],
+                        "sim_raw": sims[order],
                     }
                 )
 
@@ -399,3 +448,136 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-table hyperplane bucket ids as ROWS: (id, table_id, bucket).
+
+    One Arrow pass over the corpus (numpy sign projections — the
+    distributed twin of :func:`lsh_bucket_column` without the unrolled
+    n_planes×dim Column expression, which falls out of codegen past
+    ~64KB). Output is the shuffle-key frame candidate generation joins
+    on — the corpus itself never broadcasts anywhere.
+    """
+    planes = np.array(
+        [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
+    )
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def sign_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mat = _matrix(pdf, id_col, vec_col)
+            for t in range(planes.shape[0]):
+                bucket = (
+                    (mat @ planes[t].T >= 0).astype(np.int64) * powers[None, :]
+                ).sum(axis=1)
+                yield pd.DataFrame(
+                    {id_col: ids, "table_id": t, "bucket": bucket}
+                )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        sign_buckets, f"{id_col} long, table_id int, bucket long"
+    )
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH candidates + exact
+    cosine verification — the scale path for :func:`cosine_pairs`, in
+    the same relationship dedup_cluster_lsh has to dedup_cluster.
+
+    → (vec_id_a, vec_id_b, sim), a < b, sim rounded to 6dp and
+    bit-identical to :func:`cosine_pairs` for every pair both emit
+    (same per-dimension accumulation order), so agreement is measurable
+    pair-for-pair. Candidates come from a bucket equi-JOIN over the
+    (id, table, bucket) signature frame: shuffle volume is
+    O(corpus × n_tables) + candidate pairs; nothing broadcasts, nothing
+    collects — this is the structural difference from the all-pairs
+    baseline.
+
+    Parameter note (amplification tradeoff): recall per pair at cosine s
+    is 1−(1−p^n_planes)^n_tables with p = 1−acos(s)/π. Low thresholds
+    (the registered τ=0.4 near-random operating point) need few planes
+    and many tables (3/16 → ≥98% agreement); true near-dup corpora
+    (τ≥0.9, p≈0.9) run 8 planes / 8 tables and prune candidates ~30×.
+    Pathological buckets are capped like MinHash-LSH's.
+    """
+    sigs = hyperplane_signatures(
+        embeddings, n_planes, n_tables, dim, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    w = Window.partitionBy("table_id", "bucket")
+    sigs = (
+        sigs.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("vec_id_a"),
+            F.col(f"r.{id_col}").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    emb_a = embeddings.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("__va")
+    )
+    emb_b = embeddings.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = cand.join(emb_a, "vec_id_a").join(emb_b, "vec_id_b")
+    emit_floor = threshold - _EDGE
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["__va"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["__vb"].to_numpy()).astype(np.float64)
+            # per-dimension accumulation: bit-identical to cosine_pairs
+            acc = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for i in range(a.shape[1]):
+                acc += a[:, i] * b[:, i]
+                na += a[:, i] * a[:, i]
+                nb += b[:, i] * b[:, i]
+            sims = acc / (np.sqrt(na) * np.sqrt(nb))
+            keep = sims >= emit_floor
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": pdf["vec_id_a"].to_numpy()[keep],
+                    "vec_id_b": pdf["vec_id_b"].to_numpy()[keep],
+                    "sim_raw": sims[keep],
+                }
+            )
+
+    out = pairs.mapInPandas(verify, "vec_id_a long, vec_id_b long, sim_raw double")
+    return out.select(
+        "vec_id_a", "vec_id_b", F.round("sim_raw", 6).alias("sim")
+    ).where(F.col("sim") >= threshold)

@@ -622,8 +622,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+),
+-- hot-shingle cap (df <= 50): stop-phrase shingles make candidate
+-- volume quadratic at web scale, so the cap is on BY DEFAULT and the
+-- oracle applies the identical cap (Jaccard is over the capped sets)
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s FROM sh_all
+  JOIN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 50) ok USING (s)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
@@ -642,8 +649,12 @@ WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.8
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs at word-3-gram Jaccard ≥ 0.8 via inverted
-    shingle index (the exactness oracle for the LSH variants)."""
-    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    shingle index (the exactness oracle for the LSH variants). The
+    hot-shingle cap is ON by default (dedup.py:12: at web scale you
+    ALWAYS cap) and mirrored in the oracle."""
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8, max_shingle_freq=50
+    )
 
 
 @register("dedup_minhash_lsh")  # approximate → rows-only driver check; recall in pytest
@@ -671,8 +682,25 @@ WHERE round({cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.4
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ 0.4, exact all-pairs —
-    the candidate step LSH replaces at scale)."""
+    the broadcast-sized exactness baseline; dedup_embedding_cosine_lsh
+    is the scale path)."""
     return sim.cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("dedup_embedding_cosine_lsh")  # LSH candidates → rows-only; agreement in pytest
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH bucket-join candidates +
+    exact cosine verify — the 100 TB path for dedup_embedding_cosine
+    (nothing broadcast, nothing collected; shuffle = signatures +
+    candidate pairs). 3 planes / 16 tables: ≥98% pair agreement with the
+    exact baseline at the τ=0.4 operating point (see pytest)."""
+    return sim.cosine_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=3,
+        n_tables=16,
+        dim=64,
+    )
 
 
 @register(
