@@ -72,8 +72,12 @@ def main() -> int:
     for name, fn in sorted(queries.items()):
         t0 = time.time()
         try:
-            spdf = fn(spark, sf_dir).toPandas()
-            release_persisted()
+            try:
+                spdf = fn(spark, sf_dir).toPandas()
+            finally:
+                # even a failed query must not leak its frontier caches
+                # into the next query's timing/memory
+                release_persisted()
             if name not in oracles:
                 print(f"  {name}: rows-only, {len(spdf)} rows [{time.time()-t0:.1f}s]")
                 n_pass += 1
