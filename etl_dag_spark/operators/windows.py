@@ -40,6 +40,110 @@ def top_n_with_rank(
     )
 
 
+def _ranged_row_number(
+    df: DataFrame, order: list[Column], num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`global_row_number` / :func:`exact_ntile`:
+    range-repartition on the sort key (range partition i holds keys
+    strictly below partition i+1's, so partition id IS the coarse rank)
+    and rank locally within each partition. Returns the locally-ranked
+    frame (``__pid``, ``__lrn``) plus the per-partition row counts —
+    every piece a later step needs to assemble exact global ranks
+    without ever sorting the data through one task.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+    )
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pc"))
+    return local, counts
+
+
+def _partition_offsets(counts: DataFrame) -> DataFrame:
+    """Exclusive prefix-sum of per-partition counts → (__pid, __off).
+
+    Computed with a broadcast self-join over the ≤|cluster partitions|
+    count rows (O(P²) pairs, P ≈ 32) instead of an unpartitioned
+    window, so no stage in the plan is a single-partition sort — the
+    plan-snapshot test asserts exactly that.
+    """
+    a, b = counts.alias("a"), counts.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum(F.col("b.__pc")), F.lit(0)).cast("bigint").alias("__off"))
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    rn_col: str = "global_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order)`` without a
+    single-partition sort: local rank within range partitions plus the
+    broadcast exclusive prefix-sum of partition sizes. Every shuffle is
+    keyed; the only global structure that moves is one count per
+    partition. Ties across the order key stay deterministic only if the
+    caller's ``order`` is a total order (add a key column tie-break).
+    """
+    local, counts = _ranged_row_number(df, order, num_partitions)
+    return (
+        local.join(F.broadcast(_partition_offsets(counts)), "__pid")
+        .withColumn(rn_col, (F.col("__off") + F.col("__lrn")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    order: list[Column],
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order)`` with the same
+    distributed shape as :func:`global_row_number` — SQL NTILE is a
+    pure function of the global row number r and total count N (the
+    first N mod n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋), so once r
+    is assembled from local ranks + broadcast offsets, the bucket is a
+    row-local integer expression. N rides in on a broadcast 1-row
+    aggregate of the same partition counts; no stage sorts more than
+    one range partition's rows.
+    """
+    local, counts = _ranged_row_number(df, order, num_partitions)
+    total = counts.agg(F.sum("__pc").cast("bigint").alias("__n"))
+    r = F.col("__off") + F.col("__lrn")
+
+    def idiv(a: Column, b: Column) -> Column:
+        # exact integer floor-div: Spark's `/` is double division, so
+        # subtract the remainder first — (a − a%b)/b is an integer that
+        # doubles represent exactly for any realistic row count (< 2⁵³)
+        return ((a - a % b) / b).cast("bigint")
+
+    def iceil(a: Column, b: Column) -> Column:
+        return idiv(a + b - 1, b)
+
+    q = idiv(F.col("__n"), F.lit(n))
+    rem = (F.col("__n") % n).cast("bigint")
+    in_big = r <= rem * (q + 1)
+    # the small-bucket branch is never evaluated when q = 0 (rem = N
+    # puts every row in a big bucket); greatest() keeps it total anyway
+    big_bucket = iceil(r, q + 1)
+    small_bucket = rem + iceil(r - rem * (q + 1), F.greatest(q, F.lit(1)))
+    return (
+        local.join(F.broadcast(_partition_offsets(counts)), "__pid")
+        .join(F.broadcast(total))
+        .withColumn(out_col, F.when(in_big, big_bucket).otherwise(small_bucket).cast("int"))
+        .drop("__pid", "__lrn", "__off", "__n")
+    )
+
+
 def month_key(col: Column | str) -> Column:
     """'yyyy-MM' wall-clock month bucket (portable across engines for
     naive timestamps)."""

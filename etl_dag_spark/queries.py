@@ -687,20 +687,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@register("dedup_embedding_cosine_lsh")  # LSH candidates → rows-only; agreement in pytest
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared planted-near-dup corpus for the embedding-dedup pair of
+    queries: the test embeddings have max pairwise cosine ~0.6 (no true
+    near-dups), so the near-dup regime is planted deterministically —
+    16 replicas per vector at cosine ≈ 0.998, cross-base sims
+    unchanged. τ=0.95 cleanly separates planted from background.
+
+    The base is capped at 10k vectors (deterministic ``vec_id``
+    filter) so the exact O(N²·d) comparator twin stays runnable in the
+    per-round bench at every sf — the corpus is a planted benchmark
+    fixture, not user data, and 160k vectors is already past the
+    exact-vs-LSH wall-clock crossover (see bench)."""
+    base = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10_000)
+    return sim.replicate_near_dups(base, copies=16, noise=0.1)
+
+
+@register("dedup_embedding_cosine_lsh")  # LSH candidates → rows-only; agreement + pruning in pytest
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH bucket-join candidates +
-    exact cosine verify — the 100 TB path for dedup_embedding_cosine
+    exact cosine verify — the 100 TB path for exact all-pairs cosine
     (nothing broadcast, nothing collected; shuffle = signatures +
-    candidate pairs). 3 planes / 16 tables: ≥98% pair agreement with the
-    exact baseline at the τ=0.4 operating point (see pytest)."""
+    candidate pairs). Runs the realistic near-dup operating point:
+    τ=0.95 over the planted corpus, 12 planes / 8 tables, where the
+    bucket join admits ~1% of random pairs (~30-100× candidate pruning)
+    at ≥99% planted-pair recall. Pair agreement vs the exact twin
+    `dedup_embedding_cosine_nd_exact` is asserted ≥98% in pytest
+    (tests/test_dedup_recall.py::test_cosine_pairs_lsh_agreement*);
+    the bench pair demonstrates the wall-clock crossover vs exact
+    all-pairs on the same corpus."""
     return sim.cosine_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"),
-        threshold=0.4,
-        n_planes=3,
-        n_tables=16,
+        _near_dup_corpus(spark, sf_dir),
+        threshold=0.95,
+        n_planes=12,
+        n_tables=8,
         dim=64,
     )
+
+
+@register("dedup_embedding_cosine_nd_exact")  # rows-only; the LSH twin's exact comparator
+def dedup_embedding_cosine_nd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine at τ=0.95 over the SAME planted near-dup
+    corpus as dedup_embedding_cosine_lsh — the bench comparator that
+    shows where brute force loses to the LSH path (quadratic scoring vs
+    bucket-pruned candidates), and the ground truth for its agreement
+    pytest. Engine-specific corpus synthesis → rows-only driver check;
+    pair-level correctness lives in the agreement test."""
+    return sim.cosine_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.95)
 
 
 @register(
@@ -1715,16 +1748,22 @@ FROM spend
 )
 def olap_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE customer segmentation: spend quartiles over the aggregated
-    per-customer totals (deterministic tie-break by key). The global
-    sort is over the AGGREGATED frame (|customers| rows), never the
-    fact table."""
+    per-customer totals (deterministic tie-break by key).
+
+    No global window: :func:`windows.exact_ntile` reproduces SQL
+    NTILE(4) exactly (same first-buckets-larger split, same tie-break)
+    from range-partitioned local ranks + broadcast partition offsets,
+    so at 100× the customer count no stage sorts more than one range
+    partition — the oracle stays the plain NTILE window."""
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(F.sum(star.cents("o_totalprice")).alias("pc"))
-    w = Window.orderBy(F.col("pc").desc(), F.col("o_custkey"))
-    return agg.select(
+    tiled = win.exact_ntile(
+        agg, 4, [F.col("pc").desc(), F.col("o_custkey")], out_col="spend_quartile"
+    )
+    return tiled.select(
         F.col("o_custkey").cast("bigint").alias("customer_id"),
         (F.col("pc") / 100.0).alias("total_spend"),
-        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.col("spend_quartile"),
     )
 
 

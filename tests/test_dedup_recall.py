@@ -222,6 +222,107 @@ def test_operators_degrade_on_empty_inputs(spark):
     assert sim.ivf_topk(empty_emb, F.col("vec_id") > 99, n_lists=2).count() == 0
 
 
+def test_cosine_pairs_lsh_agreement_low_threshold(spark):
+    """Docstring claim: at the near-random τ=0.4 regime, 3 planes / 16
+    tables reach ≥98% pair agreement with exact all-pairs cosine (on
+    the real test embeddings, whose pairwise sims top out ~0.5)."""
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in sim.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in sim.cosine_pairs_lsh(
+            emb, threshold=0.4, n_planes=3, n_tables=16, dim=64
+        ).collect()
+    }
+    # exact verification step ⇒ no false positives, bit-identical sims
+    assert set(lsh) <= set(exact)
+    for p, s in lsh.items():
+        assert s == exact[p]
+    assert len(lsh) / len(exact) >= 0.98
+
+
+def test_cosine_pairs_lsh_agreement_near_dup_regime(spark):
+    """The registered operating point: τ=0.95 over the planted near-dup
+    corpus, 12 planes / 8 tables — ≥98% pair agreement with the exact
+    twin, no false positives, bit-identical sims."""
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = sim.replicate_near_dups(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"),
+        copies=4,  # 2000 vectors: enough planted structure, test-speed sized
+        noise=0.1,
+    )
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in sim.cosine_pairs(emb, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in sim.cosine_pairs_lsh(
+            emb, threshold=0.95, n_planes=12, n_tables=8, dim=64
+        ).collect()
+    }
+    assert len(exact) >= 500 * 6  # every base spawns C(4,2) planted pairs
+    assert set(lsh) <= set(exact)
+    for p, s in lsh.items():
+        assert s == exact[p]
+    assert len(lsh) / len(exact) >= 0.98
+
+
+def test_replicate_near_dups_plants_near_dup_structure(spark):
+    """The planted corpus really is a near-dup regime: same-base
+    replicas at cosine ≥ 0.99, and the fan-out/id scheme is exact."""
+    from etl_dag_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = sim.replicate_near_dups(base, copies=3, noise=0.1)
+    n_base = base.count()
+    assert emb.count() == 3 * n_base
+    pdf = emb.toPandas()
+    by_id = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for _, r in pdf.iterrows()}
+    for v in list(by_id)[:20]:
+        if v >= 1_000_000:
+            continue
+        for r in (1, 2):
+            w = by_id[r * 1_000_000 + v]
+            x = by_id[v]
+            cos = x @ w / (np.linalg.norm(x) * np.linalg.norm(w))
+            assert cos >= 0.99
+
+
+def test_lsh_and_ivf_topk_prune_scored_pairs(spark, clustered_embeddings):
+    """The bucketing/probing must prune COMPUTE, not just emission:
+    scored (row, query) pairs — counted by the scored_counter
+    accumulator inside the Arrow pass — stay far below the brute-force
+    corpus × queries total while recall stays ≥0.9 (asserted in the
+    recall tests above on identical parameters)."""
+    emb = clustered_embeddings
+    qf = F.col("vec_id") % 25 == 0
+    n_corpus, n_queries = 500, 20
+    brute_pairs = n_queries * (n_corpus - 1)
+
+    acc_lsh = spark.sparkContext.accumulator(0)
+    sim.lsh_topk(
+        emb, qf, k=10, n_planes=8, dim=64, n_tables=4, scored_counter=acc_lsh
+    ).count()
+    assert 0 < acc_lsh.value <= 0.3 * brute_pairs, (
+        f"LSH scored {acc_lsh.value} of {brute_pairs} brute-force pairs"
+    )
+
+    acc_ivf = spark.sparkContext.accumulator(0)
+    sim.ivf_topk(
+        emb, qf, k=10, n_lists=16, n_probe=4, scored_counter=acc_ivf
+    ).count()
+    assert 0 < acc_ivf.value <= 0.6 * brute_pairs, (
+        f"IVF scored {acc_ivf.value} of {brute_pairs} brute-force pairs"
+    )
+
+
 def test_lsh_clustering_agrees_with_exact(spark, corpus):
     """Scale-path clustering (LSH candidates) must reproduce the exact
     inverted-index clustering on the planted corpus (banding recall is

@@ -65,3 +65,18 @@ def test_local_supplier_volume_broadcasts_all_dims(spark):
     plan = _plan(spark, "olap_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 3  # customer, supplier, nation
     assert "CartesianProduct" not in plan
+
+
+def test_ntile_quartiles_has_no_unpartitioned_window(spark):
+    """olap_ntile_quartiles must never plan a global-sort window: every
+    Window node carries a partition spec (the exact_ntile rewrite ranks
+    inside range partitions), and no Sort is global."""
+    import re
+
+    plan = _plan(spark, "olap_ntile_quartiles")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # an unpartitioned window spec starts the spec with the
+            # order column directly; ours must lead with __pid
+            assert "__pid" in line, f"unpartitioned window: {line.strip()[:160]}"
+    assert "Sort [pc" not in plan  # no global sort over the agg frame

@@ -89,3 +89,55 @@ def test_exact_percentiles_match_numpy(spark, data, q):
         vals = np.array([v for gg, v in data if gg == g], dtype=np.float64)
         want = float(np.quantile(vals, q, method="linear"))
         assert got[g] == pytest.approx(want, rel=1e-12, abs=1e-9)
+
+
+def _ref_ntile(n_rows: int, n: int) -> list[int]:
+    """SQL NTILE reference: first N mod n buckets take ceil(N/n) rows."""
+    q, rem = divmod(n_rows, n)
+    out = []
+    for b in range(1, n + 1):
+        out.extend([b] * (q + 1 if b <= rem else q))
+    return out
+
+
+@given(
+    vals=st.lists(st.integers(-5, 5), min_size=1, max_size=40),
+    n=st.integers(1, 7),
+)
+@settings(**_SETTINGS)
+def test_exact_ntile_matches_sql_ntile(spark, vals, n):
+    """exact_ntile == NTILE(n) OVER (ORDER BY v DESC, id) for any size
+    (N < n, N % n != 0, heavy ties) — the distributed formulation must
+    be indistinguishable from the single-partition window."""
+    from etl_dag_spark.operators.windows import exact_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v int"
+    )
+    got = {
+        r.id: r.nt
+        for r in exact_ntile(
+            df, n, [F.col("v").desc(), F.col("id")], out_col="nt"
+        ).collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i], i))
+    expected = dict(zip(order, _ref_ntile(len(vals), n)))
+    assert got == expected
+
+
+@given(vals=st.lists(st.integers(-9, 9), min_size=0, max_size=30))
+@settings(**_SETTINGS)
+def test_global_row_number_is_exact(spark, vals):
+    from etl_dag_spark.operators.windows import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v int"
+    )
+    got = {
+        r.id: r.rn
+        for r in global_row_number(
+            df, [F.col("v").desc(), F.col("id")], rn_col="rn"
+        ).collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i], i))
+    assert got == {i: r + 1 for r, i in enumerate(order)}
