@@ -32,13 +32,42 @@ from pyspark.sql import functions as F
 def _swap_dir(src: str, dst: str) -> None:
     """Replace directory ``dst`` with ``src`` via two renames (each
     atomic on POSIX); the trash dir bounds the non-atomic window to
-    between them, and a leftover trash from a prior crash is cleared."""
+    between them. A leftover trash from a prior crash is STALE only if
+    ``dst`` exists (crash after the second rename); if ``dst`` is
+    missing, the trash holds the only copy of the old rows — restore
+    it, never discard it."""
     trash = dst.rstrip("/") + "__trash"
-    if os.path.exists(trash):
-        shutil.rmtree(trash)
+    _recover_trash(dst)
     os.rename(dst, trash)
     os.rename(src, dst)
     shutil.rmtree(trash)
+
+
+def _recover_trash(dst: str) -> None:
+    """Repair _swap_dir's non-atomic window: a crash after
+    ``rename(dst, trash)`` but before ``rename(src, dst)`` leaves the
+    only copy of the old rows in the trash sibling. Restoring it (and
+    then replaying the batch) is always correct — the latest-wins key
+    merge is idempotent — whereas discarding it would lose every
+    non-batch row of that partition permanently."""
+    trash = dst.rstrip("/") + "__trash"
+    if os.path.exists(trash):
+        if os.path.exists(dst):
+            shutil.rmtree(trash)  # crash after swap completed: stale copy
+        else:
+            os.rename(trash, dst)  # crash inside the window: restore
+
+
+def _recover_partition_trash(target_path: str) -> None:
+    """Restore any orphaned ``<partition>__trash`` dirs left by a crash
+    mid-swap, BEFORE the merge reads the target — otherwise the re-merge
+    reads a target missing that partition's non-batch rows and the
+    orphan is later destroyed as if stale."""
+    if not os.path.isdir(target_path):
+        return
+    for d in os.listdir(target_path):
+        if d.endswith("__trash"):
+            _recover_trash(os.path.join(target_path, d[: -len("__trash")]))
 
 
 def _latest_per_key(
@@ -77,6 +106,8 @@ def merge_into_parquet(
     read+merged+rewritten; untouched partitions are never opened.
     """
     upd = updates.withColumn("__is_update", F.lit(1))
+    _recover_trash(target_path)  # whole-table swap crashed mid-window
+    _recover_partition_trash(target_path)  # per-partition swap ditto
     exists = os.path.isdir(target_path) and any(
         not f.startswith(("_", ".")) for f in os.listdir(target_path)
     )
@@ -111,12 +142,26 @@ def merge_into_parquet(
         raise RuntimeError(f"staged merge write has no _SUCCESS marker: {staging}")
 
     if partition_col:
-        # swap only the touched partitions; untouched ones never move
-        for v in touched:
-            part = f"{partition_col}={v}"
+        # Swap only the touched partitions; untouched ones never move.
+        # Enumerate the STAGING dirs rather than reconstructing
+        # f"{col}={value}" names: Spark Hive-escapes special chars
+        # (space/colon → %XX) and writes NULL as
+        # __HIVE_DEFAULT_PARTITION__, so a rebuilt name can miss the
+        # real dir and silently drop that partition's merged rows.
+        parts = [
+            d
+            for d in os.listdir(staging)
+            if os.path.isdir(os.path.join(staging, d)) and "=" in d
+        ]
+        if not parts and any(
+            not f.startswith(("_", ".")) for f in os.listdir(staging)
+        ):
+            raise RuntimeError(
+                f"staged merge output is unpartitioned but partition_col="
+                f"{partition_col!r} was requested: {staging}"
+            )
+        for part in parts:
             src, dst = os.path.join(staging, part), os.path.join(target_path, part)
-            if not os.path.isdir(src):
-                continue
             if os.path.isdir(dst):
                 _swap_dir(src, dst)
             else:

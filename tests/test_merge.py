@@ -104,6 +104,79 @@ def test_streaming_upsert_sink(spark, tmp_path):
     assert got == want
 
 
+def test_merge_recovers_partition_crash_window(spark, tmp_path):
+    """Crash between _swap_dir's two renames leaves the partition's only
+    copy in <part>__trash with dst missing. Replaying the same batch
+    must RESTORE the trash (not discard it) so non-batch rows survive."""
+    path = str(tmp_path / "t4")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "2024-01"), (2, "b", 1, "2024-01"), (3, "c", 1, "2024-02")],
+        "k long, val string, ver long, month string",
+    )
+    merge_into_parquet(spark, path, base, ["k"], "ver", partition_col="month")
+    updates = spark.createDataFrame(
+        [(1, "a2", 2, "2024-01")], "k long, val string, ver long, month string"
+    )
+    # simulate the crash: dst renamed away, replacement never arrived
+    part = os.path.join(path, "month=2024-01")
+    os.rename(part, part + "__trash")
+    assert not os.path.isdir(part)
+    merge_into_parquet(spark, path, updates, ["k"], "ver", partition_col="month")
+    got = {r.k: (r.val, r.ver) for r in spark.read.parquet(path).collect()}
+    # k=2 is NOT in the batch; it must survive via the restored trash
+    assert got == {1: ("a2", 2), 2: ("b", 1), 3: ("c", 1)}
+    assert not any(d.endswith("__trash") for d in os.listdir(path))
+
+
+def test_merge_recovers_whole_table_crash_window(spark, tmp_path):
+    """Same crash window for the unpartitioned whole-table swap."""
+    path = str(tmp_path / "t5")
+    merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, val string, ver long"),
+        ["k"],
+        "ver",
+    )
+    os.rename(path, path + "__trash")
+    merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a2", 2)], "k long, val string, ver long"),
+        ["k"],
+        "ver",
+    )
+    got = {r.k: (r.val, r.ver) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a2", 2), 2: ("b", 1)}
+    assert not os.path.exists(path + "__trash")
+
+
+def test_merge_hive_escaped_and_null_partition_values(spark, tmp_path):
+    """Partition values Spark Hive-escapes on disk (space/colon → %XX)
+    and NULL (__HIVE_DEFAULT_PARTITION__) must still be swapped in — the
+    old code rebuilt 'col=value' names from raw values, missed the
+    escaped dirs, and silently dropped the merged rows."""
+    path = str(tmp_path / "t6")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "jan 01"), (2, "b", 1, "feb:02"), (3, "c", 1, None)],
+        "k long, val string, ver long, month string",
+    )
+    merge_into_parquet(spark, path, base, ["k"], "ver", partition_col="month")
+    updates = spark.createDataFrame(
+        [(1, "a2", 2, "jan 01"), (3, "c2", 2, None), (4, "d", 1, "feb:02")],
+        "k long, val string, ver long, month string",
+    )
+    merge_into_parquet(spark, path, updates, ["k"], "ver", partition_col="month")
+    got = {r.k: (r.val, r.ver, r.month) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a2", 2, "jan 01"),
+        2: ("b", 1, "feb:02"),
+        3: ("c2", 2, None),
+        4: ("d", 1, "feb:02"),
+    }
+    assert not os.path.exists(path.rstrip("/") + "__staging")
+
+
 def test_merge_stages_then_swaps(spark, tmp_path):
     """The merge writes to a __staging sibling and swaps directories in:
     after a successful merge no staging/trash dirs remain, and the
