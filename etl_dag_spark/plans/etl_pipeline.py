@@ -81,19 +81,42 @@ RULES = {
 }
 
 
+def require_config(required: list[str], env: dict | None = None) -> dict[str, str]:
+    """Fail-fast required-config validation — the first task of the
+    reference DAG (ETL_DAG.py:44-58 ``load_env_vars``: a required-vars
+    list checked against the environment, raising with every missing
+    name at once so one run surfaces the whole configuration gap).
+
+    Returns the resolved values so downstream tasks read the validated
+    snapshot from the DAG context instead of re-reading a mutable
+    ``os.environ``.
+    """
+    env = dict(os.environ) if env is None else env
+    missing = [k for k in required if not env.get(k)]
+    if missing:
+        raise ValueError(f"missing required config: {', '.join(missing)}")
+    return {k: env[k] for k in required}
+
+
 def build_pipeline(
     spark: SparkSession,
     csv_paths: dict[str, str],
     out_dir: str,
     strict: bool = False,
+    required_env: list[str] | None = None,
 ) -> DAG:
     """Assemble the three-task DAG. ``csv_paths`` needs keys
     sales/products/customers (the reference's env vars CSV_*_PATH).
+    ``required_env`` optionally lists environment variables that must be
+    set (warehouse credentials etc., ETL_DAG.py:52-53) — checked by the
+    first task, before any Spark job runs.
     Outputs land under ``out_dir``: fact_table/, products/, customers/,
     plus quarantine/<table>/ for rejected rows (non-strict mode)."""
     dag = DAG("reference_etl")
 
     def load_env_vars(ctx: dict) -> dict:
+        if required_env:
+            ctx["config"] = require_config(required_env)
         missing = [k for k in ("sales", "products", "customers") if not csv_paths.get(k)]
         if missing:
             raise ValueError(f"missing CSV paths: {', '.join(sorted(missing))}")

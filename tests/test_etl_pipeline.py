@@ -74,3 +74,38 @@ def test_pipeline_missing_file_fails_in_validate(spark, csv_paths, tmp_path):
     csv_paths["products"] = str(tmp_path / "nope.csv")
     with pytest.raises(FileNotFoundError, match="products"):
         run_pipeline(spark, csv_paths, str(tmp_path / "wh4"))
+
+
+def test_require_config_fail_fast_lists_all_missing(monkeypatch):
+    from etl_dag_spark.plans.etl_pipeline import require_config
+
+    env = {"WAREHOUSE_URL": "jdbc:x", "WAREHOUSE_USER": ""}
+    with pytest.raises(ValueError, match="WAREHOUSE_PASSWORD"):
+        require_config(
+            ["WAREHOUSE_URL", "WAREHOUSE_USER", "WAREHOUSE_PASSWORD"], env
+        )
+    # the error names EVERY missing/empty var (reference reports the
+    # full list in one run, ETL_DAG.py:54-56), not just the first
+    try:
+        require_config(["WAREHOUSE_USER", "WAREHOUSE_PASSWORD"], env)
+    except ValueError as e:
+        assert "WAREHOUSE_USER" in str(e) and "WAREHOUSE_PASSWORD" in str(e)
+    # resolved snapshot comes back when everything is present
+    assert require_config(["WAREHOUSE_URL"], env) == {"WAREHOUSE_URL": "jdbc:x"}
+
+
+def test_pipeline_required_env_is_first_task(spark, csv_paths, tmp_path, monkeypatch):
+    from etl_dag_spark.plans.etl_pipeline import build_pipeline
+
+    monkeypatch.delenv("REFETL_WH_TOKEN", raising=False)
+    dag = build_pipeline(
+        spark, csv_paths, str(tmp_path / "wh5"), required_env=["REFETL_WH_TOKEN"]
+    )
+    with pytest.raises(ValueError, match="REFETL_WH_TOKEN"):
+        dag.run()
+    # nothing was written: the config gate ran before any Spark job
+    assert not (tmp_path / "wh5").exists()
+    monkeypatch.setenv("REFETL_WH_TOKEN", "secret")
+    ctx = dag.run()
+    assert ctx["config"] == {"REFETL_WH_TOKEN": "secret"}
+    assert "load_data" in ctx

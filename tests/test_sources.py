@@ -159,3 +159,67 @@ def test_fuzzy_country_resolution(spark):
         5: (None, "none"),
         6: ("USA", "fuzzy"),
     }
+
+
+class _RecordingWriter:
+    """Stands in for DataFrameWriter: records the builder chain so the
+    JDBC sink's contract (format/mode/options/save) is testable without
+    a warehouse or a JDBC driver jar on the classpath."""
+
+    def __init__(self):
+        self.fmt = None
+        self.mode_ = None
+        self.options = {}
+        self.saved = False
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def mode(self, mode):
+        self.mode_ = mode
+        return self
+
+    def option(self, key, value):
+        self.options[key] = value
+        return self
+
+    def save(self):
+        self.saved = True
+
+
+class _FakeDF:
+    def __init__(self, writer):
+        self.write = writer
+
+
+def test_overwrite_jdbc_truncate_and_load_contract():
+    from etl_dag_spark.sources.sinks import overwrite_jdbc
+
+    w = _RecordingWriter()
+    overwrite_jdbc(
+        _FakeDF(w),
+        url="jdbc:postgresql://wh:5432/analytics",
+        table="public.fact_sales",
+        num_partitions=8,
+        options={"driver": "org.postgresql.Driver", "user": "loader"},
+    )
+    assert w.saved
+    assert w.fmt == "jdbc"
+    assert w.mode_ == "overwrite"  # with truncate=true == TRUNCATE TABLE + load
+    assert w.options["url"] == "jdbc:postgresql://wh:5432/analytics"
+    assert w.options["dbtable"] == "public.fact_sales"
+    assert w.options["truncate"] == "true"
+    assert w.options["batchsize"] == "10000"
+    assert w.options["numPartitions"] == "8"  # connection budget, not df partitions
+    assert w.options["driver"] == "org.postgresql.Driver"
+    assert w.options["user"] == "loader"
+
+
+def test_overwrite_jdbc_without_truncate_drops_and_recreates():
+    from etl_dag_spark.sources.sinks import overwrite_jdbc
+
+    w = _RecordingWriter()
+    overwrite_jdbc(_FakeDF(w), url="jdbc:h2:mem:t", table="t", truncate=False)
+    assert w.saved and w.options["truncate"] == "false"
+    assert "numPartitions" not in w.options
