@@ -40,24 +40,97 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with usable timestamps.
+def event_ts_encoding(path: str) -> str:
+    """Sniff how ``ts`` is physically encoded in an event parquet file
+    (or directory of part files) from the parquet footer alone — one
+    metadata read, no Spark session state touched.
 
-    The harness writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; ``nanosAsLong`` reads it as raw
-    int64 nanoseconds. Two derived columns are added:
-
-    - ``ts_ns``   — exact integer nanoseconds (for arithmetic: gaps,
-      buckets; integer math is engine-portable and order-independent)
-    - ``ts_utc``  — TIMESTAMP_NTZ at microsecond precision, built with
-      wall-clock ``timestampadd`` so the value never depends on the
-      session timezone.
+    Returns ``'ns'`` (TIMESTAMP(NANOS) — Spark needs the legacy
+    int64 read), ``'us'``/``'ms'``/``'s'`` (standard parquet timestamp
+    Spark reads natively), or ``'i64'`` (plain int64, interpreted as raw
+    epoch nanoseconds — constructed test fixtures and legacy copies).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(
+            f
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {p}")
+        p = os.path.join(p, parts[0])
+    t = pq.read_schema(p).field("ts").type
+    if pa.types.is_timestamp(t):
+        return t.unit
+    if pa.types.is_int64(t):
+        return "i64"
+    raise TypeError(f"unsupported events.ts physical type {t} in {p}")
+
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Append the engine's two canonical event-time columns, derived
+    from whatever type ``ts`` resolved to, never from the session
+    timezone:
+
+    - ``ts_ns``   — bigint epoch nanoseconds (exact integer arithmetic:
+      gaps, buckets; integer math is engine-portable and
+      order-independent)
+    - ``ts_utc``  — TIMESTAMP_NTZ wall-clock at microsecond precision.
+
+    Handles ``bigint`` (raw nanos), ``timestamp_ntz`` (wall-clock µs,
+    the common parquet encoding), and ``timestamp`` (session-tz-tagged;
+    ``unix_micros`` extracts the tz-independent instant).
+    """
     from pyspark.sql import functions as F
 
-    df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
-        "ts_utc",
-        F.expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-    )
+    t = dict(df.dtypes)["ts"]
+    if t == "bigint":
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts_utc",
+            F.expr(f"timestampadd(MICROSECOND, ts DIV 1000, {_EPOCH_NTZ})"),
+        )
+    if t == "timestamp_ntz":
+        return df.withColumn(
+            "ts_ns",
+            F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts) * CAST(1000 AS BIGINT)"),
+        ).withColumn("ts_utc", F.col("ts"))
+    if t == "timestamp":
+        return df.withColumn(
+            "ts_ns", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)")
+        ).withColumn(
+            "ts_utc",
+            F.expr(f"timestampadd(MICROSECOND, unix_micros(ts), {_EPOCH_NTZ})"),
+        )
+    raise TypeError(f"events.ts resolved to unsupported Spark type {t!r}")
+
+
+def _enable_legacy_nanos(spark: SparkSession) -> None:
+    """Spark has no native TIMESTAMP(NANOS) reader; the legacy flag
+    makes it read the column as raw int64 nanos. Only called once a
+    footer sniff has proven the file really is nanos-encoded, so µs/ms
+    data never triggers a session-conf mutation."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read any events parquet file/directory, normalizing event
+    time via :func:`with_event_time` regardless of the physical ``ts``
+    encoding (nanos, µs, ms, or raw int64)."""
+    if event_ts_encoding(path) == "ns":
+        _enable_legacy_nanos(spark)
+    return with_event_time(spark.read.parquet(path))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with usable timestamps (``ts_ns`` + ``ts_utc``), adaptive
+    to the physical parquet encoding the harness happens to write
+    (TIMESTAMP(NANOS) in early rounds, timestamp[us] since round 4)."""
+    return read_events_batch(spark, os.path.join(sf_dir, "events.parquet"))

@@ -16,25 +16,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENT_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
+def _event_schema(ts_type: str) -> str:
+    return (
+        f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
+        "value double, props string"
+    )
 
 
 def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream over event parquet files (ts arrives as int64
-    nanos — same nanosAsLong workaround as the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over event parquet files, schema-adaptive via
+    the same footer sniff as the batch loader
+    (``sources.tables.event_ts_encoding``) so the batch/stream twins
+    can't drift: int64-nanos files declare ``ts bigint``; standard
+    timestamp files declare ``ts timestamp_ntz``.
+
+    Watermarks require TIMESTAMP (not TIMESTAMP_NTZ): epoch-micros is
+    timezone-agnostic storage; the session tz only affects rendering,
+    and the streaming jobs run under our UTC-pinned session factory.
+    """
+    from etl_dag_spark.sources.tables import _enable_legacy_nanos, event_ts_encoding
+
+    enc = event_ts_encoding(src_dir)
+    if enc in ("ns", "i64"):
+        if enc == "ns":
+            _enable_legacy_nanos(spark)
+        raw = (
+            spark.readStream.schema(_event_schema("bigint"))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts DIV 1000")))
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema("timestamp_ntz"))
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ): epoch-micros is
-    # timezone-agnostic storage; the session tz only affects rendering,
-    # and the streaming jobs run under our UTC-pinned session factory.
-    return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn(
+        "ts_utc",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_dag_spark.queries import SPARK_QUERIES
+from etl_dag_spark.sources.tables import read_events_batch
 from etl_dag_spark.streaming.events import (
     dedup_stream,
     read_event_stream,
@@ -25,9 +26,9 @@ def stream_src(spark, tmp_path_factory):
     """Copy the events table into several files so maxFilesPerTrigger
     actually exercises multi-batch incremental processing."""
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        read_events_batch(spark, f"{SF_DIR}/events.parquet")
+        .drop("ts_ns", "ts_utc")
         .repartition(4)
         .write.mode("overwrite").parquet(out)
     )
@@ -128,12 +129,8 @@ def test_stateful_running_totals_across_batches(spark, stream_src):
                FROM user_totals GROUP BY user_id"""
         ).collect()
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
-        .parquet(stream_src)
+        read_events_batch(spark, stream_src)
         .selectExpr(
             "user_id",
             "CAST(coalesce(value, 0) * 100 AS BIGINT) AS vc",
@@ -163,10 +160,7 @@ def test_stream_static_join_enriches_events(spark, stream_src):
     )
     q.awaitTermination(120)
     out = spark.table("enriched")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    n_src = spark.read.schema(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-    ).parquet(stream_src).count()
+    n_src = read_events_batch(spark, stream_src).count()
     assert out.count() == n_src  # every event found its dim row
     assert out.where("segment NOT RLIKE '^segment_[0-2]$'").count() == 0
 
@@ -192,13 +186,8 @@ def test_stream_stream_join_equals_batch(spark, stream_src):
         (r.user_id, r.purchase_id, r.click_id)
         for r in spark.table("cp_join").collect()
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = (
-        spark.read.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
-        .parquet(stream_src)
-        .select("event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("tu"))
+    e = read_events_batch(spark, stream_src).select(
+        "event_id", "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("tu")
     )
     clicks = e.where("event_type = 'click'").selectExpr(
         "user_id AS cu", "event_id AS click_id", "tu AS ct"
