@@ -691,16 +691,16 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared planted-near-dup corpus for the embedding-dedup pair of
     queries: the test embeddings have max pairwise cosine ~0.6 (no true
     near-dups), so the near-dup regime is planted deterministically —
-    16 replicas per vector at cosine ≈ 0.998, cross-base sims
+    8 replicas per vector at cosine ≈ 0.998, cross-base sims
     unchanged. τ=0.95 cleanly separates planted from background.
 
-    The base is capped at 10k vectors (deterministic ``vec_id``
-    filter) so the exact O(N²·d) comparator twin stays runnable in the
-    per-round bench at every sf — the corpus is a planted benchmark
-    fixture, not user data, and 160k vectors is already past the
+    The corpus is capped (base ≤1250 vectors × 8 copies ≈ 10k) so the
+    exact O(N²·d) comparator twin stays a single-digit share of bench
+    wall-clock at every sf — it is a planted benchmark fixture, not
+    user data, and ~10k vectors (5·10⁷ pairs) is already past the
     exact-vs-LSH wall-clock crossover (see bench)."""
-    base = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10_000)
-    return sim.replicate_near_dups(base, copies=16, noise=0.1)
+    base = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1_250)
+    return sim.replicate_near_dups(base, copies=8, noise=0.1)
 
 
 @register("dedup_embedding_cosine_lsh")  # LSH candidates → rows-only; agreement + pruning in pytest
@@ -2215,22 +2215,26 @@ def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()`` in dict order. Oracle-backed queries (value-hash
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
-# (recall/tolerance/agreement). Within the oracled group, queries that
-# never received a driver hash in rounds 1-2 go first, so the 50-row
-# window maximizes cumulative cross-round evidence (the few oracled
-# queries it pushes out are already hash-green in CORRECTNESS_r02).
-# Re-keying here preserves source order without moving 2000 lines.
-_NEVER_DRIVER_CHECKED = [
-    "etl_profile_orders", "etl_country_fuzzy", "olap_rolling_7d",
-    "olap_ntile_quartiles", "stream_json_props", "etl_value_histogram",
-    "olap_above_customer_avg", "etl_scd2_history", "olap_grouping_sets",
-    "olap_order_id_list", "olap_value_moments",
-    "olap_local_supplier_volume", "olap_returned_items",
-    "olap_order_count_distribution", "olap_priority_shipping",
-    "bi_yoy_growth",
+# (recall/tolerance/agreement). 57 queries are oracled but the window
+# holds 50, so each round the oracled group is rotated: the 7 that sat
+# outside the previous round's window go first, maximizing cumulative
+# cross-round hash evidence (everything rotated out is hash-green in
+# CORRECTNESS_r03 AND r04). Re-keying here preserves source order
+# without moving 2000 lines.
+_ROTATE_TO_FRONT = [
+    # outside the r3/r4 window — due a driver hash this round
+    "sql_revenue_by_category", "sql_top_customers", "text_normalize",
+    "etl_dq_uniqueness", "etl_dq_referential", "dedup_cluster",
+    "pipeline_corpus_clean",
+    # red in r4 on the events-loader bug — keep in-window to prove the fix
+    "bi_customers_no_purchase", "olap_sessionize",
+    "stream_windowed_counts", "olap_pivot_events", "olap_percentiles",
+    "olap_asof_join", "olap_range_join", "olap_session_windows",
+    "etl_upsert_latest", "olap_rolling_7d", "stream_json_props",
+    "etl_scd2_history", "olap_grouping_sets", "olap_value_moments",
 ]
 SPARK_QUERIES = {
-    **{n: SPARK_QUERIES[n] for n in _NEVER_DRIVER_CHECKED if n in SPARK_QUERIES},
+    **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},
     **{n: f for n, f in SPARK_QUERIES.items() if n not in ORACLES},
 }

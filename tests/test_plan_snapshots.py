@@ -1,0 +1,122 @@
+"""Plan-regression snapshots for the headline queries.
+
+A silent physical-plan regression (broadcast join degrading to
+sort-merge, a lost parquet filter pushdown, an extra Exchange) only
+shows up as bench noise unless the plan itself is pinned. This module
+fingerprints ``explain("formatted")`` for the headline queries —
+normalized for expression IDs, plan node numbers, and file paths — and
+diffs against golden files in ``tests/golden_plans/``.
+
+On an intentional plan change, regenerate with:
+
+    UPDATE_PLAN_SNAPSHOTS=1 python -m pytest tests/test_plan_snapshots.py -q
+
+and review the golden-file diff in git like any other code change.
+"""
+
+from __future__ import annotations
+
+import difflib
+import os
+import re
+
+import pytest
+
+from etl_dag_spark.queries import SPARK_QUERIES
+
+from tests.conftest import SF_DIR
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_plans")
+
+# the queries whose plans are load-bearing: the reference-parity BI
+# join, the TPC-H-class agg join, the two LSH dedup scale paths, and
+# the distributed-ntile window rewrite
+SNAPSHOT_QUERIES = [
+    "bi_revenue_by_category",
+    "olap_shipping_priority",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
+    "olap_ntile_quartiles",
+]
+
+# Node headers worth pinning: strategy-bearing operators. Detail
+# sections (column lists, codegen ids, stats) churn with no semantic
+# change, so the fingerprint keeps only the operator tree plus pushdown
+# evidence from scan details.
+_TREE_LINE = re.compile(r"^[\s+*:-]*(?:\([0-9]+\)\s+)?([A-Za-z][A-Za-z0-9]*.*)$")
+
+
+def plan_fingerprint(df) -> str:
+    """Normalized formatted-explain fingerprint: the operator tree with
+    node numbers / expression IDs / paths / sizes scrubbed, plus sorted
+    PushedFilters and ReadSchema lines from every parquet scan."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    raw = df._jdf.queryExecution().explainString(mode)
+
+    tree, details = raw.split("\n\n", 1) if "\n\n" in raw else (raw, "")
+    out = []
+    for line in tree.splitlines():
+        # "* HashAggregate (5)" / "+- Exchange (4)" → keep shape, drop number
+        line = re.sub(r"\s*\([0-9]+\)\s*$", "", line)
+        # AQE re-plans at runtime; the initial plan is what we pin
+        line = re.sub(r"AdaptiveSparkPlan.*", "AdaptiveSparkPlan", line)
+        if line.strip():
+            out.append(line.rstrip())
+
+    pushdown = []
+    for line in details.splitlines():
+        s = line.strip()
+        if s.startswith(("PushedFilters:", "ReadSchema:")):
+            s = re.sub(r"#[0-9]+", "#", s)  # expression ids
+            s = re.sub(r"file:[^\s,\]]+", "file:<path>", s)
+            pushdown.append(s)
+    return "\n".join(out + sorted(set(pushdown))) + "\n"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _default_sf_only():
+    if SF_DIR != "/root/testdata/sf0.001":
+        pytest.skip("plan snapshots are pinned at the default sf0.001 fixture")
+
+
+@pytest.mark.parametrize("name", SNAPSHOT_QUERIES)
+def test_plan_matches_golden(spark, name):
+    got = plan_fingerprint(SPARK_QUERIES[name](spark, SF_DIR))
+    path = os.path.join(GOLDEN_DIR, f"{name}.txt")
+    if os.environ.get("UPDATE_PLAN_SNAPSHOTS") == "1":
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(got)
+        return
+    assert os.path.exists(path), (
+        f"no golden plan for {name}; run UPDATE_PLAN_SNAPSHOTS=1 pytest "
+        "tests/test_plan_snapshots.py"
+    )
+    with open(path) as f:
+        want = f.read()
+    if got != want:
+        diff = "\n".join(
+            difflib.unified_diff(
+                want.splitlines(), got.splitlines(),
+                fromfile=f"golden/{name}", tofile="current", lineterm="",
+            )
+        )
+        raise AssertionError(
+            f"physical plan for {name} drifted from golden snapshot — "
+            "review for a lost broadcast/pushdown or a new Exchange; if "
+            "intentional, regenerate with UPDATE_PLAN_SNAPSHOTS=1:\n" + diff
+        )
+
+
+def test_no_scan_reads_all_columns_for_narrow_queries(spark):
+    """Column pruning check: the revenue query projects 2 output
+    columns from lineitem; its scan must not read the full 11-column
+    schema."""
+    fp = plan_fingerprint(SPARK_QUERIES["bi_revenue_by_category"](spark, SF_DIR))
+    schemas = [l for l in fp.splitlines() if l.startswith("ReadSchema:")]
+    assert schemas, "no ReadSchema in fingerprint — scan detail parsing broke"
+    for s in schemas:
+        if "l_orderkey" in s or "l_extendedprice" in s:
+            n_cols = s.count(":")  # struct<a:double,b:string,...> field count
+            assert n_cols <= 6, f"lineitem scan reads too many columns: {s}"
