@@ -100,6 +100,42 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive ``sum(value) OVER (ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` without a single-partition sort — the prefix-sum twin
+    of :func:`global_row_number`: range-partition on the order key, sum
+    locally, and add the broadcast exclusive prefix-sum of per-partition
+    value totals. ``order`` must be a total order for determinism.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lcs",
+        F.sum(value_col).over(
+            Window.partitionBy("__pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # _partition_offsets is generic over the per-partition statistic:
+    # here __pc is the partition's value total, not its row count
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__pc"))
+    return (
+        local.join(F.broadcast(_partition_offsets(totals)), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lcs")).cast("bigint"))
+        .drop("__pid", "__lcs", "__off")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     n: int,

@@ -2209,6 +2209,440 @@ def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 2d-ext (round 5): corpus-quality, contamination, PII, packing
+# =====================================================================
+
+# regexes restricted to the Java-regex ∩ RE2 common subset so Spark and
+# DuckDB replace identically; applied in a fixed order (email → URL →
+# digit-run) on both sides
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+_NUM_RE = r"[0-9]{7,}"
+
+# deterministic planted-PII suffix: the synthetic documents contain no
+# PII at all, so the operator is exercised on text ⊕ planted markers,
+# built with the same expression in both engines
+_PII_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example.com via https://ex', CAST(doc_id AS STRING), "
+    "'.org/p?id=', CAST(doc_id AS STRING), ' ref 99', "
+    "lpad(CAST(doc_id AS STRING), 8, '0'))"
+)
+_PII_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com via https://ex' || CAST(doc_id AS VARCHAR) || "
+    "'.org/p?id=' || CAST(doc_id AS VARCHAR) || ' ref 99' || "
+    "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH planted AS (SELECT doc_id, {_PII_DUCK} AS t FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_URL_RE}', '<URL>', 'g'),
+         '{_NUM_RE}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '{_NUM_RE}')) AS BIGINT) AS n_long_numbers
+FROM planted
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training corpus: redact emails, URLs, and
+    long digit runs (IDs/phones) with typed placeholder tokens, and
+    count each class per document. Pure Column expressions — narrow,
+    codegen, pipeline with the scan; at 100 TB this runs at scan speed
+    with zero shuffle. The redaction order (email → URL → number) is
+    part of the contract: later patterns never see earlier matches."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.expr(_PII_SPARK)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"),
+                _URL_RE,
+                "<URL>",
+            ),
+            _NUM_RE,
+            "<NUM>",
+        ).alias("clean_text"),
+        # patterns passed as Python-level literals (F.lit), NEVER through
+        # F.expr SQL strings — Spark SQL string literals process
+        # backslash escapes, which would silently turn '\.' into '.'
+        # and diverge from the DuckDB side
+        F.size(F.regexp_extract_all(planted, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(planted, F.lit(_URL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(planted, F.lit(_NUM_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_long_numbers"),
+    )
+
+
+@register(
+    "text_repetition_quality",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+w AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+ws AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word FROM w GROUP BY 1),
+sh AS (SELECT doc_id, unnest({shingles_sql("text", 2, distinct=False)}) AS s FROM documents),
+g AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS nd FROM sh GROUP BY 1),
+m AS (
+  SELECT ws.doc_id,
+         CAST(ws.n_tokens AS BIGINT) AS n_tokens,
+         CAST(ws.top_word AS DOUBLE) / ws.n_tokens AS top_word_frac,
+         CASE WHEN g.total IS NULL OR g.total = 0 THEN 0.0
+              ELSE CAST(g.total - g.nd AS DOUBLE) / g.total END AS dup_2gram_frac
+  FROM ws LEFT JOIN g ON ws.doc_id = g.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, top_word_frac, dup_2gram_frac,
+       (top_word_frac <= CAST(0.14 AS DOUBLE)
+        AND dup_2gram_frac <= CAST(0.065 AS DOUBLE)) AS keep
+FROM m
+""",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: fraction of tokens that
+    are the single most-frequent word, and fraction of word-2-gram
+    occurrences that are duplicates. Thresholds (0.14 / 0.065 — the
+    ~p90 of the corpus) produce the ``keep`` verdict.
+
+    Shape: explode → groupBy(doc, term) → groupBy(doc) — both
+    aggregations map-side partial, so shuffle volume is O(distinct
+    terms per doc), never O(corpus); the 2-gram branch rides the
+    shingle window's doc_id partitioning, so its two groupBys add no
+    Exchange at all."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("t"),
+    )
+    ws = (
+        tk.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_word"))
+    )
+    g = (
+        shingle_rows(d, n=2, distinct=False)
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("nd"))
+    )
+    twf = F.col("top_word").cast("double") / F.col("n_tokens")
+    dgf = F.when(
+        F.col("total").isNull() | (F.col("total") == 0), F.lit(0.0)
+    ).otherwise((F.col("total") - F.col("nd")).cast("double") / F.col("total"))
+    return ws.join(g, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        twf.alias("top_word_frac"),
+        dgf.alias("dup_2gram_frac"),
+        ((twf <= 0.14) & (dgf <= 0.065)).alias("keep"),
+    )
+
+
+@register(
+    "dedup_contamination",
+    oracle=f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({shingles_sql("text", 4)}) AS s FROM documents
+),
+-- identical hot-shingle cap as the jaccard oracle: stop-phrase grams
+-- would make the candidate join quadratic at web scale
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s FROM sh_all
+  JOIN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 50) ok USING (s)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS train_doc_id,
+       CAST(b.doc_id AS BIGINT) AS eval_doc_id,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM sh a JOIN sh b ON a.s = b.s
+WHERE a.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents that
+    share ≥2 distinct (df-capped) word-4-grams with any eval-set
+    document. The eval set here is the deterministic 5% slice
+    ``doc_id % 20 == 0`` standing in for a benchmark suite.
+
+    Scale shape — the reason this is a first-class operator: the join
+    is shingle-hash equi-join of the (huge) train side against the
+    (small) eval side, so candidate volume is bounded by eval-corpus
+    shingles × df-cap, NOT train×eval; at 100 TB the eval shingle set
+    broadcasts and the train side streams through map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=4, distinct=True)
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 50)
+    sh = sh.join(hot.select("s"), "s")
+    train = sh.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    ev = sh.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    return (
+        train.join(F.broadcast(ev), "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= 2)
+    )
+
+
+_PACK_CAP = 512
+
+
+@register(
+    "etl_pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {token_count_sql("text")} AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST((cum - n) // {_PACK_CAP} AS BIGINT) AS bin_id
+FROM c
+""",
+)
+def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing at a 512-token budget: a document
+    belongs to the bin its start offset falls in, in doc_id order — the
+    deterministic, SQL-expressible packing a streaming dataloader uses.
+    Runs on the distributed prefix-sum (operators/windows.py
+    ``global_running_sum``): range partition + local cumsum + broadcast
+    partition totals; no single-partition window at any scale. The
+    strict-capacity twin is ``etl_pack_sequences_firstfit``."""
+    from etl_dag_spark.operators.packing import pack_contiguous
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_column("text").alias("n_tokens")
+    )
+    return pack_contiguous(d, cap=_PACK_CAP)
+
+
+@register("etl_pack_sequences_firstfit")  # greedy bin state → rows-only; invariants in pytest
+def etl_pack_sequences_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-capacity first-fit-decreasing packing within each
+    ``source`` shard (Arrow ``applyInPandas``; the shuffle on source IS
+    the packing domain). No bin exceeds 512 tokens unless one
+    document alone does. Not a single SQL window → rows-only driver
+    check; the bin-capacity / exactly-once / fill-factor invariants are
+    pytest-asserted (tests/test_packing.py)."""
+    from etl_dag_spark.operators.packing import pack_first_fit
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_column("text").alias("n_tokens")
+    )
+    return pack_first_fit(d, cap=_PACK_CAP)
+
+
+# deterministic per-source sampling rates for the domain-mix operator;
+# both engines' CASE expressions are generated from this one dict
+_MIX_WEIGHTS = {
+    "src0": 1.0, "src1": 1.0, "src2": 0.8, "src3": 0.8, "src4": 0.6,
+    "src5": 0.6, "src6": 0.5, "src7": 0.5, "src8": 0.4, "src9": 0.4,
+    "src10": 0.3, "src11": 0.3, "src12": 0.25, "src13": 0.25,
+    "src14": 0.2, "src15": 0.2, "src16": 0.15, "src17": 0.15,
+    "src18": 0.1, "src19": 0.1,
+}
+# integer thresholds in the 32-bit hash space: the keep decision is an
+# exact integer compare, no float boundary ambiguity between engines
+_MIX_THRESHOLDS = {s: int(w * (1 << 32)) for s, w in _MIX_WEIGHTS.items()}
+
+
+def _mix_case_sql(source_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {source_expr} = '{s}' THEN {t}" for s, t in _MIX_THRESHOLDS.items()
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+@register(
+    "etl_domain_mix",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM h WHERE hv < {_mix_case_sql("source")}
+""",
+)
+def etl_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing / weighted downsampling: keep each document with
+    its source's target rate, decided by a content-keyed hash
+    (md5(doc_id) high 32 bits < rate·2³²) — deterministic, repeatable,
+    engine-portable, and embarrassingly parallel (pure filter at scan
+    speed, no shuffle, no RNG state). The rate table is the single
+    Python dict ``_MIX_WEIGHTS``; both engines' CASE expressions are
+    generated from it. At 100 TB this is THE way to hit a target
+    corpus mixture: re-running on a grown corpus keeps prior decisions
+    stable per doc_id (no resampling churn)."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    thr = F.expr(_mix_case_sql("source"))
+    return (
+        d.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source", hv.alias("hv"))
+        .where(F.col("hv") < thr)
+        .select("doc_id", "source")
+    )
+
+
+# =====================================================================
+# 2c-ext (round 5): Q7/Q14/Q18-class OLAP breadth
+# =====================================================================
+
+@register(
+    "olap_nation_trade",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS trade_year,
+       sum({_REV_CENTS_SQL}) / 100.0 AS revenue
+FROM supplier
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-class: cross-nation trade volume by year between every
+    (supplier-nation, customer-nation) pair. The two nation dims
+    broadcast; the lineitem⋈orders fact join shuffles once on orderkey
+    and everything else is map-side."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("trade_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", star.revenue_cents().alias("rc")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "trade_year")
+        .agg((F.sum("rc") / 100.0).alias("revenue"))
+    )
+
+
+@register(
+    "olap_promo_revenue",
+    oracle=f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(100.0 AS DOUBLE)
+         * sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS_SQL} ELSE 0 END)
+         / sum({_REV_CENTS_SQL}) AS promo_pct,
+       sum({_REV_CENTS_SQL}) / 100.0 AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-class: promotional revenue share per ship month — the
+    conditional-aggregate ratio pattern. part broadcasts; one shuffle
+    on the month key; the ratio is a single BIGINT/BIGINT division in
+    DOUBLE (deterministic under any partitioning)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        star.revenue_cents().alias("rc"),
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rc")).otherwise(F.lit(0))).alias("pc"),
+            F.sum("rc").alias("tc"),
+        )
+        .select(
+            "ship_month",
+            (F.lit(100.0) * F.col("pc") / F.col("tc")).alias("promo_pct"),
+            (F.col("tc") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "olap_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(floor(o_totalprice * 100) AS BIGINT) / 100.0 AS totalprice,
+       total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-class: customers with orders above 300 total units —
+    aggregate-then-join (the HAVING filter shrinks the fact side to a
+    handful of keys BEFORE the joins, so both joins broadcast the
+    survivors, not the other way around)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        (star.cents("o_totalprice") / 100.0).alias("totalprice"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "orderdate",
+            "totalprice",
+            "total_qty",
+        )
+    )
+
+
+# =====================================================================
 # Registration-order contract
 # =====================================================================
 # The driver's correctness gate records the FIRST 50 entries of
@@ -2222,6 +2656,10 @@ def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r03 AND r04). Re-keying here preserves source order
 # without moving 2000 lines.
 _ROTATE_TO_FRONT = [
+    # new in round 5 — never driver-hashed
+    "text_pii_scrub", "text_repetition_quality", "dedup_contamination",
+    "etl_pack_sequences", "etl_domain_mix", "olap_nation_trade",
+    "olap_promo_revenue", "olap_large_orders",
     # outside the r3/r4 window — due a driver hash this round
     "sql_revenue_by_category", "sql_top_customers", "text_normalize",
     "etl_dq_uniqueness", "etl_dq_referential", "dedup_cluster",
