@@ -37,6 +37,9 @@ SNAPSHOT_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "olap_ntile_quartiles",
+    # distributed prefix-sum: the plan must never contain a
+    # single-partition global sort window
+    "etl_pack_sequences",
 ]
 
 # Node headers worth pinning: strategy-bearing operators. Detail
