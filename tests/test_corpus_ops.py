@@ -1,0 +1,134 @@
+"""Constructed-data edge cases for the round-5 corpus operators
+(SURVEY §2 rows 69-71, 76). The oracle gate proves engine parity on the
+test tables; these pin the SEMANTICS on inputs the tables don't contain.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_dag_spark.queries import (
+    _EMAIL_RE,
+    _MIX_THRESHOLDS,
+    _NUM_RE,
+    _URL_RE,
+)
+
+
+def _scrub(spark, text: str) -> dict:
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+                    _URL_RE,
+                    "<URL>",
+                ),
+                _NUM_RE,
+                "<NUM>",
+            ).alias("clean"),
+            F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+            F.size(F.regexp_extract_all("t", F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
+            F.size(F.regexp_extract_all("t", F.lit(_NUM_RE), F.lit(0))).alias("n_nums"),
+        )
+        .first()
+    )
+    return {"clean": row.clean, "emails": row.n_emails, "urls": row.n_urls, "nums": row.n_nums}
+
+
+def test_pii_multiple_and_adjacent_matches(spark):
+    got = _scrub(spark, "a@b.com c@d.org call 12345678 or 87654321")
+    assert got["clean"] == "<EMAIL> <EMAIL> call <NUM> or <NUM>"
+    assert (got["emails"], got["nums"]) == (2, 2)
+
+
+def test_pii_email_inside_url_consumed_by_email_pass_first(spark):
+    """Redaction order is part of the contract: the email pass rewrites
+    the query-param email first, then the URL pass consumes the whole
+    (space-free) remainder including the placeholder — one <URL>, and
+    the per-class counts still see each pattern in the ORIGINAL text."""
+    got = _scrub(spark, "see https://x.com/reset?u=bob@mail.com&k=12345678901 now")
+    assert got["clean"] == "see <URL> now"
+    assert (got["emails"], got["urls"], got["nums"]) == (1, 1, 1)
+
+
+def test_pii_short_digit_runs_survive(spark):
+    got = _scrub(spark, "room 404 of 123456 st")
+    assert got["clean"] == "room 404 of 123456 st"
+    assert got["nums"] == 0
+
+
+def test_repetition_extremes(spark):
+    """A fully-repeated doc fails both filters; a fully-distinct doc
+    passes both — thresholds sit strictly between the extremes."""
+    from etl_dag_spark.queries import SPARK_QUERIES
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam", "s", 40),
+            (2, "one two three four five six seven eight", "s", 40),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in SPARK_QUERIES["text_repetition_quality"](spark, tmp).collect()}
+    assert out[1].top_word_frac == 1.0
+    assert out[1].dup_2gram_frac == pytest.approx(6 / 7)
+    assert not out[1].keep
+    assert out[2].top_word_frac == pytest.approx(1 / 8)
+    assert out[2].dup_2gram_frac == 0.0
+    assert out[2].keep
+
+
+def test_contamination_flags_planted_overlap_and_caps_hot_grams(spark):
+    """doc 40 (eval: 40 % 20 == 0) shares a 4-gram run with doc 41
+    (train) → flagged; the df-capped stop-phrase shared by EVERY doc
+    contributes nothing."""
+    from etl_dag_spark.queries import SPARK_QUERIES
+    import tempfile, os
+
+    stop = "common filler phrase every doc has"
+    rows = []
+    # 80 docs share the stop phrase → its 4-grams have df=80 > the
+    # 50-doc cap and are excluded from candidate generation
+    for i in range(30, 110):
+        uniq = f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"
+        rows.append((i, f"{stop} {uniq}", "s", 1))
+    # plant: train doc 41 copies eval doc 40's unique run
+    rows[11] = (41, f"{stop} u40a u40b u40c u40d u40e u40f x41", "s", 1)
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = {
+        (r.train_doc_id, r.eval_doc_id): r.n_common
+        for r in SPARK_QUERIES["dedup_contamination"](spark, tmp).collect()
+    }
+    assert (41, 40) in got
+    assert got[(41, 40)] >= 2
+    # no other train doc shares ≥2 non-hot 4-grams with any eval doc
+    assert all(k == (41, 40) for k in got)
+
+
+def test_domain_mix_rates_converge(spark):
+    """Observed keep rate per source approaches the configured rate
+    (hash uniformity), and the decision is stable across runs."""
+    n = 4000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    for src in ("src0", "src1"):
+        thr = _MIX_THRESHOLDS[src]
+        kept = base.where((F.col("source") == src) & (hv < F.lit(thr))).count()
+        rate = kept / (n / 2)
+        want = thr / (1 << 32)
+        assert abs(rate - want) < 0.05, (src, rate, want)
