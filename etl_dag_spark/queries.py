@@ -2506,6 +2506,48 @@ def etl_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_rarity_score",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+cf AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+j AS (SELECT tk.doc_id, cf.c FROM tk JOIN cf USING (t))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(c) AS DOUBLE) / count(*) AS mean_token_freq,
+       CAST(min(c) AS BIGINT) AS min_token_freq
+FROM j GROUP BY 1
+""",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal (unigram-LM proxy): per
+    document, the mean and min corpus frequency of its tokens —
+    templated/boilerplate docs score high means, OCR-noise docs score
+    min=1. Integer-exact (BIGINT count sums, one final division), no
+    log() whose ulp behavior differs between engines.
+
+    Scale shape: the corpus frequency table is vocabulary-sized, so it
+    broadcasts back onto the exploded token stream (at 100 TB a
+    few-million-row vocab is still a broadcast); the only big shuffle
+    is the frequency groupBy itself, map-side combined to vocab size
+    per task."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("t"),
+    )
+    cf = tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tk.join(F.broadcast(cf), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_token_freq"),
+            F.min("c").cast("bigint").alias("min_token_freq"),
+        )
+    )
+
+
 # =====================================================================
 # 2c-ext (round 5): Q7/Q14/Q18-class OLAP breadth
 # =====================================================================
@@ -2658,8 +2700,8 @@ def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROTATE_TO_FRONT = [
     # new in round 5 — never driver-hashed
     "text_pii_scrub", "text_repetition_quality", "dedup_contamination",
-    "etl_pack_sequences", "etl_domain_mix", "olap_nation_trade",
-    "olap_promo_revenue", "olap_large_orders",
+    "etl_pack_sequences", "etl_domain_mix", "text_rarity_score",
+    "olap_nation_trade", "olap_promo_revenue", "olap_large_orders",
     # outside the r3/r4 window — due a driver hash this round
     "sql_revenue_by_category", "sql_top_customers", "text_normalize",
     "etl_dq_uniqueness", "etl_dq_referential", "dedup_cluster",
