@@ -141,3 +141,84 @@ def test_global_row_number_is_exact(spark, vals):
     }
     order = sorted(range(len(vals)), key=lambda i: (-vals[i], i))
     assert got == {i: r + 1 for r, i in enumerate(order)}
+
+
+# ------------------------------------------------- round-5 corpus ops
+
+def _scrub_col(col):
+    from etl_dag_spark.queries import _EMAIL_RE, _NUM_RE, _URL_RE
+
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _NUM_RE,
+        "<NUM>",
+    )
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc .@:/0123456789<>EMAILNURL-_%",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_scrub_is_idempotent(spark, texts):
+    """scrub(scrub(x)) == scrub(x): the placeholder tokens contain no
+    '@', 'http', or digit runs, so a second pass never rewrites —
+    required for safe pipeline re-runs on partially-clean data."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        _scrub_col(F.col("t")).alias("once"),
+        _scrub_col(_scrub_col(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r.once == r.twice
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True),
+    lo=st.integers(0, 99),
+    hi_delta=st.integers(1, 100),
+)
+@settings(**_SETTINGS)
+def test_domain_mix_keep_sets_are_monotone_in_weight(spark, ids, lo, hi_delta):
+    """The docs kept at rate w are a SUBSET of those kept at any rate
+    w' > w (same hash, higher threshold) — growing a source's budget
+    only adds documents, never churns previously-kept ones."""
+    hi = min(100, lo + hi_delta)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    thr_lo, thr_hi = (lo * (1 << 32)) // 100, (hi * (1 << 32)) // 100
+    kept_lo = {r.doc_id for r in df.where(hv < F.lit(thr_lo)).collect()}
+    kept_hi = {r.doc_id for r in df.where(hv < F.lit(thr_hi)).collect()}
+    assert kept_lo <= kept_hi
+
+
+@given(
+    tokens=st.lists(st.integers(1, 600), min_size=1, max_size=40),
+    cap=st.integers(8, 600),
+)
+@settings(**_SETTINGS)
+def test_pack_contiguous_matches_sequential_reference(spark, tokens, cap):
+    """Distributed contiguous packing == the trivial single-threaded
+    cumsum loop for any sizes, including docs bigger than the cap."""
+    from etl_dag_spark.operators.packing import pack_contiguous
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    got = {r.doc_id: r.bin_id for r in pack_contiguous(df, cap=cap).collect()}
+    cum, expected = 0, {}
+    for i, n in enumerate(tokens):
+        expected[i] = cum // cap
+        cum += n
+    assert got == expected
