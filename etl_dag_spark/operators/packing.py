@@ -29,8 +29,6 @@ dates) are the natural packing domain in a real corpus anyway.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -78,27 +76,26 @@ def pack_first_fit(
         f"{group_col} string, doc_id bigint, n_tokens bigint, bin_id bigint"
     )
 
-    def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            # decreasing size, doc_id tie-break: deterministic
-            pdf = pdf.sort_values(
-                ["n_tokens", "doc_id"], ascending=[False, True]
-            ).reset_index(drop=True)
-            bin_free: list[int] = []  # remaining capacity per bin
-            assigned = []
-            for n in pdf["n_tokens"]:
-                n = int(n)
-                for b, free in enumerate(bin_free):
-                    if free >= n:
-                        bin_free[b] = free - n
-                        assigned.append(b)
-                        break
-                else:
-                    # new bin; an over-cap doc gets a solo (negative-free) bin
-                    bin_free.append(cap - n)
-                    assigned.append(len(bin_free) - 1)
-            pdf["bin_id"] = pd.Series(assigned, dtype="int64")
-            yield pdf[[group_col, "doc_id", "n_tokens", "bin_id"]]
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # decreasing size, doc_id tie-break: deterministic
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_free: list[int] = []  # remaining capacity per bin
+        assigned = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for b, free in enumerate(bin_free):
+                if free >= n:
+                    bin_free[b] = free - n
+                    assigned.append(b)
+                    break
+            else:
+                # new bin; an over-cap doc gets a solo (negative-free) bin
+                bin_free.append(cap - n)
+                assigned.append(len(bin_free) - 1)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        return pdf[[group_col, "doc_id", "n_tokens", "bin_id"]]
 
     prepared = docs.select(
         F.col(group_col).cast("string").alias(group_col),
@@ -107,7 +104,4 @@ def pack_first_fit(
     )
     # applyInPandas over mapInPandas: the shuffle on group_col IS the
     # packing domain; each group arrives as one logical frame
-    return (
-        prepared.groupBy(group_col)
-        .applyInPandas(lambda pdf: next(pack(iter([pdf]))), schema=out_schema)
-    )
+    return prepared.groupBy(group_col).applyInPandas(pack, schema=out_schema)
