@@ -22,6 +22,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    cond: Column | str | list[str],
+    *,
+    bounded: bool,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a fact frame to a dimension, broadcasting ONLY when the
+    dimension is *provably bounded* — its row count independent of data
+    scale (nation, region, a generated date dim, a fixed country map,
+    a top-k/HAVING-survivor frame, per-partition offset rows).
+
+    An explicit ``F.broadcast()`` hint BYPASSES Spark's size check: on
+    a table that grows with scale factor (part, customer, supplier, a
+    distinct-key set of a fact column) the plan does not degrade to
+    sort-merge at 100 TB — it OOMs the executors. For those sides pass
+    ``bounded=False`` and leave the strategy to the optimizer: statistics
+    plus AQE still choose broadcast whenever the side actually fits
+    (``spark.sql.autoBroadcastJoinThreshold``), and fall back to
+    shuffle join when it does not. ``tests/test_plans.py``
+    (test_no_broadcast_hint_on_scaled_tables) asserts no registered plan
+    hints an SF-scaled scan.
+    """
+    return fact.join(F.broadcast(dim) if bounded else dim, cond, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -54,12 +54,13 @@ def pack_contiguous(
         value_col="n_tokens",
         out_col="__cum",
     )
+    # exact BIGINT integer division (matching the oracle's DIV), never
+    # a double quotient that could round across a bin boundary at
+    # 2^53-scale token offsets
     return cum.select(
         "doc_id",
         "n_tokens",
-        ((F.col("__cum") - F.col("n_tokens")) / F.lit(cap))
-        .cast("bigint")
-        .alias("bin_id"),
+        F.expr(f"(__cum - n_tokens) DIV {int(cap)}").alias("bin_id"),
     )
 
 

@@ -40,6 +40,47 @@ def top_n_with_rank(
     )
 
 
+def per_group_top_k(
+    df: DataFrame,
+    group_col: str,
+    order: list[Column],
+    k: int,
+    rank_col: str = "group_rank",
+    salt_col: Column | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exactly the ``k`` first rows per group under ``order``, with
+    their 1-based rank — ``row_number() OVER (PARTITION BY group ORDER
+    BY order) <= k`` — computed skew-safely in two phases.
+
+    A plain per-group window puts EVERY row of a group through one
+    task, so one hot group (a crawl's top host can be 1% of a 100 TB
+    corpus) serializes the stage. Phase 1 splits each group into
+    ``n_salts`` deterministic sub-groups and keeps each sub-group's
+    local top-k (any global top-k row is necessarily in its salt
+    bucket's top-k), bounding phase 2's per-group input at
+    ``k × n_salts`` rows regardless of group size. The final rank is
+    identical to the single-window formulation, so oracles stay exact.
+
+    ``order`` must be a total order within a group for determinism;
+    ``salt_col`` defaults to a modulus of the first order column (any
+    deterministic row-level expression works — correctness never
+    depends on salt balance, only phase-1 pruning efficiency does).
+    """
+    salt = salt_col if salt_col is not None else F.pmod(F.abs(F.hash(order[-1])), F.lit(n_salts))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order)
+    pre = (
+        df.withColumn("__salt", salt)
+        .withColumn("__lrn", F.row_number().over(w1))
+        .where(F.col("__lrn") <= k)
+        .drop("__salt", "__lrn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return pre.withColumn(rank_col, F.row_number().over(w2).cast("int")).where(
+        F.col(rank_col) <= k
+    )
+
+
 def _ranged_row_number(
     df: DataFrame, order: list[Column], num_partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:

@@ -150,13 +150,15 @@ GROUP BY p_brand
 )
 def bi_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total revenue per product category (BI_Questions.sql:1-10).
-    part-dim is broadcast; aggregation is map-side partial."""
+    part grows with SF, so no broadcast hint — the optimizer/AQE picks
+    broadcast while it fits and sort-merge beyond; agg is map-side
+    partial either way."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", star.revenue_cents().alias("rc")
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        joins.join_dim(li, pt, F.col("l_partkey") == F.col("p_partkey"), bounded=False)
         .groupBy(F.col("p_brand").alias("product_category"))
         .agg((F.sum("rc") / 100.0).alias("total_sales_revenue"))
     )
@@ -335,16 +337,20 @@ WHERE NOT EXISTS (
 def bi_customers_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS anti-join (sql_definitions.sql:133-139): customers
     present in orders with no purchase event. The distinct purchase-user
-    set is broadcast, so the orders side never shuffles."""
+    set scales with the user base, so it carries no broadcast hint —
+    AQE broadcasts the anti-join side while it fits and shuffles both
+    sides on the key beyond that."""
     orders = load_table(spark, sf_dir, "orders")
     events = load_events(spark, sf_dir)
     buyers = (
         events.where(F.col("event_type") == "purchase").select(F.col("user_id").alias("uid")).distinct()
     )
-    return (
-        orders.select(F.col("o_custkey").cast("bigint").alias("customer_id"))
-        .distinct()
-        .join(F.broadcast(buyers), F.col("customer_id") == F.col("uid"), "left_anti")
+    return joins.join_dim(
+        orders.select(F.col("o_custkey").cast("bigint").alias("customer_id")).distinct(),
+        buyers,
+        F.col("customer_id") == F.col("uid"),
+        bounded=False,
+        how="left_anti",
     )
 
 
@@ -409,7 +415,8 @@ LIMIT 10
 )
 def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-class: selective dim filter → 3-way join → agg → top-10.
-    Customer filter is broadcast; top-10 is TakeOrderedAndProject."""
+    The filtered customer side scales with SF (unbounded, no hint);
+    top-10 is TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = load_table(spark, sf_dir, "orders").where(
         F.date_format("o_orderdate", "yyyy-MM-dd") < "1997-01-01"
@@ -418,7 +425,7 @@ def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM-dd") > "1997-01-01"
     ).select("l_orderkey", star.revenue_cents().alias("rc"))
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        joins.join_dim(o, c, F.col("o_custkey") == F.col("c_custkey"), bounded=False)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
@@ -905,15 +912,19 @@ GROUP BY CUBE (r_name, n_name)
 )
 def olap_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (region, nation): every subtotal combination in one
-    pass — Catalyst expands the grouping sets, dims broadcast."""
+    pass — Catalyst expands the grouping sets. nation/region are truly
+    bounded dims (broadcast); customer scales with SF, so its join
+    strategy is left to the optimizer."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", star.cents("o_totalprice").alias("tc"))
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    joined = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    joined = joins.join_dim(
+        joins.join_dim(
+            joins.join_dim(o, c, F.col("o_custkey") == F.col("c_custkey"), bounded=False),
+            n, F.col("c_nationkey") == F.col("n_nationkey"), bounded=True,
+        ),
+        r, F.col("n_regionkey") == F.col("r_regionkey"), bounded=True,
     )
     return (
         joined.cube(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -994,7 +1005,7 @@ def olap_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", star.revenue_cents().alias("rc"))
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     pr = (
-        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        joins.join_dim(li, pt, F.col("l_partkey") == F.col("p_partkey"), bounded=False)
         .groupBy("p_brand", "l_partkey")
         .agg(F.sum("rc").alias("rc"))
     )
@@ -1554,9 +1565,10 @@ FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
 """,
 )
 def etl_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: orphan-row count per foreign key via
-    broadcast anti-joins (the dim key set broadcasts; the fact side
-    never shuffles)."""
+    """Referential-integrity audit: orphan-row count per foreign key.
+    The dim primary-key sets grow with SF, so the anti-joins carry no
+    broadcast hint — the optimizer broadcasts while a key set fits and
+    shuffles on the key beyond that."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1564,9 +1576,13 @@ def etl_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fact: DataFrame, fk: F.Column, dim: DataFrame, pk: str, label: str) -> DataFrame:
         return (
-            fact.select(fk.alias("__fk"))
-            .join(F.broadcast(dim.select(F.col(pk).alias("__pk")).distinct()),
-                  F.col("__fk") == F.col("__pk"), "left_anti")
+            joins.join_dim(
+                fact.select(fk.alias("__fk")),
+                dim.select(F.col(pk).alias("__pk")).distinct(),
+                F.col("__fk") == F.col("__pk"),
+                bounded=False,
+                how="left_anti",
+            )
             .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
             .select(F.lit(label).alias("fk"), "orphan_rows")
         )
@@ -2030,9 +2046,11 @@ GROUP BY n_name
 )
 def olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 class: revenue where customer and supplier share a
-    nation — a 5-way join whose dims all broadcast, leaving ONE fact
-    shuffle (lineitem⋈orders on orderkey); the local-supplier predicate
-    evaluates inside the join, and the aggregation partials map-side."""
+    nation — a 5-way join with ONE fact shuffle (lineitem⋈orders on
+    orderkey). Only nation is provably bounded (broadcast hint);
+    customer/supplier scale with SF, so the optimizer picks their
+    strategy. The local-supplier predicate evaluates inside the join
+    and the aggregation partials map-side."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", star.revenue_cents().alias("rc")
     )
@@ -2041,9 +2059,13 @@ def olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        joins.join_dim(
+            joins.join_dim(
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
+                c, F.col("o_custkey") == F.col("c_custkey"), bounded=False,
+            ),
+            s, F.col("l_suppkey") == F.col("s_suppkey"), bounded=False,
+        )
         .where(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
@@ -2095,8 +2117,12 @@ def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_returned"),
         )
     )
+    # the 20-row top-k frame is the bounded side — broadcast IT into the
+    # customer scan, never the full (SF-scaled) customer table
     top = agg.orderBy(F.col("lost_cents").desc(), F.col("o_custkey")).limit(20)
-    return top.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+    return joins.join_dim(
+        c, top, F.col("c_custkey") == F.col("o_custkey"), bounded=True
+    ).select(
         F.col("c_custkey").cast("bigint").alias("customer_id"),
         F.col("c_name").alias("customer_name"),
         (F.col("lost_cents") / 100.0).alias("returned_revenue"),
@@ -2506,6 +2532,50 @@ def etl_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOST_CAP = 40
+
+
+@register(
+    "etl_host_cap",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rn AS INT) AS host_rank
+FROM r WHERE rn <= {_HOST_CAP}
+""",
+)
+def etl_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host/source document cap (the Common-Crawl pattern: no single
+    host may dominate the corpus): keep at most ``_HOST_CAP`` documents
+    per source, selected by deterministic hash rank — the same
+    content-keyed md5 ordering as ``etl_domain_mix``, so re-running on
+    a grown corpus keeps prior survivors stable (a doc is only evicted
+    when enough lower-hash docs from its host arrive).
+
+    Scale shape: computed via :func:`windows.per_group_top_k`'s
+    two-phase salted top-k, so a hot host (1% of a 100 TB crawl on one
+    domain) is pre-pruned to cap×n_salts rows per host before the final
+    per-host rank — no reducer ever sees a whole hot host."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    h = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", hv.alias("hv")
+    )
+    return win.per_group_top_k(
+        h, "source", [F.col("hv"), F.col("doc_id")], _HOST_CAP, rank_col="host_rank"
+    ).select("doc_id", "source", "host_rank")
+
+
 @register(
     "text_rarity_score",
     oracle=f"""
@@ -2570,9 +2640,10 @@ GROUP BY 1, 2, 3
 )
 def olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-class: cross-nation trade volume by year between every
-    (supplier-nation, customer-nation) pair. The two nation dims
-    broadcast; the lineitem⋈orders fact join shuffles once on orderkey
-    and everything else is map-side."""
+    (supplier-nation, customer-nation) pair. The two nation dims are
+    bounded (broadcast); supplier/customer scale with SF so their join
+    strategy is the optimizer's; the lineitem⋈orders fact join shuffles
+    once on orderkey."""
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -2585,9 +2656,13 @@ def olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        joins.join_dim(
+            joins.join_dim(
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
+                s, F.col("l_suppkey") == F.col("s_suppkey"), bounded=False,
+            ),
+            c, F.col("o_custkey") == F.col("c_custkey"), bounded=False,
+        )
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -2610,9 +2685,9 @@ GROUP BY 1
 )
 def olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-class: promotional revenue share per ship month — the
-    conditional-aggregate ratio pattern. part broadcasts; one shuffle
-    on the month key; the ratio is a single BIGINT/BIGINT division in
-    DOUBLE (deterministic under any partitioning)."""
+    conditional-aggregate ratio pattern. part scales with SF (no hint);
+    one shuffle on the month key; the ratio is a single BIGINT/BIGINT
+    division in DOUBLE (deterministic under any partitioning)."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -2620,7 +2695,7 @@ def olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         star.revenue_cents().alias("rc"),
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        joins.join_dim(li, p, F.col("l_partkey") == F.col("p_partkey"), bounded=False)
         .groupBy("ship_month")
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", F.col("rc")).otherwise(F.lit(0))).alias("pc"),
@@ -2691,27 +2766,29 @@ def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``queries()`` in dict order. Oracle-backed queries (value-hash
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
-# (recall/tolerance/agreement). 57 queries are oracled but the window
-# holds 50, so each round the oracled group is rotated: the 7 that sat
-# outside the previous round's window go first, maximizing cumulative
-# cross-round hash evidence (everything rotated out is hash-green in
-# CORRECTNESS_r03 AND r04). Re-keying here preserves source order
-# without moving 2000 lines.
+# (recall/tolerance/agreement). More queries are oracled than the
+# window holds (67 oracled as of round 6), so each round the oracled
+# group is rotated: whatever sat outside the previous round's window
+# goes first, maximizing cumulative cross-round hash evidence
+# (everything rotated out this round is hash-green in
+# CORRECTNESS_r05). Re-keying here preserves source order without
+# moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # new in round 5 — never driver-hashed
-    "text_pii_scrub", "text_repetition_quality", "dedup_contamination",
-    "etl_pack_sequences", "etl_domain_mix", "text_rarity_score",
-    "olap_nation_trade", "olap_promo_revenue", "olap_large_orders",
-    # outside the r3/r4 window — due a driver hash this round
-    "sql_revenue_by_category", "sql_top_customers", "text_normalize",
-    "etl_dq_uniqueness", "etl_dq_referential", "dedup_cluster",
-    "pipeline_corpus_clean",
-    # red in r4 on the events-loader bug — keep in-window to prove the fix
-    "bi_customers_no_purchase", "olap_sessionize",
-    "stream_windowed_counts", "olap_pivot_events", "olap_percentiles",
-    "olap_asof_join", "olap_range_join", "olap_session_windows",
-    "etl_upsert_latest", "olap_rolling_7d", "stream_json_props",
-    "etl_scd2_history", "olap_grouping_sets", "olap_value_moments",
+    # outside the r5 window — last driver hash is r3/r4; due this round
+    "bi_yoy_growth", "etl_country_fuzzy", "etl_profile_orders",
+    "etl_value_histogram", "olap_above_customer_avg", "olap_cube_sales",
+    "olap_local_supplier_volume", "olap_ntile_quartiles",
+    "olap_order_count_distribution", "olap_order_id_list",
+    "olap_priority_shipping", "olap_returned_items", "olap_set_ops",
+    "olap_topk_per_group", "text_bpe_tokens", "text_fingerprint",
+    # new in round 6 — never driver-hashed
+    "etl_host_cap",
+    # broadcast hints size-gated this round (What's wrong #1) — keep
+    # the touched OLAP/BI/DQ queries in-window to prove the de-hinting
+    # changed no values
+    "bi_revenue_by_category", "bi_customers_no_purchase",
+    "olap_shipping_priority", "etl_dq_referential", "olap_nation_trade",
+    "olap_promo_revenue",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

