@@ -1,7 +1,17 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line.
+
+The driver's artifact capture keeps only the LAST ~2000 characters of
+bench output, so the printed line must be complete within that budget
+or the recorded parse is null (round-5 finding: the head of a 2.3 KB
+flat line was cut, losing the alphabetically-first timings). A flat
+{full_name: sec} dict of 80+ queries cannot fit — the name mass alone
+is ~1.5 KB — so the line carries the totals first and the per-query
+timings grouped by name prefix (loss-free: "olap" + "set_ops" ↔
+"olap_set_ops"), 2-decimal rounded. The full flat dict is additionally
+written to BENCH_local.json in the repo root, which the driver commits
+with the round.
 
 Queries execute through the noop sink (full materialization, no
 driver-side collect) — the fair measure of plan execution cost.
@@ -11,10 +21,23 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the scale-smoke subset: one scan-agg, two shuffle-join OLAP classes,
+# one multi-dim-join class, one explode-heavy text query — the shapes
+# whose cost must scale ~linearly with data volume
+SF1_QUERIES = [
+    "olap_pricing_summary",
+    "bi_revenue_by_category",
+    "olap_shipping_priority",
+    "olap_local_supplier_volume",
+    "text_rarity_score",
+]
 
 
 def skew_scenario(spark, sf_dir: str, timings: dict[str, float]) -> None:
@@ -37,13 +60,12 @@ def skew_scenario(spark, sf_dir: str, timings: dict[str, float]) -> None:
     The fact is pre-materialized to parquet so the timed region is the
     join, not the generator.
     """
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from etl_dag_spark.operators.skew import salted_join
 
-    fact_path = os.path.join(tempfile.mkdtemp(prefix="bench_skew_"), "fact")
+    tmp = tempfile.mkdtemp(prefix="bench_skew_")
+    fact_path = os.path.join(tmp, "fact")
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     (
         li.select("l_orderkey", "l_quantity")
@@ -94,9 +116,84 @@ def skew_scenario(spark, sf_dir: str, timings: dict[str, float]) -> None:
             for k, v in olds.items():
                 spark.conf.set(k, v)
 
-    run("skew_join_unmitigated", lambda: fact.join(dim, "k"), aqe=False)
-    run("skew_join_salted", lambda: salted_join(fact, dim, "k"), aqe=False)
-    run("skew_join_aqe", lambda: fact.join(dim, "k"), aqe=True, tuned=True)
+    try:
+        run("skew_join_unmitigated", lambda: fact.join(dim, "k"), aqe=False)
+        run("skew_join_salted", lambda: salted_join(fact, dim, "k"), aqe=False)
+        run("skew_join_aqe", lambda: fact.join(dim, "k"), aqe=True, tuned=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# per-table join-key columns: each replica copy offsets its keys by
+# copy_index × 10^9, so within-copy join relationships are preserved
+# and the replicated corpus behaves like a genuinely larger SF (joins
+# match 1:1 per copy; no cross-copy key collisions)
+_SF1_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+}
+
+
+def sf1_smoke(spark, sf_dir: str, timings: dict[str, float]) -> dict:
+    """10× scale probe: replicate the sf0.1 tables to ~sf1 with
+    key-offset copies, run the headline-query subset once, and report
+    the wall-clock ratio vs the same queries at sf0.1. A healthy plan
+    set scales ≤ ~15× for 10× data on fixed cores (superlinear = a
+    broadcast that stopped fitting, a shuffle spill, or an O(n²)
+    candidate blowup — the failure modes a real cluster would hit
+    before sf100)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.queries import SPARK_QUERIES
+
+    tmp = tempfile.mkdtemp(prefix="bench_sf1_")
+    try:
+        for t, keys in _SF1_KEYS.items():
+            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            rep = df.withColumn(
+                "__i", F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(9).cast("bigint")))
+            )
+            for k in keys:
+                rep = rep.withColumn(
+                    k, F.col(k).cast("bigint") + F.col("__i") * F.lit(10**9).cast("bigint")
+                )
+            rep.drop("__i").write.mode("overwrite").parquet(
+                os.path.join(tmp, f"{t}.parquet")
+            )
+        for t in ("nation", "region"):  # bounded dims: copy as-is
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, f"{t}.parquet"))
+
+        per_q: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            t0 = time.time()
+            SPARK_QUERIES[name](spark, tmp).write.format("noop").mode("overwrite").save()
+            per_q[name] = round(time.time() - t0, 3)
+        sf1_total = round(sum(per_q.values()), 3)
+        sf01_total = round(sum(timings[n] for n in SF1_QUERIES), 3)
+        ratio = round(sf1_total / sf01_total, 2) if sf01_total else None
+        return {
+            "queries": per_q,
+            "sf01_total": sf01_total,
+            "total": sf1_total,
+            "ratio": ratio,
+            "ok": ratio is not None and ratio <= 15.0,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def grouped_by_prefix(timings: dict[str, float]) -> dict[str, dict[str, float]]:
+    out: dict[str, dict[str, float]] = {}
+    for name in sorted(timings):
+        pre, _, rest = name.partition("_")
+        out.setdefault(pre, {})[rest] = round(timings[name], 2)
+    return out
 
 
 def main() -> None:
@@ -133,19 +230,40 @@ def main() -> None:
             release_persisted()
 
     skew_scenario(spark, sf_dir, timings)
+    sf1 = (
+        sf1_smoke(spark, sf_dir, timings)
+        if os.environ.get("SPARK_GRAFT_SF1_SMOKE", "1") != "0"
+        else None
+    )
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "all_queries_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        # slim in the printed line; the per-query sf1 timings live in
+        # BENCH_local.json
+        "sf1_smoke": (
+            {k: sf1[k] for k in ("sf01_total", "total", "ratio", "ok")} if sf1 else None
+        ),
+        "queries_by_prefix": grouped_by_prefix(timings),
+        "queries_full": "BENCH_local.json",
+    }
+    # full-precision flat copy, committed with the round by the driver
+    local = dict(payload, queries=timings, sf1_smoke=sf1, queries_by_prefix=None)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        json.dump(local, f, indent=1, sort_keys=True)
+
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1980:  # stay inside the driver's ~2000-char tail capture
+        payload["queries_by_prefix"] = {
+            p: {n: round(v, 1) for n, v in grp.items()}
+            for p, grp in payload["queries_by_prefix"].items()
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -19,6 +19,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -144,25 +145,20 @@ def minhash_signatures(
     return sh_rows.groupBy("doc_id").agg(*mins)
 
 
-def minhash_lsh_pairs(
+def minhash_band_buckets(
     documents: DataFrame,
     n: int = 3,
     k: int = 64,
     bands: int = 16,
-    threshold: float = 0.8,
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + exact Jaccard verification.
-
-    → (doc_id_a, doc_id_b, jaccard) — same contract as
-    :func:`ngram_jaccard_pairs`, but candidates come from LSH band
-    buckets, so the shuffle is O(docs × bands) instead of the inverted
-    index's O(docs × shingles). With k=64, bands=16 (r=4) the collision
-    probability at jaccard 0.8 is ≈ 1−(1−0.8⁴)¹⁶ ≈ 0.9997.
-    """
+    """LSH band buckets as rows: (doc_id, band, bucket) — ``bands``
+    rows per document, where ``bucket`` hashes the band's slice of the
+    MinHash signature. The banded layout is both the candidate-join key
+    and the natural bucketed-storage layout for a persistent signature
+    store (:func:`incremental_minhash_dedup`)."""
     rows_per_band = k // bands
     sig = minhash_signatures(
         documents, n=n, k=k, seed=seed, id_col=id_col, text_col=text_col
@@ -182,9 +178,34 @@ def minhash_lsh_pairs(
         )
         for i in range(bands)
     ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    return sig.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.array(*band_structs)).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    → (doc_id_a, doc_id_b, jaccard) — same contract as
+    :func:`ngram_jaccard_pairs`, but candidates come from LSH band
+    buckets, so the shuffle is O(docs × bands) instead of the inverted
+    index's O(docs × shingles). With k=64, bands=16 (r=4) the collision
+    probability at jaccard 0.8 is ≈ 1−(1−0.8⁴)¹⁶ ≈ 0.9997.
+    """
+    banded = minhash_band_buckets(
+        documents, n=n, k=k, bands=bands, seed=seed, id_col=id_col, text_col=text_col
+    )
 
     # cap pathological buckets (stop-phrase storms) — required at scale
     w = Window.partitionBy("band", "bucket")
@@ -295,7 +316,195 @@ def cluster_pairs(
     )
 
 
-# --------------------------------------------------------------- SimHash
+# ------------------------------------------- incremental dedup w/ store
+
+
+def greedy_earliest_survivors(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Deterministic sequential-greedy dedup decision, distributed:
+    processing nodes in ascending id order, a node is DROPPED iff it
+    matches some earlier node that itself SURVIVED — the lexicographic
+    greedy maximal independent set of the match graph. This is the rule
+    that makes incremental dedup split-invariant: the survivor set of
+    ``A ∪ B`` (ids of A below B) equals survivors(A) followed by
+    survivors(B given survivors(A)'s store).
+
+    ``edges``: (u, v) matches with u < v. ``nodes``: one ``node`` column.
+    → (node, keep).
+
+    Fixed-point iteration (no driver graph state): a node becomes KEEP
+    when every smaller-id neighbor is DROP (or it has none), DROP when
+    any smaller-id neighbor is KEEP; rounds needed = longest dependency
+    chain (near-dup chains are short — 2-3 in practice). Frontier
+    frames stay lazily checkpointed so each round's plan is flat, not a
+    replay of every prior join (the round-1 hierarchy lesson).
+    """
+    # state: 0 = undecided, 1 = keep, -1 = drop
+    e = edges.select(F.col("u").cast("bigint").alias("u"), F.col("v").cast("bigint").alias("v"))
+    e = e.localCheckpoint(eager=False)
+    states = nodes.select(F.col("node").cast("bigint").alias("node")).withColumn(
+        "state", F.lit(0)
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        n_undec = states.where(F.col("state") == 0).count()
+        if n_undec == 0:
+            break
+        pred = (
+            e.join(states.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.max((F.col("state") == 1).cast("int")).alias("any_keep"),
+                F.max((F.col("state") == 0).cast("int")).alias("any_undec"),
+            )
+        )
+        states = (
+            states.join(pred, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("state") != 0, F.col("state"))
+                .when(F.coalesce(F.col("any_keep"), F.lit(0)) == 1, F.lit(-1))
+                .when(F.coalesce(F.col("any_undec"), F.lit(0)) == 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("state"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(f"greedy survivor fixpoint not reached in {max_iter} rounds")
+    return states.select("node", (F.col("state") == 1).alias("keep"))
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_table: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    min_band_matches: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_store_buckets: int = 16,
+    append: bool = True,
+    path: str | None = None,
+) -> DataFrame:
+    """Deduplicate a NEW batch of documents against a persisted MinHash
+    signature store, then append the survivors' signatures — the
+    production LLM-ingest shape: the corpus arrives in batches forever,
+    and full-corpus re-deduplication at 100 TB is not an option.
+
+    The store (``store_table``) is a bucketed parquet table of LSH band
+    buckets (doc_id, band, bucket), ``bucketBy(n_store_buckets, band,
+    bucket)`` via the same mechanism as
+    :func:`sources.sinks.overwrite_bucketed_table` — so the
+    candidate-generation join reads the store WITHOUT an Exchange on
+    the store side (asserted in tests/test_incremental_dedup.py); only
+    the (small) new batch shuffles to the bucket layout.
+
+    Match rule: two docs match when ≥ ``min_band_matches`` of their
+    ``bands`` band buckets collide — a pure signature-store decision
+    (no shingle re-verification, so the store never keeps text).
+    Expected collisions at Jaccard J are bands·J^(k/bands); defaults
+    (16 bands × 4 rows, ≥3) fire w.h.p. above J≈0.75 and almost never
+    below J≈0.5. Integer-exact, so engine- and order-deterministic.
+
+    Decision rule within and across batches is the sequential greedy of
+    :func:`greedy_earliest_survivors` — matching a store doc drops the
+    new doc outright (store docs are survivors by construction, i.e.
+    already KEEP); in-batch matches resolve in ascending id order.
+    Batch-split invariance — dedup(A∪B) == dedup(A) then dedup(B) for
+    id-ordered splits — is proven in the test module.
+
+    Returns (doc_id, keep, matched_store); survivors' band buckets are
+    appended to the store when ``append``.
+    """
+    spark = new_docs.sparkSession
+    nb = minhash_band_buckets(
+        new_docs, n=n, k=k, bands=bands, seed=seed, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+
+    if not spark.catalog.tableExists(store_table):
+        # the session catalog is in-memory: a table written by a PRIOR
+        # session is invisible to tableExists, but its files still sit
+        # at the table location and block creation — clear the stale
+        # location before bootstrapping. ``path`` makes the store an
+        # external table (location independent of the session's
+        # warehouse dir / cwd writability).
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = path or os.path.join(
+            urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "spark-warehouse",
+            store_table.lower(),
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+        empty = spark.createDataFrame([], "doc_id bigint, band int, bucket bigint")
+        writer = empty.write.mode("overwrite").bucketBy(n_store_buckets, "band", "bucket")
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.format("parquet").saveAsTable(store_table)
+    store = spark.table(store_table)
+
+    store_hits = (
+        nb.join(
+            store.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("__sid")),
+            ["band", "bucket"],
+        )
+        .groupBy("doc_id", "__sid")
+        .agg(F.count(F.lit(1)).alias("nb_match"))
+        .where(F.col("nb_match") >= min_band_matches)
+        .select("doc_id")
+        .distinct()
+    )
+
+    l, r = nb.alias("l"), nb.alias("r")
+    batch_edges = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("u"), F.col("r.doc_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nb_match"))
+        .where(F.col("nb_match") >= min_band_matches)
+        .select("u", "v")
+    )
+
+    ids = new_docs.select(F.col(id_col).cast("bigint").alias("node")).distinct()
+    # store-matched docs are DROP before the in-batch greedy starts:
+    # fold them in as an edge from a virtual always-KEEP node by
+    # removing them from the undecided set entirely
+    store_dropped = store_hits.select(F.col("doc_id").alias("node"))
+    undecided = ids.join(store_dropped, "node", "left_anti")
+    # edges between two store-dropped docs are irrelevant; edges FROM a
+    # store-dropped doc must not drop its in-batch successors (the
+    # earlier doc did not survive), so prune edges to undecided×undecided
+    batch_edges = (
+        batch_edges.join(undecided.withColumnRenamed("node", "u"), "u")
+        .join(undecided.withColumnRenamed("node", "v"), "v")
+    )
+    decided = greedy_earliest_survivors(batch_edges, undecided)
+
+    result = (
+        ids.join(store_dropped.withColumn("__sd", F.lit(True)), "node", "left")
+        .join(decided.withColumnRenamed("keep", "__gk"), "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("__gk"), F.lit(False)).alias("keep"),
+            F.coalesce(F.col("__sd"), F.lit(False)).alias("matched_store"),
+        )
+    )
+
+    if append:
+        # materialize BEFORE appending: the result plan reads the store
+        # table, and a lazy consumer executing after the append would
+        # otherwise see this batch's own survivors as store matches
+        result = result.localCheckpoint(eager=True)
+        survivors = result.where(F.col("keep")).select("doc_id")
+        nb.join(survivors, "doc_id").write.mode("append").bucketBy(
+            n_store_buckets, "band", "bucket"
+        ).format("parquet").saveAsTable(store_table)
+    return result
 
 
 def simhash_signatures(
@@ -338,25 +547,20 @@ def simhash_signatures(
     return bitsums.select("doc_id", *band_cols)
 
 
-def simhash_pairs(
-    documents: DataFrame,
-    max_hamming: int = 3,
-    bands: int = 4,
-    bits_per_band: int = 16,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def banded_hamming_pairs(
+    sig: DataFrame,
+    bands: int,
+    max_hamming: int,
     max_bucket_size: int = 2000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share at least one identical
-    band (any pair with hamming ≤ bands−1 is guaranteed to collide by
-    pigeonhole), verified by full hamming distance ≤ ``max_hamming``.
+    """Near-dup pairs over any banded bit signature (doc_id, b0..b{bands-1}):
+    candidates share at least one identical band (any pair with hamming
+    ≤ bands−1 is guaranteed to collide by pigeonhole), verified by full
+    hamming distance ≤ ``max_hamming``. Shared by SimHash (text) and
+    pHash (image) — the candidate volume is bucket-bounded either way.
 
     → (doc_id_a, doc_id_b, hamming)
     """
-    sig = simhash_signatures(
-        documents, bands=bands, bits_per_band=bits_per_band,
-        id_col=id_col, text_col=text_col,
-    )
     band_structs = [
         F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
         for i in range(bands)
@@ -396,4 +600,27 @@ def simhash_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits_per_band: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash over text: banded candidates + hamming
+    verify via :func:`banded_hamming_pairs`.
+
+    → (doc_id_a, doc_id_b, hamming)
+    """
+    sig = simhash_signatures(
+        documents, bands=bands, bits_per_band=bits_per_band,
+        id_col=id_col, text_col=text_col,
+    )
+    return banded_hamming_pairs(
+        sig, bands=bands, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )

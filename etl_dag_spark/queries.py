@@ -671,6 +671,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+@register("dedup_incremental")  # stateful multi-step → rows-only; invariance in pytest
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup against a PERSISTED bucketed signature
+    store (operators/dedup.py::incremental_minhash_dedup) — the
+    production LLM-ingest shape: the corpus arrives batch by batch and
+    each batch dedups against everything kept so far, never re-reading
+    the full corpus. Here the documents table arrives as two id-ordered
+    halves; the result is both halves' keep decisions. Batch-split
+    invariance (== one-shot dedup of the union) and the shuffle-free
+    store-side bucket join are pinned in tests/test_incremental_dedup.py.
+
+    Reference analogy: the truncate-and-load warehouse pattern
+    (ETL_DAG.py:206-229) turned into its append-only streaming twin."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = "incr_dedup_store_q"
+    # external-table location under tmp: the driver session's cwd (and
+    # thus its default warehouse dir) is not ours to write
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_incr_store_q")
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+    mid = d.agg(F.max("doc_id")).first()[0] // 2
+    first = dd.incremental_minhash_dedup(d.where(F.col("doc_id") <= mid), store, path=loc)
+    second = dd.incremental_minhash_dedup(d.where(F.col("doc_id") > mid), store, path=loc)
+    return first.unionByName(second)
+
+
 @register("dedup_simhash")  # approximate → rows-only driver check; recall in pytest
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 64 bits), banded LSH
@@ -887,6 +915,25 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the Arrow-batched metadata/decode-stub extractor."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_meta(attach_binary_payload(docs))
+
+
+@register("mm_phash_dedup")  # perceptual hash over decode stub → rows-only; planted dups in pytest
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality dedup end-to-end: binary payload → pHash
+    (real DCT/median-threshold math over the stubbed decode raster,
+    operators/multimodal.py::phash_signatures) → banded-hamming
+    candidate pairs (shared with SimHash) → connected-component
+    clusters with a canonical keeper per cluster. The whole dedup
+    family — signatures, bucketed candidates, verification, clustering
+    — thereby covers the image modality with the same scale shape as
+    text: O(docs × bands) shuffle, bucket-bounded candidates, no
+    payload bytes in any shuffle after the signature map."""
+    from etl_dag_spark.operators.multimodal import PHASH_BANDS, phash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = phash_signatures(attach_binary_payload(docs))
+    pairs = dd.banded_hamming_pairs(sig, bands=PHASH_BANDS, max_hamming=8)
+    return dd.cluster_pairs(pairs, docs).orderBy("doc_id")
 
 
 # =====================================================================

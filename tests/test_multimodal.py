@@ -51,3 +51,49 @@ def test_extract_is_distributed(spark):
     out = extract_media_meta(attach_binary_payload(docs))
     assert out.count() == 500
     assert out.where("n_bytes != 2 * (doc_id % 97)").count() == 0
+
+
+def test_phash_identical_payloads_hash_identically(spark):
+    from etl_dag_spark.operators.multimodal import phash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox " * 30), (2, "the quick brown fox " * 30)],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in phash_signatures(
+        attach_binary_payload(docs)
+    ).collect()}
+    assert sig[1] == sig[2]
+
+
+def test_phash_dedup_finds_planted_image_dups(spark):
+    """End-to-end image dedup: near-identical payloads (a few appended
+    bytes — the stub raster keeps the shared prefix) land in one
+    cluster; unrelated payloads stay apart."""
+    from etl_dag_spark.operators.dedup import banded_hamming_pairs, cluster_pairs
+    from etl_dag_spark.operators.multimodal import PHASH_BANDS, phash_signatures
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        body = " ".join(
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(5)) for _ in range(120)
+        )
+        rows.append((i, body))
+        rows.append((1000 + i, body + " zz"))  # planted near-dup of i
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = phash_signatures(attach_binary_payload(docs))
+    pairs = banded_hamming_pairs(sig, bands=PHASH_BANDS, max_hamming=8)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    planted = {(i, 1000 + i) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted-pair recall {recall}"
+    # precision: at most a few accidental cross-document collisions
+    assert len(got - planted) <= 4, sorted(got - planted)[:10]
+
+    clusters = cluster_pairs(pairs, docs)
+    canon = clusters.where("is_canonical").count()
+    # ~40 clusters of 2 (+ any unpaired docs standing alone)
+    assert canon <= 80 - int(0.9 * 40)
