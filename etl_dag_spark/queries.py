@@ -2806,6 +2806,208 @@ def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate
+)
+GROUP BY 1
+""",
+)
+def olap_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-class: orders per priority having at least one lineitem
+    shipped after the order date — the correlated-EXISTS pattern, which
+    Spark plans as a LEFT SEMI join (each order tested once, no dup
+    multiplication from multi-lineitem orders); both sides are facts,
+    so the join shuffles on orderkey and the priority agg is map-side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@register(
+    "olap_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_REV_CENTS_SQL}) AS total_cents
+  FROM lineitem
+  WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1996-01-01'
+    AND strftime(l_shipdate, '%Y-%m-%d') < '1996-04-01'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       total_cents / 100.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM rev)
+""",
+)
+def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-class: the supplier(s) with maximum revenue in a
+    quarter — the view + scalar-max-subquery pattern. The revenue view
+    aggregates once; the global max rides back in as a broadcast 1-row
+    frame; only the max-revenue survivors (ties) reach the supplier
+    join, so THEY are the broadcast side, never the SF-scaled supplier
+    table."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.date_format("l_shipdate", "yyyy-MM-dd") >= "1996-01-01")
+        & (F.date_format("l_shipdate", "yyyy-MM-dd") < "1996-04-01")
+    ).select("l_suppkey", star.revenue_cents().alias("rc"))
+    rev = li.groupBy("l_suppkey").agg(F.sum("rc").alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("__mx"))
+    best = joins.join_dim(rev, mx, F.col("total_cents") == F.col("__mx"), bounded=True).drop(
+        "__mx"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return joins.join_dim(
+        s, best, F.col("s_suppkey") == F.col("l_suppkey"), bounded=True
+    ).select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        (F.col("total_cents") / 100.0).alias("total_revenue"),
+    )
+
+
+@register(
+    "olap_small_qty_revenue",
+    oracle=f"""
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_quantity AS BIGINT)) AS qsum,
+         count(*) AS qcnt
+  FROM lineitem GROUP BY 1
+)
+SELECT sum({_REV_CENTS_SQL}) / 100.0 AS small_qty_revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE CAST(l_quantity AS BIGINT) * qcnt * 5 < qsum
+""",
+)
+def olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-class: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the correlated-average
+    threshold, decorrelated into an aggregate + join-back. The
+    threshold compare is pure integer arithmetic (q·cnt·5 < Σq), never
+    a float average, so both engines decide every boundary row
+    identically. The per-part aggregate is part-sized (SF-scaled) —
+    no broadcast hint; one shuffle on partkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        star.revenue_cents().alias("rc"),
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("q").alias("qsum"), F.count(F.lit(1)).alias("qcnt")
+    )
+    return (
+        joins.join_dim(li, pa, F.col("l_partkey") == F.col("pk"), bounded=False)
+        .where(F.col("q") * F.col("qcnt") * 5 < F.col("qsum"))
+        .agg(
+            (F.sum("rc") / 100.0).alias("small_qty_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "olap_disjunctive_revenue",
+    oracle=f"""
+SELECT sum({_REV_CENTS_SQL}) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def olap_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-class: revenue under a 3-arm disjunction of
+    (brand, size, quantity) conditions. The per-side conjuncts
+    (quantity ranges on lineitem, brand/size on part) are
+    OR-factorable, and Catalyst pushes the derived per-table
+    disjunctions below the join into BOTH parquet scans (the raw
+    l_quantity column is compared, not a cast — a cast blocks parquet
+    pushdown) — the plan property that keeps a predicate like this
+    from scanning 100 TB; test_plans.py pins it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", star.revenue_cents().alias("rc")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arms = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        joins.join_dim(li, p, F.col("l_partkey") == F.col("p_partkey"), bounded=False)
+        .where(arms)
+        .agg(
+            (F.sum("rc") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "olap_dormant_customers",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents, c_custkey, c_nationkey
+  FROM customer WHERE c_acctbal > 0.0
+),
+thr AS (SELECT sum(bal_cents) AS s, count(*) AS n FROM pos)
+SELECT CAST(c_nationkey AS INT) AS nation_key,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       sum(bal_cents) / 100.0 AS total_acctbal
+FROM pos, thr
+WHERE bal_cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""",
+)
+def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-class: wealthy-but-dormant customers — above-average
+    positive account balance, no orders — counted per nation. The
+    average threshold is the integer compare bal·n > Σbal (a broadcast
+    1-row aggregate, never a float avg); the no-orders test is an
+    anti-join against the SF-scaled order-customer set, so it carries
+    no broadcast hint (AQE decides)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0.0).select(
+        "c_custkey", "c_nationkey", star.cents("c_acctbal").alias("bal_cents")
+    )
+    thr = c.agg(F.sum("bal_cents").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rich = joins.join_dim(c, thr, F.col("bal_cents") * F.col("__n") > F.col("__s"), bounded=True)
+    return (
+        joins.join_dim(
+            rich, o, F.col("c_custkey") == F.col("o_custkey"), bounded=False, how="left_anti"
+        )
+        .groupBy(F.col("c_nationkey").cast("int").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("bal_cents") / 100.0).alias("total_acctbal"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -2829,7 +3031,9 @@ _ROTATE_TO_FRONT = [
     "olap_priority_shipping", "olap_returned_items", "olap_set_ops",
     "olap_topk_per_group", "text_bpe_tokens", "text_fingerprint",
     # new in round 6 — never driver-hashed
-    "etl_host_cap",
+    "etl_host_cap", "olap_late_shipment_priority", "olap_top_supplier",
+    "olap_small_qty_revenue", "olap_disjunctive_revenue",
+    "olap_dormant_customers",
     # broadcast hints size-gated this round (What's wrong #1) — keep
     # the touched OLAP/BI/DQ queries in-window to prove the de-hinting
     # changed no values

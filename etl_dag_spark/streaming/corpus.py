@@ -55,3 +55,49 @@ def clean_documents(docs: DataFrame) -> DataFrame:
         langid_column("text").alias("lang_pred"),
         token_count_column("text").alias("n_tokens"),
     ).where(F.col("n_tokens") >= 10)
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    store_table: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_path: str | None = None,
+    **dedup_kwargs,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """The stateful corpus step this module's header deferred: streaming
+    near-dup dedup with UNBOUNDED history, via ``foreachBatch`` over the
+    persisted signature store of
+    :func:`etl_dag_spark.operators.dedup.incremental_minhash_dedup`.
+
+    ``dropDuplicatesWithinWatermark`` (events module) bounds its state
+    by time — right for telemetry, wrong for a crawl where a duplicate
+    may arrive months later. Here every micro-batch joins against the
+    bucketed on-disk store (state size ∝ corpus × bands, on disk, not
+    in executor memory), appends its survivors' signatures, and writes
+    surviving documents to ``out_dir``. Batch-split invariance of the
+    underlying operator (tests/test_incremental_dedup.py) is exactly
+    the property that makes the result independent of micro-batch
+    boundaries — asserted stream-vs-batch in
+    tests/test_streaming_corpus.py.
+    """
+    from etl_dag_spark.operators.dedup import incremental_minhash_dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        decisions = incremental_minhash_dedup(
+            batch_df, store_table, path=store_path, **dedup_kwargs
+        )
+        (
+            batch_df.join(decisions.where(F.col("keep")).select("doc_id"), "doc_id")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -109,6 +109,20 @@ def test_no_broadcast_hint_on_scaled_tables(spark, name):
                 )
 
 
+def test_disjunctive_predicate_pushes_to_both_scans(spark):
+    """Q19-class: the 3-arm (brand, size, quantity) disjunction must be
+    OR-factored into per-table predicates and pushed into BOTH parquet
+    scans — a cast or un-factorable expression would silently turn the
+    lineitem side into a full scan."""
+    df = SPARK_QUERIES["olap_disjunctive_revenue"](spark, SF)
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+
+
 def test_ntile_quartiles_has_no_unpartitioned_window(spark):
     """olap_ntile_quartiles must never plan a global-sort window: every
     Window node carries a partition spec (the exact_ntile rewrite ranks

@@ -49,3 +49,63 @@ def test_stream_corpus_clean_is_incremental(spark, doc_stream_src):
     )
     q.awaitTermination(120)
     assert q.lastProgress["batchId"] >= 2
+
+
+def test_stream_incremental_dedup_equals_one_shot(spark, tmp_path):
+    """Streaming dedup via the persisted signature store: micro-batch
+    boundaries must not change the outcome. Files are written in
+    doc_id-range order (one file per range, ordered mod-times), so the
+    stream's batch sequence is an id-ordered split — exactly the regime
+    where the operator's batch-split invariance guarantees equality
+    with a single one-shot batch."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.operators.dedup import incremental_minhash_dedup
+    from etl_dag_spark.streaming.corpus import stream_incremental_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+
+    src = str(tmp_path / "src")
+    for i, cond in enumerate(
+        [
+            F.col("doc_id") <= cut1,
+            (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+            F.col("doc_id") > cut2,
+        ]
+    ):
+        docs.where(cond).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)  # distinct mod-times: the file source goes oldest-first
+
+    for t in ("t_stream_incr", "t_oneshot_incr"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_incremental_dedup(
+        stream,
+        "t_stream_incr",
+        out,
+        str(tmp_path / "ckpt"),
+        store_path=str(tmp_path / "store_stream"),
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in incremental_minhash_dedup(
+            docs, "t_oneshot_incr", path=str(tmp_path / "store_os")
+        )
+        .where("keep")
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()  # something kept, something dropped
