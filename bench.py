@@ -188,11 +188,18 @@ def sf1_smoke(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def grouped_by_prefix(timings: dict[str, float]) -> dict[str, dict[str, float]]:
-    out: dict[str, dict[str, float]] = {}
+def _short(v: float, nd: int) -> float | int:
+    if nd == 0 and v < 0.95:
+        nd = 1  # never collapse a sub-second timing to a bare 0
+    r = round(v, nd)
+    return int(r) if r == int(r) else r
+
+
+def grouped_by_prefix(timings: dict[str, float], nd: int = 2) -> dict[str, dict]:
+    out: dict[str, dict] = {}
     for name in sorted(timings):
         pre, _, rest = name.partition("_")
-        out.setdefault(pre, {})[rest] = round(timings[name], 2)
+        out.setdefault(pre, {})[rest] = _short(timings[name], nd)
     return out
 
 
@@ -243,26 +250,25 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        # slim in the printed line; the per-query sf1 timings live in
-        # BENCH_local.json
-        "sf1_smoke": (
-            {k: sf1[k] for k in ("sf01_total", "total", "ratio", "ok")} if sf1 else None
-        ),
-        "queries_by_prefix": grouped_by_prefix(timings),
-        "queries_full": "BENCH_local.json",
+        # slim in the printed line; per-query sf1 timings + the flat
+        # full-precision dict live in BENCH_local.json (committed with
+        # the round)
+        "sf1_smoke": ({k: sf1[k] for k in ("ratio", "ok")} if sf1 else None),
+        # grouped by name prefix to fit the tail capture ("olap" +
+        # "set_ops" ↔ "olap_set_ops"); integral seconds print as ints
+        "queries": grouped_by_prefix(timings),
     }
-    # full-precision flat copy, committed with the round by the driver
-    local = dict(payload, queries=timings, sf1_smoke=sf1, queries_by_prefix=None)
+    local = dict(payload, queries=timings, sf1_smoke=sf1)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
         json.dump(local, f, indent=1, sort_keys=True)
 
-    line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1980:  # stay inside the driver's ~2000-char tail capture
-        payload["queries_by_prefix"] = {
-            p: {n: round(v, 1) for n, v in grp.items()}
-            for p, grp in payload["queries_by_prefix"].items()
-        }
+    # stay inside the driver's ~2000-char tail capture, degrading
+    # precision (never coverage) until the line fits
+    for nd in (2, 1, 0):
+        payload["queries"] = grouped_by_prefix(timings, nd)
         line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1980:
+            break
     print(line)
     spark.stop()
 

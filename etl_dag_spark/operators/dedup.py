@@ -341,7 +341,19 @@ def greedy_earliest_survivors(edges: DataFrame, nodes: DataFrame, max_iter: int 
     # state: 0 = undecided, 1 = keep, -1 = drop
     e = edges.select(F.col("u").cast("bigint").alias("u"), F.col("v").cast("bigint").alias("v"))
     e = e.localCheckpoint(eager=False)
-    states = nodes.select(F.col("node").cast("bigint").alias("node")).withColumn(
+    all_nodes = nodes.select(F.col("node").cast("bigint").alias("node"))
+    # only nodes that appear in some edge need the fixpoint; everything
+    # else is KEEP immediately — the iteration frames stay sized to the
+    # matched subgraph (tiny), not the batch
+    touched = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    untouched = all_nodes.join(touched, "node", "left_anti").withColumn(
+        "state", F.lit(1)
+    )
+    states = all_nodes.join(touched, "node", "left_semi").withColumn(
         "state", F.lit(0)
     ).localCheckpoint(eager=False)
     for _ in range(max_iter):
@@ -370,7 +382,9 @@ def greedy_earliest_survivors(edges: DataFrame, nodes: DataFrame, max_iter: int 
         )
     else:
         raise RuntimeError(f"greedy survivor fixpoint not reached in {max_iter} rounds")
-    return states.select("node", (F.col("state") == 1).alias("keep"))
+    return states.unionByName(untouched).select(
+        "node", (F.col("state") == 1).alias("keep")
+    )
 
 
 def incremental_minhash_dedup(

@@ -206,18 +206,23 @@ def phash_signatures(df: DataFrame, grid: int = 32, hash_size: int = 8) -> DataF
         return out.reshape(grid, grid)
 
     def run(batches):
+        powers = (1 << np.arange(bits_per_band)).astype(np.int64)
         for pdf in batches:
-            rows: dict[str, list] = {"doc_id": list(pdf["doc_id"])}
-            bands: list[list[int]] = [[] for _ in range(PHASH_BANDS)]
-            for payload in pdf["payload"]:
-                px = _stub_raster(bytes(payload))
-                coeffs = dct_m @ px @ dct_m.T
-                bits = coeffs[:hash_size, :hash_size].flatten() > 0
-                for b in range(PHASH_BANDS):
-                    sl = bits[b * bits_per_band : (b + 1) * bits_per_band]
-                    bands[b].append(int(sum(1 << i for i, s in enumerate(sl) if s)))
+            if len(pdf) == 0:
+                continue
+            # one batched DCT: (B, g, g) einsum against the basis, then
+            # vectorized sign-bit packing — Python touches each payload
+            # only to extract its raster
+            rasters = np.stack([_stub_raster(bytes(p)) for p in pdf["payload"]])
+            # batched GEMMs ((g,g)@(B,g,g)@(g,g) via matmul broadcasting);
+            # einsum without optimize= would contract this as a naive
+            # 5-index loop — ~1000x slower
+            coeffs = dct_m @ rasters @ dct_m.T
+            bits = coeffs[:, :hash_size, :hash_size].reshape(len(pdf), n_bits) > 0
+            rows: dict[str, object] = {"doc_id": pdf["doc_id"]}
             for b in range(PHASH_BANDS):
-                rows[f"b{b}"] = pd.Series(bands[b], dtype="int64")
+                sl = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                rows[f"b{b}"] = pd.Series(sl @ powers, dtype="int64")
             yield pd.DataFrame(rows)
 
     return cols.mapInPandas(run, schema=PHASH_SCHEMA)

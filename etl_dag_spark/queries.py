@@ -931,7 +931,11 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_dag_spark.operators.multimodal import PHASH_BANDS, phash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = phash_signatures(attach_binary_payload(docs))
+    # the CPU-bound Arrow DCT stage needs >= cores partitions; a small
+    # single-file scan would otherwise run it on one task (at cluster
+    # scale the input is already many files and this is a no-op cost)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    sig = phash_signatures(attach_binary_payload(spread))
     pairs = dd.banded_hamming_pairs(sig, bands=PHASH_BANDS, max_hamming=8)
     return dd.cluster_pairs(pairs, docs).orderBy("doc_id")
 
@@ -3016,7 +3020,7 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (67 oracled as of round 6), so each round the oracled
+# window holds (72 oracled as of round 6), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in
