@@ -3012,6 +3012,203 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_cumulative_new_users",
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY 1
+),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d
+""",
+)
+def olap_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the window-COUNT(DISTINCT)
+    every engine refuses to run directly, rewritten as first-seen
+    attribution: each user counts once on their first-ever day, and the
+    distinct-to-date curve is a plain running sum of per-day debuts.
+    The only big shuffle keys on user_id (the min-day aggregate); the
+    running-sum window rides a calendar-bounded per-day frame, so its
+    single sort partition is bounded by days-of-history, not data."""
+    e = load_events(spark, sf_dir)
+    first = (
+        e.select("user_id", F.date_format("ts_utc", "yyyy-MM-dd").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    per_day = first.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
+    )
+
+
+@register(
+    "olap_funnel_stages",
+    oracle="""
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+vw AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN su ON e.user_id = su.user_id AND epoch_us(e.ts) > su.t1
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN vw ON e.user_id = vw.user_id AND epoch_us(e.ts) > vw.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 1 AS stage_order, 'signup' AS stage, CAST((SELECT count(*) FROM su) AS BIGINT) AS n_users
+UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM vw) AS BIGINT)
+UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM pu) AS BIGINT)
+""",
+)
+def olap_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → view → purchase, each stage
+    strictly AFTER the user's previous stage): the canonical product-
+    analytics operator. Each stage is one keyed aggregate joined to the
+    prior stage's per-user min time — shuffles key on user_id
+    throughout, so the funnel is as wide as the user space, never a
+    window over all events. Times compare in integer µs (ts_ns DIV
+    1000 ↔ DuckDB epoch_us; the events contract)."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_type", (F.col("ts_ns") / 1000).cast("bigint").alias("us")
+    )
+
+    def stage(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:
+        s = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[-1]
+            s = s.join(prev, "user_id").where(F.col("us") > F.col(pcol))
+        return s.groupBy("user_id").agg(F.min("us").alias(tcol))
+
+    su = stage(None, "signup", "t1")
+    vw = stage(su, "view", "t2")
+    pu = stage(vw, "purchase", "t3")
+
+    def count_row(df: DataFrame, order: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(order).alias("stage_order"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        count_row(su, 1, "signup")
+        .unionByName(count_row(vw, 2, "view"))
+        .unionByName(count_row(pu, 3, "purchase"))
+    )
+
+
+@register(
+    "olap_cohort_retention",
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(date_trunc('month', ts)) AS cohort FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT e.user_id, date_trunc('month', e.ts) AS m, f.cohort
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST((year(m) * 12 + month(m)) - (year(cohort) * 12 + month(cohort)) AS INT)
+         AS month_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+""",
+)
+def olap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity month,
+    counted in every later month they return — the other canonical
+    product-analytics operator. Month offsets are integer year·12+month
+    arithmetic on both engines (months_between returns fractional
+    doubles — not portable). Shuffles key on user_id then on the
+    (cohort, offset) pair; the matrix itself is calendar² — tiny."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("month", "ts_utc").alias("m")
+    )
+    f = e.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        e.distinct()
+        .join(f, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            (months(F.col("m")) - months(F.col("cohort"))).cast("int").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "olap_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS trade_year,
+       CAST(100.0 AS DOUBLE)
+         * sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_CENTS_SQL} ELSE 0 END)
+         / sum({_REV_CENTS_SQL}) AS market_share_pct,
+       sum({_REV_CENTS_SQL}) / 100.0 AS region_revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-class: one supplier nation's share of a customer
+    region's yearly revenue — the conditional-aggregate ratio over a
+    6-way join. nation/region broadcast (bounded); customer/supplier
+    carry no hint (SF-scaled); the only fact-fact shuffle is
+    lineitem⋈orders on orderkey. The share is one BIGINT/BIGINT→DOUBLE
+    division per year."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", star.revenue_cents().alias("rc")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("trade_year")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        joins.join_dim(
+            joins.join_dim(
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
+                c, F.col("o_custkey") == F.col("c_custkey"), bounded=False,
+            ),
+            s, F.col("l_suppkey") == F.col("s_suppkey"), bounded=False,
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy("trade_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rc")).otherwise(F.lit(0))
+            ).alias("nc"),
+            F.sum("rc").alias("tc"),
+        )
+        .select(
+            "trade_year",
+            (F.lit(100.0) * F.col("nc") / F.col("tc")).alias("market_share_pct"),
+            (F.col("tc") / 100.0).alias("region_revenue"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -3020,7 +3217,7 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (72 oracled as of round 6), so each round the oracled
+# window holds (76 oracled as of round 6), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in
@@ -3037,7 +3234,8 @@ _ROTATE_TO_FRONT = [
     # new in round 6 — never driver-hashed
     "etl_host_cap", "olap_late_shipment_priority", "olap_top_supplier",
     "olap_small_qty_revenue", "olap_disjunctive_revenue",
-    "olap_dormant_customers",
+    "olap_dormant_customers", "olap_cumulative_new_users",
+    "olap_funnel_stages", "olap_cohort_retention", "olap_market_share",
     # broadcast hints size-gated this round (What's wrong #1) — keep
     # the touched OLAP/BI/DQ queries in-window to prove the de-hinting
     # changed no values
