@@ -236,14 +236,17 @@ def main() -> None:
             # reclaim iterative-operator frontier caches between queries
             release_persisted()
 
-    skew_scenario(spark, sf_dir, timings)
+    skew: dict[str, float] = {}
+    skew_scenario(spark, sf_dir, skew)
     sf1 = (
         sf1_smoke(spark, sf_dir, timings)
         if os.environ.get("SPARK_GRAFT_SF1_SMOKE", "1") != "0"
         else None
     )
+    timings.update(skew)
     total = round(sum(timings.values()), 3)
 
+    registry = {n: v for n, v in timings.items() if n not in skew}
     payload = {
         "metric": "all_queries_runtime",
         "value": total,
@@ -254,18 +257,29 @@ def main() -> None:
         # full-precision dict live in BENCH_local.json (committed with
         # the round)
         "sf1_smoke": ({k: sf1[k] for k in ("ratio", "ok")} if sf1 else None),
+        # the skew trio, [unmitigated, salted, aqe-tuned]
+        "skew_usa": [round(skew[k], 2) for k in
+                     ("skew_join_unmitigated", "skew_join_salted", "skew_join_aqe")],
         # grouped by name prefix to fit the tail capture ("olap" +
-        # "set_ops" ↔ "olap_set_ops"); integral seconds print as ints
-        "queries": grouped_by_prefix(timings),
+        # "set_ops" ↔ "olap_set_ops"); integral values print as ints
+        "queries": grouped_by_prefix(registry),
     }
     local = dict(payload, queries=timings, sf1_smoke=sf1)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
         json.dump(local, f, indent=1, sort_keys=True)
 
     # stay inside the driver's ~2000-char tail capture, degrading
-    # precision (never coverage) until the line fits
-    for nd in (2, 1, 0):
-        payload["queries"] = grouped_by_prefix(timings, nd)
+    # precision (never coverage) until the line fits: seconds at 2 then
+    # 1 decimals, then integer DECIseconds (q_unit marks the switch)
+    for nd, unit in ((2, "s"), (1, "s"), (None, "ds")):
+        if unit == "s":
+            payload["queries"] = grouped_by_prefix(registry, nd)
+        else:
+            payload["q_unit"] = "ds"
+            payload["queries"] = {
+                p: {n: int(round(v * 10)) for n, v in grp.items()}
+                for p, grp in grouped_by_prefix(registry, 3).items()
+            }
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= 1980:
             break
