@@ -67,7 +67,9 @@ def per_group_top_k(
     deterministic row-level expression works — correctness never
     depends on salt balance, only phase-1 pruning efficiency does).
     """
-    salt = salt_col if salt_col is not None else F.pmod(F.abs(F.hash(order[-1])), F.lit(n_salts))
+    # pmod is already non-negative; abs(hash) would ANSI-overflow on
+    # the one hash value equal to Integer.MIN_VALUE
+    salt = salt_col if salt_col is not None else F.pmod(F.hash(order[-1]), F.lit(n_salts))
     w1 = Window.partitionBy(group_col, "__salt").orderBy(*order)
     pre = (
         df.withColumn("__salt", salt)
