@@ -3031,8 +3031,10 @@ def olap_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution: each user counts once on their first-ever day, and the
     distinct-to-date curve is a plain running sum of per-day debuts.
     The only big shuffle keys on user_id (the min-day aggregate); the
-    running-sum window rides a calendar-bounded per-day frame, so its
-    single sort partition is bounded by days-of-history, not data."""
+    running sum rides the distributed prefix-sum
+    (windows.global_running_sum) — the per-day frame is
+    calendar-bounded anyway, but no plan in this repo carries an
+    unpartitioned sort window, bounded or not."""
     e = load_events(spark, sf_dir)
     first = (
         e.select("user_id", F.date_format("ts_utc", "yyyy-MM-dd").alias("day"))
@@ -3040,10 +3042,9 @@ def olap_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("day").alias("day"))
     )
     per_day = first.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return per_day.select(
-        "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
-    )
+    return win.global_running_sum(
+        per_day, order=[F.col("day")], value_col="n_new", out_col="cum_users"
+    ).select("day", "n_new", "cum_users")
 
 
 @register(

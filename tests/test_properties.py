@@ -222,3 +222,82 @@ def test_pack_contiguous_matches_sequential_reference(spark, tokens, cap):
         expected[i] = cum // cap
         cum += n
     assert got == expected
+
+
+@st.composite
+def greedy_graph(draw):
+    n = draw(st.integers(1, 10))
+    n_edges = draw(st.integers(0, 15))
+    edges = set()
+    for _ in range(n_edges):
+        u = draw(st.integers(1, n))
+        v = draw(st.integers(1, n))
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    return n, sorted(edges)
+
+
+@given(case=greedy_graph())
+@settings(**_SETTINGS)
+def test_greedy_survivors_matches_sequential_reference(spark, case):
+    """greedy_earliest_survivors (distributed fixpoint) must equal the
+    literal sequential greedy it models: process ids ascending, drop a
+    node iff it matches an already-KEPT earlier node."""
+    from etl_dag_spark.operators.dedup import greedy_earliest_survivors
+
+    n, edges = case
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(v, set()).add(u)
+    want = {}
+    for node in range(1, n + 1):
+        want[node] = not any(want.get(u) for u in nbrs.get(node, ()))
+
+    e_df = (
+        spark.createDataFrame(edges, "u long, v long")
+        if edges
+        else spark.createDataFrame([], "u long, v long")
+    )
+    nodes = spark.range(1, n + 1).select(F.col("id").alias("node"))
+    got = {r.node: r.keep for r in greedy_earliest_survivors(e_df, nodes).collect()}
+    assert got == want
+
+
+@st.composite
+def grouped_rows(draw):
+    n = draw(st.integers(0, 25))
+    rows = [
+        (
+            i,
+            draw(st.sampled_from(["a", "b", "c"])),
+            draw(st.integers(0, 5)),  # heavy ties on purpose
+        )
+        for i in range(n)
+    ]
+    k = draw(st.integers(1, 4))
+    return rows, k
+
+
+@given(case=grouped_rows())
+@settings(**_SETTINGS)
+def test_per_group_top_k_matches_pandas(spark, case):
+    """Salted two-phase top-k == pandas groupby head-k under the same
+    total order, including all-ties and single-element groups."""
+    from etl_dag_spark.operators.windows import per_group_top_k
+
+    rows, k = case
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, g string, val long")
+    got = {
+        (r.g, r.id): r.rk
+        for r in per_group_top_k(
+            df, "g", [F.col("val"), F.col("id")], k, rank_col="rk"
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["id", "g", "val"]).sort_values(["g", "val", "id"])
+    want = {}
+    for g, grp in pdf.groupby("g"):
+        for rank, (_, row) in enumerate(grp.head(k).iterrows(), start=1):
+            want[(g, int(row["id"]))] = rank
+    assert got == want
