@@ -3013,6 +3013,36 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_ngrams",
+    oracle=f"""
+WITH sh AS (
+  SELECT unnest({shingles_sql("text", 3, distinct=False)}) AS ngram FROM documents
+),
+c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM sh GROUP BY 1)
+SELECT ngram, freq, CAST(rank() OVER (ORDER BY freq DESC) AS INT) AS top_rank
+FROM c QUALIFY top_rank <= 25
+""",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitters: the 25 most frequent word 3-grams (ties
+    included) — the inspection tool behind every stop-phrase /
+    boilerplate cap in this repo (the df≤50 hot-shingle caps in the
+    jaccard/contamination operators come from exactly this profile).
+    Shuffle is one map-side-combined groupBy on the shingle; the global
+    top-25 is TakeOrderedAndProject + a rank over the ≤25+ties
+    survivors, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    counted = (
+        shingle_rows(d, n=3, distinct=False)
+        .groupBy(F.col("s").alias("ngram"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return win.top_n_with_rank(counted, "freq", n=25).select(
+        "ngram", "freq", "top_rank"
+    )
+
+
+@register(
     "olap_cumulative_new_users",
     oracle="""
 WITH f AS (
@@ -3033,8 +3063,9 @@ def olap_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The only big shuffle keys on user_id (the min-day aggregate); the
     running sum rides the distributed prefix-sum
     (windows.global_running_sum) — the per-day frame is
-    calendar-bounded anyway, but no plan in this repo carries an
-    unpartitioned sort window, bounded or not."""
+    calendar-bounded anyway, but this keeps unpartitioned sort windows
+    restricted to provably-tiny survivor frames (top-N ranking) across
+    the whole repo."""
     e = load_events(spark, sf_dir)
     first = (
         e.select("user_id", F.date_format("ts_utc", "yyyy-MM-dd").alias("day"))
@@ -3218,7 +3249,7 @@ def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (76 oracled as of round 6), so each round the oracled
+# window holds (77 oracled as of round 6), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in
@@ -3237,6 +3268,7 @@ _ROTATE_TO_FRONT = [
     "olap_small_qty_revenue", "olap_disjunctive_revenue",
     "olap_dormant_customers", "olap_cumulative_new_users",
     "olap_funnel_stages", "olap_cohort_retention", "olap_market_share",
+    "text_top_ngrams",
     # broadcast hints size-gated this round (What's wrong #1) — keep
     # the touched OLAP/BI/DQ queries in-window to prove the de-hinting
     # changed no values
