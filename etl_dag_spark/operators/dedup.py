@@ -439,10 +439,17 @@ def incremental_minhash_dedup(
     if not spark.catalog.tableExists(store_table):
         # the session catalog is in-memory: a table written by a PRIOR
         # session is invisible to tableExists, but its files still sit
-        # at the table location and block creation — clear the stale
-        # location before bootstrapping. ``path`` makes the store an
-        # external table (location independent of the session's
-        # warehouse dir / cwd writability).
+        # at the table location. That store IS the accumulated dedup
+        # history ("the corpus arrives in batches forever"), so never
+        # destroy it: re-register the existing files with the same
+        # bucket spec — the bucket layout is a deterministic function
+        # of (hash, n_store_buckets), so a CREATE TABLE ... CLUSTERED
+        # BY over them restores both the history and the Exchange-free
+        # store-side read. Only a location with no parquet store in it
+        # (stale partial junk) is cleared and bootstrapped empty.
+        # ``path`` makes the store an external table (location
+        # independent of the session's warehouse dir / cwd
+        # writability).
         import shutil
         from urllib.parse import urlparse
 
@@ -450,12 +457,22 @@ def incremental_minhash_dedup(
             urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "spark-warehouse",
             store_table.lower(),
         )
-        shutil.rmtree(loc, ignore_errors=True)
-        empty = spark.createDataFrame([], "doc_id bigint, band int, bucket bigint")
-        writer = empty.write.mode("overwrite").bucketBy(n_store_buckets, "band", "bucket")
-        if path is not None:
-            writer = writer.option("path", path)
-        writer.format("parquet").saveAsTable(store_table)
+        has_prior_store = os.path.isdir(loc) and any(
+            f.startswith("part-") and f.endswith(".parquet") for f in os.listdir(loc)
+        )
+        if has_prior_store:
+            spark.sql(
+                f"CREATE TABLE {store_table} (doc_id BIGINT, band INT, bucket BIGINT) "
+                f"USING parquet CLUSTERED BY (band, bucket) "
+                f"INTO {n_store_buckets} BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            shutil.rmtree(loc, ignore_errors=True)
+            empty = spark.createDataFrame([], "doc_id bigint, band int, bucket bigint")
+            writer = empty.write.mode("overwrite").bucketBy(n_store_buckets, "band", "bucket")
+            if path is not None:
+                writer = writer.option("path", path)
+            writer.format("parquet").saveAsTable(store_table)
     store = spark.table(store_table)
 
     store_hits = (

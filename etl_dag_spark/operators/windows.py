@@ -63,7 +63,7 @@ def per_group_top_k(
     identical to the single-window formulation, so oracles stay exact.
 
     ``order`` must be a total order within a group for determinism;
-    ``salt_col`` defaults to a modulus of the first order column (any
+    ``salt_col`` defaults to a hash-modulus of the last order column (any
     deterministic row-level expression works — correctness never
     depends on salt balance, only phase-1 pruning efficiency does).
     """

@@ -685,18 +685,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogy: the truncate-and-load warehouse pattern
     (ETL_DAG.py:206-229) turned into its append-only streaming twin."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    store = "incr_dedup_store_q"
+    # per-run isolated store: a fixed name/path would race two
+    # concurrent driver/bench runs on the same host (one run's DROP +
+    # bootstrap landing mid-flight in the other); the uuid suffix makes
+    # each invocation's store private
+    run_id = uuid.uuid4().hex[:12]
+    store = f"incr_dedup_store_q_{run_id}"
     # external-table location under tmp: the driver session's cwd (and
     # thus its default warehouse dir) is not ours to write
-    loc = os.path.join(tempfile.gettempdir(), "spark_graft_incr_store_q")
+    loc = os.path.join(tempfile.gettempdir(), f"spark_graft_incr_store_{run_id}")
     spark.sql(f"DROP TABLE IF EXISTS {store}")
     mid = d.agg(F.max("doc_id")).first()[0] // 2
     first = dd.incremental_minhash_dedup(d.where(F.col("doc_id") <= mid), store, path=loc)
     second = dd.incremental_minhash_dedup(d.where(F.col("doc_id") > mid), store, path=loc)
-    return first.unionByName(second)
+    # both halves are eagerly localCheckpoint-ed inside the operator
+    # (append path), so the union no longer reads the store — tear the
+    # per-run store down here rather than leaking a tmp dir per run
+    out = first.unionByName(second)
+    spark.sql(f"DROP TABLE IF EXISTS {store}")
+    shutil.rmtree(loc, ignore_errors=True)
+    return out
 
 
 @register("dedup_simhash")  # approximate → rows-only driver check; recall in pytest
@@ -920,7 +933,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mm_phash_dedup")  # perceptual hash over decode stub → rows-only; planted dups in pytest
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-modality dedup end-to-end: binary payload → pHash
-    (real DCT/median-threshold math over the stubbed decode raster,
+    (real DCT/sign-bit math over the stubbed decode raster,
     operators/multimodal.py::phash_signatures) → banded-hamming
     candidate pairs (shared with SimHash) → connected-component
     clusters with a canonical keeper per cluster. The whole dedup
@@ -3109,7 +3122,7 @@ def olap_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over all events. Times compare in integer µs (ts_ns DIV
     1000 ↔ DuckDB epoch_us; the events contract)."""
     e = load_events(spark, sf_dir).select(
-        "user_id", "event_type", (F.col("ts_ns") / 1000).cast("bigint").alias("us")
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("us")
     )
 
     def stage(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:

@@ -90,6 +90,29 @@ def test_second_batch_matches_store(spark, corpus):
     assert flagged >= 0.95 * copies.count()
 
 
+def test_store_survives_catalog_loss(spark, corpus, tmp_path):
+    """The session catalog is in-memory: a NEW session sees tableExists
+    False even though the persisted store files are intact. Bootstrap
+    must re-register the existing store (same bucket spec over the same
+    files), never rmtree it — otherwise "unbounded cross-batch history"
+    only holds within one session. Simulated here by dropping the
+    external table's catalog entry (files survive) between batches."""
+    loc = str(tmp_path / "store")
+    _drop(spark, "t_incr_reattach")
+    originals = corpus.where(F.col("doc_id") < 10_000_000)
+    copies = corpus.where(F.col("doc_id") >= 10_000_000)
+    incremental_minhash_dedup(originals, "t_incr_reattach", path=loc)
+    # external table: DROP removes only the catalog entry, as a session
+    # restart would
+    spark.sql("DROP TABLE t_incr_reattach")
+    out = incremental_minhash_dedup(copies, "t_incr_reattach", path=loc)
+    flagged = out.where(F.col("matched_store") & ~F.col("keep")).count()
+    assert flagged >= 0.95 * copies.count(), (
+        "store history was lost across the simulated session restart"
+    )
+    _drop(spark, "t_incr_reattach")
+
+
 def test_greedy_survivors_chain(spark):
     """Chain 1-2-3-4: greedy in id order keeps 1, drops 2, keeps 3
     (its only smaller match 2 did NOT survive), drops 4 — the rule that
