@@ -99,6 +99,58 @@ def ngram_jaccard_pairs(
     )
 
 
+# --------------------------------------------------- contamination check
+
+
+def contamination_pairs(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    min_common: int = 2,
+    max_shingle_freq: int | None = 50,
+    eval_bounded: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: (train_doc_id, eval_doc_id,
+    n_common) for every train document sharing ≥ ``min_common``
+    distinct word-``n``-grams with an eval document.
+
+    The join is a shingle-hash equi-join of the (huge) train side
+    against the eval side; the df-cap (``max_shingle_freq``, computed
+    over the union so stop-phrase grams never go quadratic) bounds
+    candidate volume at eval-shingles × cap.
+
+    ``eval_bounded=True`` is the caller's DECLARATION that the eval set
+    is a fixed benchmark suite (a few thousand docs regardless of
+    corpus size) — only then is the eval shingle set broadcast-hinted.
+    An eval side that scales with the corpus (e.g. a percentage slice)
+    must stay unhinted so AQE can degrade to a shuffled hash join.
+    """
+    sh_t = shingle_rows(train_docs, n=n, id_col=id_col, text_col=text_col, distinct=True)
+    sh_e = shingle_rows(eval_docs, n=n, id_col=id_col, text_col=text_col, distinct=True)
+    if max_shingle_freq is not None:
+        union = sh_t.select("s").unionAll(sh_e.select("s"))
+        ok = (
+            union.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_shingle_freq)
+            .select("s")
+        )
+        sh_t = sh_t.join(ok, "s")
+        sh_e = sh_e.join(ok, "s")
+    train = sh_t.select(F.col(id_col).alias("train_doc_id"), "s")
+    ev = sh_e.select(F.col(id_col).alias("eval_doc_id"), "s")
+    if eval_bounded:
+        ev = F.broadcast(ev)
+    return (
+        train.join(ev, "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
 # ------------------------------------------------------------ MinHash/LSH
 
 _MERSENNE_P = (1 << 61) - 1

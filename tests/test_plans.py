@@ -73,40 +73,113 @@ def _walk(node):
         yield from _walk(node.children().apply(i))
 
 
-# nodes whose presence bounds (or makes sublinear) a subtree's
-# cardinality: an aggregate/distinct output, a LIMIT, or a rank window
-_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Window", "Deduplicate"}
 # leaves that never scale with data volume
 _UNSCALED_LEAVES = {"LocalRelation", "Range", "OneRowRelation"}
+# operators whose output cardinality is ≤ the product of their
+# children's (single-child ones are ≤ the child's): boundedness
+# propagates THROUGH them, they never create it
+_CARD_PRESERVING = {
+    "Project", "SubqueryAlias", "Sort", "RepartitionByExpression",
+    "Repartition", "Window", "Filter", "Deduplicate", "Distinct",
+    "ResolvedHint", "Join",
+}
+
+
+def _bounded_output(node) -> bool:
+    """True iff the subtree's OUTPUT cardinality is provably independent
+    of scale factor. This is the round-7 tightening of the hint audit:
+    round 6 exempted a hint if a bounding node appeared ANYWHERE in its
+    subtree, which admitted (a) an aggregate whose group keys are
+    corpus-scaled (a token vocabulary grows with the corpus — Heaps'
+    law) and (b) a subtree whose inner aggregate merely FILTERS a
+    corpus-scaled stream. Here the bound must hold for the hinted
+    side's own output:
+
+    - LIMIT → bounded by the literal.
+    - scalar aggregate (no group keys) → 1 row.
+    - aggregate grouped only by SPARK_PARTITION_ID → ≤ #partitions
+      (the distributed prefix-sum offset frames).
+    - nation/region scans and literal relations → fixed-size inputs.
+    - cardinality-preserving ops (project/filter/window/sort/dedup/
+      join/…) → bounded iff EVERY child is bounded.
+    - anything else (grouped aggregate over scaled keys, Generate,
+      scaled scans) → NOT bounded.
+    """
+    sn = node.getClass().getSimpleName()
+    if sn in ("GlobalLimit", "LocalLimit"):
+        return True
+    if sn in _UNSCALED_LEAVES:
+        return True
+    if sn == "LogicalRelation":
+        head = node.toString().splitlines()[0]
+        return "n_nationkey" in head or "r_regionkey" in head
+    if sn == "Aggregate":
+        ge = node.groupingExpressions()
+        if ge.size() == 0:
+            return True
+        exprs = [ge.apply(i).toString() for i in range(ge.size())]
+        if all("__pid" in e for e in exprs) and (
+            "SPARK_PARTITION_ID() AS __pid" in node.treeString()
+        ):
+            return True
+        return False
+    if sn in _CARD_PRESERVING:
+        n = node.children().size()
+        return n > 0 and all(
+            _bounded_output(node.children().apply(i)) for i in range(n)
+        )
+    return False
 
 
 @pytest.mark.parametrize("name", sorted(SPARK_QUERIES))
 def test_no_broadcast_hint_on_scaled_tables(spark, name):
     """An explicit broadcast hint bypasses Spark's size check, so a hint
-    on a table that grows with scale factor (part/customer/supplier/
-    fact-derived key sets) is an executor OOM at 100 TB, not a plan
-    degradation. Every ResolvedHint subtree must be provably bounded:
-    either it contains a cardinality-bounding operator (aggregate,
-    limit, window-rank, distinct) or its only leaves are unscaled
-    relations (nation, region, literals, ranges)."""
+    on a side that grows with scale factor (part/customer/supplier/
+    fact-derived key sets, token vocabularies, corpus slices) is an
+    executor OOM at 100 TB, not a plan degradation. Every ResolvedHint's
+    own subtree must have provably SF-independent output cardinality
+    (see _bounded_output). Frames that are small only by an
+    order-statistic argument (rank-filter survivors, ties-vs-global-max)
+    must stay UNHINTED and rely on AQE's runtime-size broadcast."""
     plan = SPARK_QUERIES[name](spark, SF)._jdf.queryExecution().analyzed()
     for node in _walk(plan):
         if node.getClass().getSimpleName() != "ResolvedHint":
             continue
-        sub = list(_walk(node))
-        names = {n.getClass().getSimpleName() for n in sub}
-        if names & _BOUNDING:
-            continue
-        for leaf in sub:
-            sn = leaf.getClass().getSimpleName()
-            if sn in _UNSCALED_LEAVES:
-                continue
-            if sn == "LogicalRelation":
-                head = leaf.toString().splitlines()[0]
-                assert "n_nationkey" in head or "r_regionkey" in head, (
-                    f"{name}: broadcast hint on an SF-scaled scan with no "
-                    f"bounding operator above it: {head[:160]}"
-                )
+        assert _bounded_output(node), (
+            f"{name}: broadcast hint whose side's output cardinality is "
+            f"not provably bounded:\n{node.treeString()[:800]}"
+        )
+
+
+def test_bounded_output_rejects_round6_offender_shapes(spark):
+    """Regression pin for the round-6 audit loophole: the two shapes
+    that slipped through must be REJECTED by the prover — (a) an
+    aggregate grouped by a corpus-scaled key (text_rarity_score's token
+    vocabulary), (b) a corpus-scaled stream merely FILTERED by a join
+    against a bounded aggregate (dedup_contamination's eval slice under
+    the hot-shingle cap)."""
+    from etl_dag_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    from pyspark.sql import functions as F
+
+    # (a) vocabulary-keyed aggregate
+    tk = d.select(F.explode(F.split("text", " ")).alias("t"))
+    vocab = tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    plan_a = F.broadcast(vocab).join(tk, "t")._jdf.queryExecution().analyzed()
+    # (b) corpus slice filtered through a bounded-aggregate join
+    ok = d.groupBy("lang").agg(F.count(F.lit(1)).alias("df")).select("lang")
+    ev = d.where(F.col("doc_id") % 20 == 0).join(ok, "lang")
+    plan_b = d.join(F.broadcast(ev), "doc_id")._jdf.queryExecution().analyzed()
+    for label, plan in (("vocab-agg", plan_a), ("filtered-slice", plan_b)):
+        hints = [
+            n for n in _walk(plan)
+            if n.getClass().getSimpleName() == "ResolvedHint"
+        ]
+        assert hints, f"{label}: test setup lost its hint"
+        assert not any(_bounded_output(h) for h in hints), (
+            f"{label}: the prover accepted a corpus-scaled broadcast side"
+        )
 
 
 def test_disjunctive_predicate_pushes_to_both_scans(spark):
