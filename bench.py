@@ -29,14 +29,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # the scale-smoke subset: one scan-agg, two shuffle-join OLAP classes,
-# one multi-dim-join class, one explode-heavy text query — the shapes
-# whose cost must scale ~linearly with data volume
+# one multi-dim-join class, one explode-heavy text query, and one
+# banded-LSH dedup — the shapes whose cost must scale ~linearly with
+# data volume (the explode/band dedup shapes are where superlinear
+# surprises live, so the smoke set must include one)
 SF1_QUERIES = [
     "olap_pricing_summary",
     "bi_revenue_by_category",
     "olap_shipping_priority",
     "olap_local_supplier_volume",
     "text_rarity_score",
+    "dedup_minhash_lsh",
 ]
 
 
