@@ -107,6 +107,45 @@ def shingle_rows(
     return out.distinct() if distinct else out
 
 
+def split_lines(
+    documents, sep: str = "\n", id_col: str = "doc_id", text_col: str = "text"
+):
+    """Documents exploded to physical lines: (doc_id, line_id, line) with
+    line_id the 0-based position. The input shape for CCNet-style
+    line-level boilerplate removal
+    (operators/dedup.py::suppress_boilerplate_lines) on corpora that
+    HAVE line structure. ``sep`` is a Java regex (the default matches
+    literal newlines)."""
+    return documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_id", "line"),
+    ).select("doc_id", F.col("line_id").cast("bigint").alias("line_id"), "line")
+
+
+def chunk_token_lines(
+    documents, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Deterministic pseudo-lines for corpora WITHOUT newline structure:
+    consecutive ``n``-token chunks as rows (doc_id, line_id, line); the
+    final chunk may be shorter. Same posexplode + lead() codegen shape
+    as :func:`shingle_rows` (stride ``n`` instead of 1) — the window's
+    doc_id partitioning is what any downstream per-doc aggregation
+    wants, so that groupBy is shuffle-free."""
+    from pyspark.sql import Window
+
+    tk = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_column(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        tk.select("doc_id", "pos", F.concat_ws(" ", *leads).alias("line"))
+        .where(F.col("pos") % n == 0)
+        .select("doc_id", F.expr(f"pos DIV {n}").alias("line_id"), "line")
+    )
+
+
 def shingles_sql(text_expr: str, n: int = 3, distinct: bool = True) -> str:
     toks = tokens_sql(text_expr)
     grams = (

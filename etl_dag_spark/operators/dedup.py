@@ -99,6 +99,65 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------- line-level boilerplate (CCNet)
+
+
+def suppress_boilerplate_lines(
+    lines: DataFrame,
+    max_df: int | None = None,
+    rel_df_denominator: int = 100,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line whose
+    corpus-wide occurrence count exceeds a threshold (navigation bars,
+    cookie banners, license headers — the text that repeats verbatim
+    across millions of pages), then reassemble each document from its
+    surviving lines in order.
+
+    Input is a (doc_id, line_id, line) frame from
+    ``functions/text.py::split_lines`` (real newline corpora) or
+    ``chunk_token_lines`` (pseudo-lines). Threshold: ``max_df`` if
+    given, else ``greatest(2, n_docs DIV rel_df_denominator)`` computed
+    from the data — corpus-relative, so the semantics are stable across
+    scale factors.
+
+    Scale shape: one shuffle keys lines by content hash for the
+    frequency count (map-side combined); the frequency join back is
+    unhinted — the df table is line-vocabulary-sized and grows with the
+    corpus (the text_rarity_score lesson), so AQE picks the strategy.
+    Reassembly is ONE per-doc aggregation: counts and the ordered text
+    concat ride the same groupBy (collect_list skips the NULLs the keep
+    CASE produces), so there is no second pass over the lines and no
+    join-back. → (doc_id, clean_text, n_lines_kept, n_lines_dropped).
+    """
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("__df"))
+    flagged = lines.join(freq, "line")
+    if max_df is not None:
+        flagged = flagged.withColumn("__thr", F.lit(int(max_df)).cast("bigint"))
+    else:
+        thr = lines.agg(
+            F.expr(
+                f"greatest(CAST(2 AS BIGINT), "
+                f"count(DISTINCT doc_id) DIV {int(rel_df_denominator)}) AS __thr"
+            )
+        )
+        # scalar aggregate → structurally bounded broadcast
+        flagged = flagged.join(F.broadcast(thr))
+    flagged = flagged.withColumn("__keep", F.col("__df") <= F.col("__thr"))
+    # the transform/array_sort lambdas are interpreted and re-evaluate
+    # their input per element, but they run over the per-doc COLLECTED
+    # array (tens of lines), never over a corpus-sized structure — the
+    # 64-permutation trap (§6b-1) does not apply at this cardinality
+    return flagged.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN __keep THEN struct(line_id, line) END)), "
+            "x -> x.line), ' ')"
+        ).alias("clean_text"),
+        F.sum(F.col("__keep").cast("bigint")).alias("n_lines_kept"),
+        F.sum((~F.col("__keep")).cast("bigint")).alias("n_lines_dropped"),
+    )
+
+
 # --------------------------------------------------- contamination check
 
 

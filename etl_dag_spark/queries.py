@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from etl_dag_spark.functions.country import iso3_sql_case
 from etl_dag_spark.functions.text import (
+    chunk_token_lines,
     langid_column,
     langid_sql,
     md5_fingerprint_column,
@@ -1482,6 +1483,12 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 20)
         & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05)
     )
+    # the scored+filtered frame feeds THREE consumers (shingle index,
+    # cluster node set, final join) and the clustering loop replays its
+    # lineage each iteration — materialize the regex-heavy scoring once
+    # (at cluster scale: persist/stage-cache; measured 10.7→6.1 s cold
+    # at sf0.1, SURVEY §6b)
+    filtered = filtered.localCheckpoint(eager=False)
     pairs = dd.ngram_jaccard_pairs(filtered, n=3, threshold=0.8, max_shingle_freq=50)
     clusters = dd.cluster_pairs(pairs, filtered)
     return (
@@ -2703,6 +2710,48 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").cast("bigint").alias("min_token_freq"),
         )
     )
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+lines AS (
+  SELECT doc_id, u.line_id, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(tk) + 2) // 3),
+                  i -> {{'line_id': i,
+                         'line': array_to_string(list_slice(tk, i*3+1, i*3+3), ' ')}})) AS u
+    FROM tk)
+),
+freq AS (SELECT line, count(*) AS df FROM lines GROUP BY 1),
+thr AS (SELECT greatest(2, count(DISTINCT doc_id) // 100) AS t FROM lines),
+flagged AS (
+  SELECT l.doc_id, l.line_id, l.line, (f.df <= thr.t) AS keep
+  FROM lines l JOIN freq f USING (line), thr
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_id), '') AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+FROM flagged GROUP BY doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (the one major
+    LLM-dedup family the repo lacked until round 7): count each line's
+    corpus-wide occurrences, drop lines above a corpus-relative
+    threshold (n_docs DIV 100, min 2), reassemble documents from the
+    surviving lines in order. The test corpus has no newline structure,
+    so lines are deterministic 3-token chunks
+    (functions/text.py::chunk_token_lines); a real crawl uses
+    ``split_lines`` — the operator
+    (operators/dedup.py::suppress_boilerplate_lines) is identical for
+    both, and the planted-boilerplate suppression behavior is pinned in
+    tests/test_corpus_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = chunk_token_lines(d, n=3)
+    return dd.suppress_boilerplate_lines(lines, rel_df_denominator=100)
 
 
 # =====================================================================

@@ -164,3 +164,59 @@ def test_per_group_top_k_matches_plain_window(spark):
     # and it genuinely bounds the final window's input: phase-1 output
     # per group is at most k * n_salts, independent of group size
     assert got.count() == want.count()
+
+
+def test_line_dedup_drops_planted_boilerplate_and_preserves_order(spark):
+    """suppress_boilerplate_lines on a REAL newline corpus: a cookie
+    banner planted in 50 of 60 docs must be dropped everywhere, unique
+    lines must survive, reassembly must preserve line order, and an
+    all-boilerplate doc must come back with empty clean_text instead of
+    disappearing."""
+    from etl_dag_spark.functions.text import split_lines
+    from etl_dag_spark.operators.dedup import suppress_boilerplate_lines
+
+    banner = "accept all cookies to continue"
+    rows = []
+    for i in range(60):
+        body = [f"unique line {i} alpha", f"unique line {i} beta"]
+        if i < 50:
+            rows.append((i, "\n".join([banner] + body)))
+        else:
+            rows.append((i, "\n".join(body)))
+    rows.append((99, banner))  # all-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in suppress_boilerplate_lines(
+            split_lines(docs), max_df=10
+        ).collect()
+    }
+    assert len(out) == 61
+    for i in range(50):
+        assert out[i].clean_text == f"unique line {i} alpha unique line {i} beta"
+        assert (out[i].n_lines_kept, out[i].n_lines_dropped) == (2, 1)
+    for i in range(50, 60):
+        assert out[i].n_lines_dropped == 0
+    assert out[99].clean_text == "" and out[99].n_lines_kept == 0
+
+
+def test_line_dedup_relative_threshold_scales_with_corpus(spark):
+    """With no max_df the threshold is greatest(2, n_docs DIV 100): at
+    300 docs (thr=3) a line repeated 3 times must survive and one
+    repeated 5 times must drop."""
+    from etl_dag_spark.functions.text import split_lines
+    from etl_dag_spark.operators.dedup import suppress_boilerplate_lines
+
+    rows = [(i, f"only line {i}") for i in range(300)]
+    for i in range(3):
+        rows[i] = (i, f"only line {i}\nthree times")
+    for i in range(10, 15):
+        rows[i] = (i, f"only line {i}\nfive times")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in suppress_boilerplate_lines(split_lines(docs)).collect()
+    }
+    assert out[0].clean_text == "only line 0 three times"
+    assert out[10].clean_text == "only line 10"
+    assert out[10].n_lines_dropped == 1
