@@ -511,6 +511,7 @@ def incremental_minhash_dedup(
     n_store_buckets: int = 16,
     append: bool = True,
     path: str | None = None,
+    bloom_bits: int | None = 1 << 20,
 ) -> DataFrame:
     """Deduplicate a NEW batch of documents against a persisted MinHash
     signature store, then append the survivors' signatures — the
@@ -586,8 +587,26 @@ def incremental_minhash_dedup(
             writer.format("parquet").saveAsTable(store_table)
     store = spark.table(store_table)
 
+    # Bloom pre-filter on the store probe: a fresh crawl's buckets
+    # mostly MISS the store at scale, and the words table (≤ bits/64
+    # rows by construction) turns those misses into a map-only drop
+    # before the sort-merge store join. No false negatives, so results
+    # are bit-identical with the filter off (pinned in
+    # tests/test_bloom.py); only the hits path uses the filtered frame.
+    nb_probe = nb
+    if bloom_bits is not None:
+        from etl_dag_spark.operators.bloom import bloom_filter_words, bloom_prefilter
+
+        # materialize the words table ONCE: each of the k broadcast
+        # joins otherwise re-executes the whole build subplan (store
+        # scan + explode + bit_or) per broadcast exchange
+        words = bloom_filter_words(
+            store, ["band", "bucket"], num_bits=bloom_bits
+        ).localCheckpoint(eager=False)
+        nb_probe = bloom_prefilter(nb, words, ["band", "bucket"], num_bits=bloom_bits)
+
     store_hits = (
-        nb.join(
+        nb_probe.join(
             store.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("__sid")),
             ["band", "bucket"],
         )

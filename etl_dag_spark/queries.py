@@ -3675,6 +3675,238 @@ def olap_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 2d (round 7): dataset assembly + curation — deterministic split,
+# filter observability report, containment decontamination, embedding
+# outlier scoring
+# =====================================================================
+
+# content-keyed split thresholds in the 32-bit hash space; the 'split:'
+# salt decorrelates the split decision from etl_domain_mix's keep
+# decision (same hash would make the val set a biased subsample)
+_SPLIT_T1 = int(0.90 * (1 << 32))
+_SPLIT_T2 = int(0.95 * (1 << 32))
+
+
+@register(
+    "etl_dataset_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CASE WHEN hv < {_SPLIT_T1} THEN 'train'
+            WHEN hv < {_SPLIT_T2} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+)
+def etl_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by content-keyed
+    hash — the dataloader primitive: no RNG state, no shuffle, stable
+    under corpus growth (a document never migrates between splits when
+    new data arrives, so eval sets stay uncontaminated across corpus
+    versions). Pure filter-speed Column expressions; the salt prefix
+    decorrelates this decision from the domain-mix hash."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.when(hv < _SPLIT_T1, "train")
+        .when(hv < _SPLIT_T2, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "pipeline_filter_report",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {langid_sql("text")} AS plang,
+         {token_count_sql("text")} AS nt,
+         {stopword_count_sql("text")} AS ns
+  FROM documents
+),
+reasons AS (
+  SELECT CASE WHEN nt < 20 THEN 'too_short'
+              WHEN CAST(ns AS DOUBLE) / nt < CAST(0.05 AS DOUBLE) THEN 'low_stopword_ratio'
+              WHEN plang <> lang THEN 'lang_mismatch'
+              ELSE 'kept' END AS reason
+  FROM scored
+),
+t AS (SELECT count(*) AS total FROM documents)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+       count(*) * CAST(100.0 AS DOUBLE) / total AS pct
+FROM reasons, t GROUP BY reason, total
+""",
+)
+def pipeline_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter observability: which quality rule kills how many documents
+    — the report every production cleaning pipeline ships next to its
+    output (a silent 40% drop from one rule is a bug, not a cleaning).
+    Rules fire in pipeline order and each doc is attributed to its
+    FIRST failing rule, so the report decomposes the drop exactly. One
+    scan, one bounded groupBy (≤ #rules rows); the total rides in as a
+    broadcast scalar, never an unpartitioned window."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = token_count_column("text")
+    reason = (
+        F.when(nt < 20, "too_short")
+        .when(stopword_count_column("text").cast("double") / nt < 0.05, "low_stopword_ratio")
+        .when(langid_column("text") != F.col("lang"), "lang_mismatch")
+        .otherwise("kept")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(F.broadcast(t))
+        .select(
+            "reason",
+            "n_docs",
+            (F.col("n_docs") * F.lit(100.0) / F.col("total")).alias("pct"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({shingles_sql("text", 4)}) AS s FROM documents
+),
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s FROM sh_all
+  JOIN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 50) ok USING (s)
+),
+esz AS (
+  SELECT doc_id, count(*) AS n_ev FROM sh WHERE doc_id % 20 = 0 GROUP BY 1
+)
+SELECT CAST(a.doc_id AS BIGINT) AS train_doc_id,
+       CAST(b.doc_id AS BIGINT) AS eval_doc_id,
+       count(*) / n_ev AS containment
+FROM sh a JOIN sh b ON a.s = b.s
+JOIN esz ON esz.doc_id = b.doc_id
+WHERE a.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+GROUP BY a.doc_id, b.doc_id, n_ev
+HAVING count(*) / n_ev >= CAST(0.5 AS DOUBLE)
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-ratio decontamination — the metric the ≥2-gram flag
+    (``dedup_contamination``) cannot express: a train document is
+    contaminating when it covers ≥50% of an eval document's (df-capped)
+    shingle SET, |A∩B| / |B|. Catches a benchmark answer embedded in a
+    longer train doc, where symmetric Jaccard stays low. The ratio is
+    BIGINT/BIGINT → DOUBLE in both engines — no float accumulation.
+    Same unhinted equi-join scale shape as dedup_contamination."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=4, distinct=True)
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 50)
+    sh = sh.join(hot.select("s"), "s")
+    train = sh.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    ev = sh.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    esz = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    return (
+        train.join(ev, "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(esz, "eval_doc_id")
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            (F.col("n_common") / F.col("n_ev")).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.5)
+    )
+
+
+_OUTLIER_K = 10
+
+
+@register(
+    "etl_embedding_outliers",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, label, u.dim,
+         CAST(floor(CAST(u.val AS DOUBLE) * 1000000) AS BIGINT) AS xu
+  FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'dim': i, 'val': embedding[i]}})) AS u
+    FROM embeddings)
+),
+c AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum(xu) AS DOUBLE) / count(*)) AS BIGINT) AS cu
+  FROM x GROUP BY 1, 2
+),
+d AS (
+  SELECT x.vec_id, x.label,
+         CAST(sum((xu - cu) * (xu - cu)) AS BIGINT) AS dist_sq
+  FROM x JOIN c ON x.label = c.label AND x.dim = c.dim GROUP BY 1, 2
+),
+r AS (
+  SELECT vec_id, label, dist_sq,
+         row_number() OVER (PARTITION BY label ORDER BY dist_sq DESC, vec_id) AS rn
+  FROM d
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INT) AS label,
+       dist_sq, CAST(rn AS INT) AS outlier_rank
+FROM r WHERE rn <= {_OUTLIER_K}
+""",
+)
+def etl_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection for data curation: the top-10
+    vectors per label farthest from their label's centroid — mislabeled
+    or junk examples surface first. Fully integer math end-to-end:
+    coordinates quantized to floor(x·10⁶), centroid = floor(Σ/n) in the
+    same units, distance = Σ(x−c)² as BIGINT — order-independent and
+    engine-exact, where a float mean/cosine would hash-drift.
+
+    Scale shape: one shuffle keys (label, dim) for the centroid (64·
+    #labels rows — tiny but label-cardinality-unknown, so UNHINTED);
+    one shuffle on vec_id for the per-vector sum (rides the explode's
+    partitioning); the final per-label rank is the salted two-phase
+    exact top-k, so a dominant label never serializes one reducer."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id", "label",
+        (F.col("pos") + 1).alias("dim"),
+        # cast the float32 coordinate to double BEFORE scaling: float*int
+        # multiplies in single precision and floors differently
+        F.floor(F.col("val").cast("double") * 1_000_000).cast("bigint").alias("xu"),
+    )
+    c = x.groupBy("label", "dim").agg(
+        F.floor(F.sum("xu") / F.count(F.lit(1))).cast("bigint").alias("cu")
+    )
+    dist = (
+        x.join(c, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu"))).alias("dist_sq"))
+    )
+    return win.per_group_top_k(
+        dist, "label", [F.col("dist_sq").desc(), F.col("vec_id")], _OUTLIER_K,
+        rank_col="outlier_rank",
+    ).select("vec_id", "label", "dist_sq", "outlier_rank")
+
+
+# =====================================================================
 # Registration-order contract
 # =====================================================================
 # The driver's correctness gate records the FIRST 50 entries of
@@ -3682,32 +3914,40 @@ def olap_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (77 oracled as of round 6), so each round the oracled
+# window holds (89 oracled as of round 7), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
-# (everything rotated out this round is hash-green in
-# CORRECTNESS_r05). Re-keying here preserves source order without
-# moving 2000 lines.
+# (everything rotated out this round is hash-green in r6). Re-keying
+# here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # outside the r5 window — last driver hash is r3/r4; due this round
-    "bi_yoy_growth", "etl_country_fuzzy", "etl_profile_orders",
-    "etl_value_histogram", "olap_above_customer_avg", "olap_cube_sales",
-    "olap_local_supplier_volume", "olap_ntile_quartiles",
-    "olap_order_count_distribution", "olap_order_id_list",
-    "olap_priority_shipping", "olap_returned_items", "olap_set_ops",
-    "olap_topk_per_group", "text_bpe_tokens", "text_fingerprint",
-    # new in round 6 — never driver-hashed
-    "etl_host_cap", "olap_late_shipment_priority", "olap_top_supplier",
-    "olap_small_qty_revenue", "olap_disjunctive_revenue",
-    "olap_dormant_customers", "olap_cumulative_new_users",
-    "olap_funnel_stages", "olap_cohort_retention", "olap_market_share",
-    "text_top_ngrams",
-    # broadcast hints size-gated this round (What's wrong #1) — keep
-    # the touched OLAP/BI/DQ queries in-window to prove the de-hinting
-    # changed no values
-    "bi_revenue_by_category", "bi_customers_no_purchase",
-    "olap_shipping_priority", "etl_dq_referential", "olap_nation_trade",
-    "olap_promo_revenue",
+    # round-7 window. First: the 5 rows-only queries that have NEVER
+    # appeared in any driver window (they register after the oracled
+    # block and the window holds 50) — the driver at least row/err-
+    # checks them this round (VERDICT r6 #4)
+    "dedup_cluster_lsh", "dedup_embedding_cosine_nd_exact",
+    "dedup_incremental", "etl_pack_sequences_firstfit", "mm_phash_dedup",
+    # new in round 7 — never driver-hashed
+    "text_line_dedup", "olap_revenue_forecast", "olap_nation_profit",
+    "olap_min_cost_supplier", "olap_important_parts",
+    "olap_supplier_part_counts", "olap_excess_suppliers",
+    "olap_sole_suppliers", "etl_dataset_split", "pipeline_filter_report",
+    "dedup_containment", "etl_embedding_outliers",
+    # oracled with r5-only evidence — the standing staleness rotation
+    # (every oracled query keeps hash evidence ≤2 rounds old)
+    "olap_pivot_events", "olap_percentiles", "olap_asof_join",
+    "olap_range_join", "olap_session_windows", "etl_upsert_latest",
+    "dedup_cluster", "pipeline_corpus_clean", "sql_revenue_by_category",
+    "sql_top_customers", "text_normalize", "etl_dq_uniqueness",
+    "olap_rolling_7d", "stream_json_props", "etl_scd2_history",
+    "olap_grouping_sets", "olap_value_moments", "text_langid",
+    "text_quality", "text_tokens", "text_pii_scrub",
+    "text_repetition_quality", "dedup_contamination",
+    "etl_pack_sequences", "etl_domain_mix", "olap_large_orders",
+    "text_rarity_score",
+    # touched this round (de-hinted / ns→µs DIV fix / names-from-nation
+    # rewrite) — in-window to prove no value change
+    "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
+    "olap_funnel_stages",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

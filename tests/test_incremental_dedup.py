@@ -20,8 +20,18 @@ from tests.conftest import SF_DIR
 
 
 def _drop(spark, *tables):
+    """Drop catalog entries AND warehouse files: since the bootstrap
+    re-registers any store files it finds (the session-restart
+    contract), a leftover store from a previous pytest run would
+    otherwise leak into this one."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "spark-warehouse"
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t.lower()), ignore_errors=True)
 
 
 @pytest.fixture()

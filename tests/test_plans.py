@@ -118,9 +118,14 @@ def _bounded_output(node) -> bool:
         if ge.size() == 0:
             return True
         exprs = [ge.apply(i).toString() for i in range(ge.size())]
+        tree = node.treeString()
         if all("__pid" in e for e in exprs) and (
-            "SPARK_PARTITION_ID() AS __pid" in node.treeString()
+            "SPARK_PARTITION_ID() AS __pid" in tree
         ):
+            return True
+        # Bloom word table: grouped by pmod(hash, CONSTANT) DIV 64 — at
+        # most num_bits/64 groups regardless of input size
+        if all(e.split("#")[0] == "__w" for e in exprs) and "pmod(xxhash64" in tree:
             return True
         return False
     if sn in _CARD_PRESERVING:
