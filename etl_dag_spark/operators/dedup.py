@@ -106,6 +106,7 @@ def suppress_boilerplate_lines(
     lines: DataFrame,
     max_df: int | None = None,
     rel_df_denominator: int = 100,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style line-level boilerplate removal: drop every line whose
     corpus-wide occurrence count exceeds a threshold (navigation bars,
@@ -124,20 +125,29 @@ def suppress_boilerplate_lines(
     frequency count (map-side combined); the frequency join back is
     unhinted — the df table is line-vocabulary-sized and grows with the
     corpus (the text_rarity_score lesson), so AQE picks the strategy.
-    Reassembly is ONE per-doc aggregation: counts and the ordered text
-    concat ride the same groupBy (collect_list skips the NULLs the keep
-    CASE produces), so there is no second pass over the lines and no
-    join-back. → (doc_id, clean_text, n_lines_kept, n_lines_dropped).
+    The exploded lines frame feeds both the frequency count and the
+    flagged stream, so it is materialized once (§6b-4) instead of
+    re-running the explode per consumer; passing ``corpus`` (one row
+    per document) lets the relative threshold come from a plain count
+    instead of a third pass over the lines. Reassembly is ONE per-doc
+    aggregation: counts and the ordered text concat ride the same
+    groupBy (collect_list skips the NULLs the keep CASE produces), so
+    there is no second pass over the lines and no join-back.
+    → (doc_id, clean_text, n_lines_kept, n_lines_dropped).
     """
+    lines = lines.localCheckpoint(eager=False)
     freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("__df"))
     flagged = lines.join(freq, "line")
     if max_df is not None:
         flagged = flagged.withColumn("__thr", F.lit(int(max_df)).cast("bigint"))
     else:
-        thr = lines.agg(
+        base = corpus.select(F.lit(1)) if corpus is not None else (
+            lines.select("doc_id").distinct()
+        )
+        thr = base.agg(
             F.expr(
                 f"greatest(CAST(2 AS BIGINT), "
-                f"count(DISTINCT doc_id) DIV {int(rel_df_denominator)}) AS __thr"
+                f"count(1) DIV {int(rel_df_denominator)}) AS __thr"
             )
         )
         # scalar aggregate → structurally bounded broadcast

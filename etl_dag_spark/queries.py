@@ -2725,7 +2725,7 @@ lines AS (
     FROM tk)
 ),
 freq AS (SELECT line, count(*) AS df FROM lines GROUP BY 1),
-thr AS (SELECT greatest(2, count(DISTINCT doc_id) // 100) AS t FROM lines),
+thr AS (SELECT greatest(2, count(*) // 100) AS t FROM documents),
 flagged AS (
   SELECT l.doc_id, l.line_id, l.line, (f.df <= thr.t) AS keep
   FROM lines l JOIN freq f USING (line), thr
@@ -2751,7 +2751,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_corpus_ops.py."""
     d = load_table(spark, sf_dir, "documents")
     lines = chunk_token_lines(d, n=3)
-    return dd.suppress_boilerplate_lines(lines, rel_df_denominator=100)
+    return dd.suppress_boilerplate_lines(lines, rel_df_denominator=100, corpus=d)
 
 
 # =====================================================================

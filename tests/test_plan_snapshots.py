@@ -43,6 +43,11 @@ SNAPSHOT_QUERIES = [
     # r6 broadcast-inversion fix: the 20-row top-k frame must be the
     # broadcast side, never the SF-scaled customer table
     "olap_returned_items",
+    # r7: line-frequency dedup (the frequency join-back must stay
+    # unhinted), the composed pipeline with its checkpointed filter
+    # stage, and the argmin-per-key TPC-H Q2 rewrite
+    "text_line_dedup",
+    "olap_min_cost_supplier",
 ]
 
 # Node headers worth pinning: strategy-bearing operators. Detail
