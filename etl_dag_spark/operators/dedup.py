@@ -99,6 +99,57 @@ def ngram_jaccard_pairs(
     )
 
 
+# ----------------------------------------------- persisted store plumbing
+
+
+def _ensure_bucketed_store(
+    spark,
+    store_table: str,
+    schema_sql: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Create-or-reattach a persisted bucketed parquet store.
+
+    The session catalog is in-memory: a table written by a PRIOR
+    session is invisible to tableExists, but its files still sit at the
+    table location. That store IS accumulated history ("the corpus
+    arrives in batches forever"), so never destroy it: re-register the
+    existing files with the same bucket spec — the bucket layout is a
+    deterministic function of (hash, n_buckets), so a CREATE TABLE ...
+    CLUSTERED BY over them restores both the history and the
+    Exchange-free store-side read. Only a location with no parquet
+    store in it (stale partial junk) is cleared and bootstrapped empty.
+    ``path`` makes the store an external table (location independent of
+    the session's warehouse dir / cwd writability)."""
+    if spark.catalog.tableExists(store_table):
+        return
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = path or os.path.join(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "spark-warehouse",
+        store_table.lower(),
+    )
+    has_prior_store = os.path.isdir(loc) and any(
+        f.startswith("part-") and f.endswith(".parquet") for f in os.listdir(loc)
+    )
+    if has_prior_store:
+        spark.sql(
+            f"CREATE TABLE {store_table} ({schema_sql}) "
+            f"USING parquet CLUSTERED BY ({', '.join(bucket_cols)}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+    else:
+        shutil.rmtree(loc, ignore_errors=True)
+        empty = spark.createDataFrame([], schema_sql)
+        writer = empty.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.format("parquet").saveAsTable(store_table)
+
+
 # ------------------------------------------- line-level boilerplate (CCNet)
 
 
@@ -153,10 +204,19 @@ def suppress_boilerplate_lines(
         # scalar aggregate → structurally bounded broadcast
         flagged = flagged.join(F.broadcast(thr))
     flagged = flagged.withColumn("__keep", F.col("__df") <= F.col("__thr"))
-    # the transform/array_sort lambdas are interpreted and re-evaluate
-    # their input per element, but they run over the per-doc COLLECTED
-    # array (tens of lines), never over a corpus-sized structure — the
-    # 64-permutation trap (§6b-1) does not apply at this cardinality
+    return reassemble_kept_lines(flagged)
+
+
+def reassemble_kept_lines(flagged: DataFrame) -> DataFrame:
+    """(doc_id, line_id, line, __keep) → (doc_id, clean_text,
+    n_lines_kept, n_lines_dropped): counts and the ordered text concat
+    ride ONE groupBy (collect_list skips the NULLs the keep CASE
+    produces). Shared by the batch operator and the streaming twin.
+
+    The transform/array_sort lambdas are interpreted and re-evaluate
+    their input per element, but they run over the per-doc COLLECTED
+    array (tens of lines), never over a corpus-sized structure — the
+    64-permutation trap (§6b-1) does not apply at this cardinality."""
     return flagged.groupBy("doc_id").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list("
@@ -558,43 +618,10 @@ def incremental_minhash_dedup(
         new_docs, n=n, k=k, bands=bands, seed=seed, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=False)
 
-    if not spark.catalog.tableExists(store_table):
-        # the session catalog is in-memory: a table written by a PRIOR
-        # session is invisible to tableExists, but its files still sit
-        # at the table location. That store IS the accumulated dedup
-        # history ("the corpus arrives in batches forever"), so never
-        # destroy it: re-register the existing files with the same
-        # bucket spec — the bucket layout is a deterministic function
-        # of (hash, n_store_buckets), so a CREATE TABLE ... CLUSTERED
-        # BY over them restores both the history and the Exchange-free
-        # store-side read. Only a location with no parquet store in it
-        # (stale partial junk) is cleared and bootstrapped empty.
-        # ``path`` makes the store an external table (location
-        # independent of the session's warehouse dir / cwd
-        # writability).
-        import shutil
-        from urllib.parse import urlparse
-
-        loc = path or os.path.join(
-            urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or "spark-warehouse",
-            store_table.lower(),
-        )
-        has_prior_store = os.path.isdir(loc) and any(
-            f.startswith("part-") and f.endswith(".parquet") for f in os.listdir(loc)
-        )
-        if has_prior_store:
-            spark.sql(
-                f"CREATE TABLE {store_table} (doc_id BIGINT, band INT, bucket BIGINT) "
-                f"USING parquet CLUSTERED BY (band, bucket) "
-                f"INTO {n_store_buckets} BUCKETS LOCATION '{loc}'"
-            )
-        else:
-            shutil.rmtree(loc, ignore_errors=True)
-            empty = spark.createDataFrame([], "doc_id bigint, band int, bucket bigint")
-            writer = empty.write.mode("overwrite").bucketBy(n_store_buckets, "band", "bucket")
-            if path is not None:
-                writer = writer.option("path", path)
-            writer.format("parquet").saveAsTable(store_table)
+    _ensure_bucketed_store(
+        spark, store_table, "doc_id BIGINT, band INT, bucket BIGINT",
+        ["band", "bucket"], n_store_buckets, path,
+    )
     store = spark.table(store_table)
 
     # Bloom pre-filter on the store probe: a fresh crawl's buckets

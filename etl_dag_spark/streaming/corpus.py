@@ -101,3 +101,74 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_line_dedup(
+    docs_stream: DataFrame,
+    store_table: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    max_df: int = 10,
+    store_path: str | None = None,
+    n_store_buckets: int = 16,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming CCNet line suppression with CUMULATIVE corpus line
+    frequencies — the streaming twin of
+    ``operators.dedup.suppress_boilerplate_lines``, with the same
+    persisted-store shape as :func:`stream_incremental_dedup`: a cookie
+    banner that only becomes recognizable as boilerplate after enough
+    batches must be suppressed from then on, so frequency state is
+    unbounded history, not a watermark-bounded buffer.
+
+    Per micro-batch: (a) the batch's line counts APPEND to a bucketed
+    parquet store as deltas (log-structured — no full-store rewrite per
+    batch; the read-side groupBy folds deltas and is Exchange-free on
+    the bucketed line key; compaction is an offline concern), then (b)
+    the batch's documents are cleaned against the counts INCLUDING this
+    batch and appended to ``out_dir``. Decisions are as-of arrival time
+    — earlier outputs are not retroactively re-cleaned, which is
+    exactly the semantics of a production ingest feed. A single-batch
+    stream therefore equals the one-shot batch operator, and the
+    store's folded counts always equal the batch operator's frequency
+    table over everything ingested (both pinned in
+    tests/test_streaming_corpus.py)."""
+    from etl_dag_spark.functions.text import chunk_token_lines
+    from etl_dag_spark.operators.dedup import (
+        _ensure_bucketed_store,
+        reassemble_kept_lines,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        lines = chunk_token_lines(batch_df, n=n).localCheckpoint(eager=False)
+        _ensure_bucketed_store(
+            spark, store_table, "line STRING, cnt BIGINT", ["line"],
+            n_store_buckets, store_path,
+        )
+        (
+            lines.groupBy("line")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("append")
+            .bucketBy(n_store_buckets, "line")
+            .format("parquet")
+            .saveAsTable(store_table)
+        )
+        cum = spark.table(store_table).groupBy("line").agg(
+            F.sum("cnt").alias("__df")
+        )
+        flagged = (
+            lines.join(cum, "line")
+            .withColumn("__thr", F.lit(int(max_df)).cast("bigint"))
+            .withColumn("__keep", F.col("__df") <= F.col("__thr"))
+        )
+        reassemble_kept_lines(flagged).write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -109,3 +109,97 @@ def test_stream_incremental_dedup_equals_one_shot(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) < docs.count()  # something kept, something dropped
+
+
+def test_stream_line_dedup_single_batch_equals_batch_operator(spark, tmp_path):
+    """A one-file stream is a single micro-batch, so the streaming twin
+    must equal the one-shot batch operator exactly (same max_df)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.functions.text import chunk_token_lines
+    from etl_dag_spark.operators.dedup import suppress_boilerplate_lines
+    from etl_dag_spark.streaming.corpus import stream_line_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    spark.sql("DROP TABLE IF EXISTS t_line_stream_one")
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(src)
+    )
+    q = stream_line_dedup(
+        stream, "t_line_stream_one", out, str(tmp_path / "ckpt"),
+        n=3, max_df=5, store_path=str(tmp_path / "store"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+        for r in suppress_boilerplate_lines(
+            chunk_token_lines(docs, n=3), max_df=5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS t_line_stream_one")
+
+
+def test_stream_line_dedup_cumulative_history_suppresses_late_boilerplate(
+    spark, tmp_path
+):
+    """The store is unbounded history: a banner below threshold in batch
+    1 (kept) crosses it in batch 2 (dropped for batch-2 docs), while
+    batch-1 outputs stay as emitted — arrival-time semantics. The
+    folded store counts must equal the whole corpus's line frequencies."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.streaming.corpus import stream_line_dedup
+
+    banner = "click here now"
+    b1 = [(i, f"{banner} alpha beta d{i}") for i in range(1, 7)]       # df 6
+    b2 = [(i, f"{banner} gamma delta d{i}") for i in range(11, 16)]   # cum 11
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.05)
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.sql("DROP TABLE IF EXISTS t_line_stream_cum")
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_line_dedup(
+        stream, "t_line_stream_cum", out, str(tmp_path / "ckpt"),
+        n=3, max_df=10, store_path=str(tmp_path / "store"),
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 11
+    for i in range(1, 7):   # batch 1: banner df 6 <= 10 → kept
+        assert got[i].clean_text.startswith(banner), got[i].clean_text
+        assert got[i].n_lines_dropped == 0
+    for i in range(11, 16):  # batch 2: cumulative 11 > 10 → dropped
+        assert not got[i].clean_text.startswith(banner), got[i].clean_text
+        assert got[i].n_lines_dropped == 1
+    # folded store == whole-corpus line frequency for the banner
+    cnt = (
+        spark.table("t_line_stream_cum")
+        .where(F.col("line") == banner)
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    assert cnt == 11
+    spark.sql("DROP TABLE IF EXISTS t_line_stream_cum")
