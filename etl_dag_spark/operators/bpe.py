@@ -1,0 +1,156 @@
+"""Distributed BPE (byte-pair encoding) vocabulary training — the
+tokenizer-induction step of an LLM data pipeline, expressed as iterative
+DataFrame algebra.
+
+Industrial BPE trainers (GPT-2's, SentencePiece's BPE mode) do NOT scan
+the raw corpus per merge: they first collapse the corpus to a WORD-TYPE
+table (word, count) and run every merge iteration against that — the
+corpus is touched exactly once. The same shape here:
+
+1. one corpus pass builds (word, count), optionally capped to the top
+   ``max_word_types`` by count (exact TakeOrdered top-k) so the
+   iteration state is bounded no matter the corpus;
+2. each merge iteration counts adjacent symbol pairs (posexplode +
+   lead window — all codegen), takes the argmax with a deterministic
+   tiebreak (count desc, pair asc) via TakeOrderedAndProject, and
+   applies the merge with a single literal ``F.replace`` on the
+   space-separated symbol string (left-to-right non-overlapping —
+   exactly classic BPE's convention);
+3. the merge list is the ONLY driver state: one row per iteration,
+   bounded by ``num_merges``.
+
+No Python touches row data at any point — the per-iteration work is a
+vocab-sized codegen job. The merge sequence is asserted EQUAL to a
+literal reference Python BPE in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_dag_spark.functions.text import tokens_column
+
+
+def word_type_table(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_word_types: int | None = 100_000,
+) -> DataFrame:
+    """(word, count) over the corpus — the single corpus pass of BPE
+    training. ``max_word_types`` caps the iteration state (exact top-k
+    by count with word as tiebreak: TakeOrderedAndProject, no global
+    sort)."""
+    w = (
+        documents.select(F.explode(tokens_column(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_word_types is not None:
+        w = w.orderBy(F.col("c").desc(), F.col("w")).limit(int(max_word_types))
+    return w
+
+
+def train_bpe(
+    documents: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    max_word_types: int | None = 100_000,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the
+    merge table (rank INT, left STRING, right STRING, merged STRING,
+    pair_count BIGINT) in learned order. Stops early when no pair
+    occurs twice.
+
+    Determinism: the argmax tiebreak is (count desc, left asc,
+    right asc) and merge application is left-to-right non-overlapping,
+    so the learned sequence is a pure function of the word-type table.
+    """
+    spark = documents.sparkSession
+    words = word_type_table(documents, text_col, max_word_types)
+    # symbol string: characters separated by DOUBLE spaces, double-space
+    # padded. The double separator is load-bearing: a merge pattern
+    # " a  b " consumes one space from each side and its replacement
+    # " ab " restores the invariant, so CONSECUTIVE occurrences
+    # ([a,b,a,b]) all match in one left-to-right replace pass — with
+    # single spaces the shared boundary space makes replace miss every
+    # other occurrence.
+    reprs = words.select(
+        F.concat(
+            F.lit("  "),
+            # (?!^)(?!$): split strictly BETWEEN characters — the plain
+            # lookbehind-free "(?!^)" also matches the end-of-string
+            # position and leaves a trailing empty element
+            F.array_join(F.split(F.col("w"), "(?!^)(?!$)"), "  "),
+            F.lit("  "),
+        ).alias("r"),
+        F.col("c"),
+    ).localCheckpoint(eager=True)
+
+    out_schema = "rank int, left string, right string, merged string, pair_count bigint"
+    merges: list[tuple] = []
+    for i in range(int(num_merges)):
+        # the word id must be assigned BEFORE the explode — inside the
+        # exploded select it would number symbol rows, not words
+        toks = reprs.withColumn("wid", F.monotonically_increasing_id()).select(
+            "wid",
+            F.posexplode(F.split(F.trim("r"), "  ")).alias("pos", "sym"),
+            F.col("c"),
+        )
+        nxt = F.lead("sym").over(Window.partitionBy("wid").orderBy("pos"))
+        best = (
+            toks.withColumn("nxt", nxt)
+            .where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("c").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("sym"), F.col("nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].pc < 2:
+            break
+        a, b, pc = best[0].sym, best[0].nxt, best[0].pc
+        merges.append((i, a, b, a + b, int(pc)))
+        reprs = reprs.select(
+            F.replace(
+                F.col("r"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} ")
+            ).alias("r"),
+            "c",
+        ).localCheckpoint(eager=True)  # iterative op: materialize the frontier
+    return spark.createDataFrame(merges, out_schema)
+
+
+def apply_bpe(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment the corpus with a learned merge list: per document, the
+    BPE token count — one chained codegen expression (a literal replace
+    per merge) over a single scan; the merge list is bounded driver
+    state, never a join.
+
+    Word boundaries become a sentinel symbol (``␟``) BEFORE the
+    per-character spacing, so no merge can span words (training never
+    sees the sentinel, so no merge pattern contains it). All string
+    ops are non-regex literals except the one zero-width char-split —
+    no interpreted lambdas anywhere on the corpus path."""
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+    r = F.concat(
+        F.lit("  "),
+        F.regexp_replace(
+            F.replace(normalized, F.lit(" "), F.lit("␟")), "(?!^)", "  "
+        ),
+        F.lit("  "),
+    )
+    for a, b in merges:
+        r = F.replace(r, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+    n_symbols = F.size(F.split(F.trim(r), "  "))
+    n_words = F.size(tokens_column(text_col))
+    return documents.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        # sentinel symbols are not tokens: one per word boundary
+        (n_symbols - (n_words - 1)).cast("bigint").alias("n_bpe_tokens"),
+    )

@@ -3906,6 +3906,38 @@ def etl_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "dist_sq", "outlier_rank")
 
 
+@register("text_bpe_train")  # iterative driver-loop argmax → rows-only; reference equality in pytest
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators/bpe.py): corpus →
+    word-type table (ONE corpus pass, top-100k cap) → per merge, a
+    vocab-sized codegen job (posexplode+lead pair counts,
+    TakeOrderedAndProject argmax, literal-replace application with the
+    double-space separator invariant). Driver state = the merge list,
+    one row per iteration. The learned sequence equals a literal
+    reference Python BPE exactly (tests/test_bpe.py)."""
+    from etl_dag_spark.operators.bpe import train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_bpe(d, num_merges=10)
+
+
+@register("pipeline_bpe_segment")  # depends on trained merges → rows-only; counts vs reference in pytest
+def pipeline_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-segment end-to-end: learn 10 merges, then segment the
+    corpus with them — a chained codegen expression (one literal
+    replace per merge) over a single scan, no join against the merge
+    list. Returns per-document BPE token counts: the operator that
+    turns 'did the tokenizer get better' into a measurable
+    chars-per-token statistic at corpus scale."""
+    from etl_dag_spark.operators.bpe import apply_bpe, train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right) for r in train_bpe(d, num_merges=10).orderBy("rank").collect()
+    ]
+    return apply_bpe(d, merges)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
