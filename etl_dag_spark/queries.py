@@ -3906,6 +3906,90 @@ def etl_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "dist_sq", "outlier_rank")
 
 
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1),
+                  i -> {{'pos': i, 'tok': tk[i]}})) AS u
+    FROM tk)
+),
+bg AS (
+  SELECT tok AS t, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+),
+c AS (
+  SELECT t, nxt, CAST(count(*) AS BIGINT) AS cnt FROM bg
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+s AS (
+  SELECT t, CAST(sum(cnt) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_continuations,
+         max(cnt) AS mx
+  FROM c GROUP BY 1
+),
+top AS (
+  SELECT c.t, min(c.nxt) AS top_next FROM c JOIN s ON c.t = s.t AND c.cnt = s.mx
+  GROUP BY 1
+)
+SELECT s.t AS token, s.n_total, s.n_continuations,
+       top.top_next, CAST(s.mx AS BIGINT) AS top_next_cnt,
+       CAST(s.mx AS DOUBLE) / s.n_total AS top_next_prob
+FROM s JOIN top ON s.t = top.t
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM statistics per token: total continuations,
+    distinct continuations (the Kneser-Ney continuation-count
+    ingredient), and the modal next token with its probability — the
+    corpus-statistics table behind count-based LM scoring and
+    predictability-based quality filters. Argmax is decorrelated into
+    per-key max + join-back with a min-tiebreak (deterministic in both
+    engines, unlike max_by under ties); counts are BIGINT end-to-end
+    and the single probability is one BIGINT/BIGINT division.
+
+    Scale shape: bigrams ride the posexplode+lead window (doc_id
+    partitioning — the shingle lesson); the (t, nxt) count groupBy is
+    map-side combined to the bigram vocabulary; everything after
+    operates on vocabulary-sized frames, unhinted (Heaps' law — the
+    rarity-score lesson)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_column("text")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tk.select(F.col("tok").alias("t"), F.lead("tok").over(w).alias("nxt")).where(
+        F.col("nxt").isNotNull()
+    )
+    c = bg.groupBy("t", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    s = c.groupBy("t").agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_continuations"),
+        F.max("cnt").alias("mx"),
+    )
+    top = (
+        c.join(s.select("t", "mx"), "t")
+        .where(F.col("cnt") == F.col("mx"))
+        .groupBy("t")
+        .agg(F.min("nxt").alias("top_next"))
+    )
+    return (
+        s.join(top, "t")
+        .select(
+            F.col("t").alias("token"),
+            "n_total",
+            "n_continuations",
+            "top_next",
+            F.col("mx").cast("bigint").alias("top_next_cnt"),
+            (F.col("mx").cast("double") / F.col("n_total")).alias("top_next_prob"),
+        )
+    )
+
+
 @register("text_bpe_train")  # iterative driver-loop argmax → rows-only; reference equality in pytest
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (operators/bpe.py): corpus →
@@ -3963,7 +4047,7 @@ _ROTATE_TO_FRONT = [
     "olap_min_cost_supplier", "olap_important_parts",
     "olap_supplier_part_counts", "olap_excess_suppliers",
     "olap_sole_suppliers", "etl_dataset_split", "pipeline_filter_report",
-    "dedup_containment", "etl_embedding_outliers",
+    "dedup_containment", "etl_embedding_outliers", "text_bigram_lm",
     # oracled with r5-only evidence — the standing staleness rotation
     # (every oracled query keeps hash evidence ≤2 rounds old)
     "olap_pivot_events", "olap_percentiles", "olap_asof_join",
