@@ -672,3 +672,94 @@ def cosine_pairs_lsh(
     return out.select(
         "vec_id_a", "vec_id_b", F.round("sim_raw", 6).alias("sim")
     ).where(F.col("sim") >= threshold)
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int | None = None,
+    max_cell_size: int = 100_000,
+    compared_counter=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: a k-means codebook
+    partitions the corpus into ``n_cells`` semantic cells and exact
+    cosine runs ONLY within a cell — the clustering counterpart of
+    hyperplane LSH (:func:`cosine_pairs_lsh`), after Abbas et al. 2023
+    ("SemDeDup"), which prunes web corpora by deduplicating inside
+    k-means clusters of embeddings.
+
+    → (vec_id_a, vec_id_b, sim), a < b, sim rounded to 6dp with the
+    same per-dimension accumulation as :func:`cosine_pairs`, so
+    agreement with the exact twin is measurable pair-for-pair
+    (tests/test_dedup_recall.py).
+
+    Scale shape: codebook training collects only a capped sample
+    (:func:`_train_sample`); the (n_cells × dim) codebook broadcasts;
+    cell assignment is one Arrow pass over the corpus; the quadratic
+    step is per-cell, so its cost is Σ |cell|² — the operator contract
+    is that ``n_cells`` grows with the corpus to hold expected cell
+    size roughly constant (SemDeDup uses ~100k clusters at web scale).
+    Degenerate cells above ``max_cell_size`` are dropped like LSH's
+    pathological buckets rather than detonating an executor;
+    ``compared_counter`` counts compared pairs so tests can assert the
+    pruning (< n²/2 vs the all-pairs baseline).
+    """
+    spark = embeddings.sparkSession
+    train_pdf = _train_sample(
+        embeddings, id_col, vec_col, train_cap or max(256 * n_cells, 4096), seed
+    )
+    if not len(train_pdf):
+        return spark.createDataFrame([], "vec_id_a long, vec_id_b long, sim double")
+    _, train_mat = _matrix(train_pdf, id_col, vec_col)
+    centroids = _kmeans_centroids(train_mat, n_cells, seed=seed)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mat = _matrix(pdf, id_col, vec_col)
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                    "vec": list(pdf[vec_col]),
+                }
+            )
+
+    assigned = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
+        assign, "vec_id long, cell int, vec array<double>"
+    )
+    emit_floor = threshold - _EDGE
+
+    def within_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2 or m > max_cell_size:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "sim_raw": []}).astype(
+                {"vec_id_a": np.int64, "vec_id_b": np.int64, "sim_raw": np.float64}
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        if compared_counter is not None:
+            compared_counter.add(int(m * (m - 1) // 2))
+        sims = _seq_dot_block(mat, mat) / (
+            _seq_norms(mat)[:, None] * _seq_norms(mat)[None, :]
+        )
+        ii, jj = np.where(np.triu(sims >= emit_floor, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pd.DataFrame({"vec_id_a": a, "vec_id_b": b, "sim_raw": sims[ii, jj]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        within_cell, "vec_id_a long, vec_id_b long, sim_raw double"
+    )
+    return pairs.select(
+        "vec_id_a", "vec_id_b", F.round("sim_raw", 6).alias("sim")
+    ).where(F.col("sim") >= threshold)

@@ -42,7 +42,9 @@ from etl_dag_spark.functions.vectors import cosine_sql
 from etl_dag_spark.operators import dedup as dd
 from etl_dag_spark.operators import joins
 from etl_dag_spark.operators import similarity as sim
+from etl_dag_spark.operators import sketch as sk
 from etl_dag_spark.operators import star
+from etl_dag_spark.operators.sketch import pos32_sql as sketch_pos_sql
 from etl_dag_spark.operators import validation as val
 from etl_dag_spark.operators import windows as win
 from etl_dag_spark.operators.hierarchy import ancestor_chain, recursive_expand
@@ -4023,6 +4025,285 @@ def pipeline_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 2d (round 7, cont.): TF-IDF keywords, hashed-feature classifier,
+# context-window chunking, count-min sketch, semantic dedup
+# =====================================================================
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df, CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tf JOIN dfreq USING (token), tot
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token)
+        AS rnk FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS INT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM r WHERE rnk <= 3
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive keywords: top-3 tokens by a tf-idf
+    variant scored as the exact rational tf·N/df — one correctly-
+    rounded division instead of tf·ln(N/df), because ``ln`` ulp
+    behavior differs between engines while a single integer-ratio
+    division is bit-identical (same monotone ranking in df for fixed
+    tf). The keyword extractor is the corpus-curation primitive behind
+    topic tagging and per-domain vocabulary drift monitoring.
+
+    Scale shape: tf is a (doc, token) groupBy (map-side combined); df
+    re-aggregates the ALREADY distinct-per-doc tf frame, so no second
+    pass over the corpus; the vocabulary-sized df join-back is UNHINTED
+    (Heaps' law — same reasoning as text_rarity_score); N rides in as a
+    broadcast 1-row aggregate; the rank window is partitioned by
+    doc_id, never global."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("token"),
+    )
+    tf = tk.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(tot))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+    )
+
+
+_CLS_BUCKETS = 1024
+_CLS_WSPAN = 2001  # weights in [-1000, 1000]
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
+  FROM tk
+),
+wt AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+            % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
+  FROM feat
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS raw_score,
+       CAST(sum(w) AS DOUBLE) / count(*) AS mean_weight,
+       CASE WHEN sum(w) >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM wt GROUP BY doc_id
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed token features — the
+    fastText-style scorer production pipelines run over every crawled
+    document (quality gating à la GPT-3/LLaMA corpus filtering), with
+    the model collapsed to its essence: w·x where x is a hashed
+    bag-of-tokens. Weights here are md5-derived stand-ins (deterministic,
+    engine-portable) — swapping in trained weights changes the literal
+    array, not the plan.
+
+    Scale shape: the hashing trick means NO vocabulary table exists at
+    all — each token computes its bucket and weight arithmetically
+    in-scan (codegen, zero joins, zero state), so the classifier runs
+    at scan speed on 100 TB with one doc_id shuffle for the final
+    aggregate. Integer weight sums are order-independent; the single
+    mean division is correctly rounded in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("t"),
+    )
+    b = F.expr(
+        f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), {_CLS_BUCKETS})"
+    )
+    w = F.expr(
+        f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8), 16, 10)"
+        f" AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
+    )
+    return (
+        tk.withColumn("b", b)
+        .withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("raw_score"),
+            (F.sum("w").cast("double") / F.count(F.lit(1))).alias("mean_weight"),
+        )
+        .withColumn(
+            "verdict", F.when(F.col("raw_score") >= 0, "keep").otherwise("drop")
+        )
+    )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "etl_chunk_documents",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS n FROM tk),
+c AS (
+  SELECT doc_id, tk, n,
+         unnest(range(0, 1 + (greatest(0, n - {_CHUNK_SIZE}) + {_CHUNK_STRIDE - 1})
+                           // {_CHUNK_STRIDE})) AS i
+  FROM n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(list_slice(tk, i*{_CHUNK_STRIDE} + 1,
+                                  i*{_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ') AS chunk_text,
+       CAST(least({_CHUNK_SIZE}, n - i*{_CHUNK_STRIDE}) AS BIGINT) AS n_tokens
+FROM c
+""",
+)
+def etl_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (size 32, stride 24 — i.e.
+    8-token overlap): the dataloader step that turns variable-length
+    documents into model-sized training windows without losing
+    cross-boundary n-grams. Chunk count is the exact integer
+    1 + ceil(max(0, n−size)/stride) — every token lands in ≥1 chunk,
+    the last chunk may run short, and a short doc still yields its one
+    chunk.
+
+    Scale shape: pure per-row fan-out — sequence()+explode then
+    slice/array_join (all codegen, no higher-order lambda in a hot
+    loop: ~n/stride slices per doc, not per token), zero shuffles,
+    zero joins; composes with etl_pack_sequences downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            tokens_column("text").alias("tk"),
+        )
+        .withColumn("n", F.size("tk"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"1 + (greatest(0, n - {_CHUNK_SIZE}) + {_CHUNK_STRIDE - 1})"
+                f" DIV {_CHUNK_STRIDE}"
+            ),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_id"),
+        "tk",
+        "n",
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(
+            F.expr(f"slice(tk, chunk_id*{_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})"), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(_CHUNK_SIZE), F.col("n") - F.col("chunk_id") * _CHUNK_STRIDE)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+@register(
+    "text_countmin_hitters",
+    oracle=f"""
+WITH tk AS (SELECT unnest({tokens_sql("text")}) AS key FROM documents),
+cnt AS (SELECT key, CAST(count(*) AS BIGINT) AS exact_count FROM tk GROUP BY 1),
+rows_ AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS row),
+cells AS (
+  SELECT row, {sketch_pos_sql("CAST(row AS VARCHAR)", "key", _CMS_WIDTH)} AS pos,
+         sum(exact_count) AS cell
+  FROM cnt CROSS JOIN rows_ GROUP BY 1, 2
+),
+top AS (
+  SELECT key, exact_count,
+         CAST(rank() OVER (ORDER BY exact_count DESC) AS INT) AS top_rank
+  FROM cnt QUALIFY top_rank <= 20
+),
+est AS (
+  SELECT t.key, t.exact_count, t.top_rank, min(c.cell) AS cms_estimate
+  FROM top t CROSS JOIN rows_ r
+  JOIN cells c
+    ON c.row = r.row
+   AND c.pos = {sketch_pos_sql("CAST(r.row AS VARCHAR)", "t.key", _CMS_WIDTH)}
+  GROUP BY 1, 2, 3
+)
+SELECT key AS token, top_rank, exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM est
+""",
+)
+def text_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs ground truth on the corpus's top-20 tokens
+    (ties included): build the depth-4 × width-256 CMS cell table from
+    the token counts (operators/sketch.py — engine-portable md5 row
+    hashes, so DuckDB replays the sketch bit-for-bit), then read each
+    heavy hitter's estimate back as the min of its 4 cells. The CMS is
+    the fixed-memory mergeable summary a streaming ingest keeps next to
+    its exact batch counts; heavy hitters are exactly where its
+    ≥-exact estimates are tight.
+
+    Scale shape: the sketch is ≤ depth×width rows BY CONSTRUCTION
+    (a constant of the operator, not a data statistic) — the one
+    broadcast in this repo whose bound needs no df-cap; the only
+    corpus-sized work is the token-count groupBy, map-side combined;
+    top-20 via TakeOrderedAndProject + rank over survivors."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(tokens_column("text")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    cms = sk.countmin_build(cnt, count_col="exact_count", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    top = win.top_n_with_rank(cnt, "exact_count", n=20)
+    est = sk.countmin_estimate(cms, top.select("key"), depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    # est is ≤20+ties rows but only by an order-statistic argument, so
+    # per the hint policy it stays UNHINTED (AQE broadcasts it at runtime)
+    return (
+        top.join(est, "key")
+        .select(
+            F.col("key").alias("token"),
+            "top_rank",
+            "exact_count",
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        )
+    )
+
+
+@register("dedup_semantic")  # engine-specific corpus + k-means → rows-only; agreement in pytest
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs over the planted near-dup
+    corpus: k-means cells partition the embedding space, exact cosine
+    runs only within a cell (operators/similarity.py::
+    semantic_dedup_pairs) — the clustering counterpart of the
+    hyperplane-LSH path, and the third member of the exact/LSH/semantic
+    embedding-dedup family. Pair agreement vs the exact twin
+    `dedup_embedding_cosine_nd_exact` and the compared-pairs pruning
+    accumulator are asserted in tests/test_dedup_recall.py."""
+    return sim.semantic_dedup_pairs(
+        _near_dup_corpus(spark, sf_dir), threshold=0.95, n_cells=16
+    )
+
+
+# =====================================================================
 # Registration-order contract
 # =====================================================================
 # The driver's correctness gate records the FIRST 50 entries of
@@ -4048,15 +4329,21 @@ _ROTATE_TO_FRONT = [
     "olap_supplier_part_counts", "olap_excess_suppliers",
     "olap_sole_suppliers", "etl_dataset_split", "pipeline_filter_report",
     "dedup_containment", "etl_embedding_outliers", "text_bigram_lm",
+    "text_tfidf_keywords", "text_quality_classifier",
+    "etl_chunk_documents", "text_countmin_hitters", "dedup_semantic",
     # oracled with r5-only evidence — the standing staleness rotation
-    # (every oracled query keeps hash evidence ≤2 rounds old)
+    # (every oracled query keeps hash evidence ≤2 rounds old). The 50-
+    # slot window can't hold all of them this round (new queries take
+    # priority); the 4 that yield their slot — text_langid / text_quality
+    # / text_tokens / text_normalize, single-scan pure-Column queries
+    # with snapshot-pinned plans untouched since r5 — sit right after
+    # the window and rotate first in r8.
     "olap_pivot_events", "olap_percentiles", "olap_asof_join",
     "olap_range_join", "olap_session_windows", "etl_upsert_latest",
     "dedup_cluster", "pipeline_corpus_clean", "sql_revenue_by_category",
-    "sql_top_customers", "text_normalize", "etl_dq_uniqueness",
+    "sql_top_customers", "etl_dq_uniqueness",
     "olap_rolling_7d", "stream_json_props", "etl_scd2_history",
-    "olap_grouping_sets", "olap_value_moments", "text_langid",
-    "text_quality", "text_tokens", "text_pii_scrub",
+    "olap_grouping_sets", "olap_value_moments", "text_pii_scrub",
     "text_repetition_quality", "dedup_contamination",
     "etl_pack_sequences", "etl_domain_mix", "olap_large_orders",
     "text_rarity_score",
@@ -4064,6 +4351,8 @@ _ROTATE_TO_FRONT = [
     # rewrite) — in-window to prove no value change
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
     "olap_funnel_stages",
+    # first out-of-window (position 51+): rotate to front in r8
+    "text_langid", "text_quality", "text_tokens", "text_normalize",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

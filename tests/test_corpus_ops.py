@@ -220,3 +220,35 @@ def test_line_dedup_relative_threshold_scales_with_corpus(spark):
     assert out[0].clean_text == "only line 0 three times"
     assert out[10].clean_text == "only line 10"
     assert out[10].n_lines_dropped == 1
+
+
+def test_chunk_documents_tiles_exactly(spark):
+    """Context-window chunking invariants at sf0.001: chunk_ids are
+    contiguous from 0; every chunk's token count matches its text; and
+    stitching chunks back together (first `stride` tokens of every
+    non-final chunk + the whole final chunk) reproduces each document's
+    token stream exactly — no token lost or duplicated beyond the
+    declared overlap."""
+    from etl_dag_spark.queries import SPARK_QUERIES, _CHUNK_SIZE, _CHUNK_STRIDE
+    from etl_dag_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    chunks = SPARK_QUERIES["etl_chunk_documents"](spark, sf).collect()
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        stitched: list[str] = []
+        for i, r in enumerate(rows):
+            toks = r.chunk_text.split() if r.chunk_text else []
+            assert len(toks) == r.n_tokens
+            assert len(toks) <= _CHUNK_SIZE
+            stitched.extend(toks if i == len(rows) - 1 else toks[:_CHUNK_STRIDE])
+        assert stitched == docs[doc_id], f"doc {doc_id} not tiled exactly"

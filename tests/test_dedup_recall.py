@@ -338,3 +338,41 @@ def test_lsh_clustering_agrees_with_exact(spark, corpus):
     approx_map = {r.doc_id: r.cluster_id for r in approx.collect()}
     agree = sum(1 for d in exact_map if approx_map[d] == exact_map[d])
     assert agree / len(exact_map) >= 0.98
+
+
+def test_semantic_dedup_agreement_and_pruning(spark):
+    """SemDeDup cells: every emitted pair is in the exact all-pairs set
+    with a bit-identical sim (within-cell scoring IS exact cosine),
+    planted-pair recall ≥90% (a near-dup pair almost always shares its
+    nearest centroid), and the compared-pairs accumulator proves the
+    quadratic work was pruned below all-pairs."""
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = sim.replicate_near_dups(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"),
+        copies=4,
+        noise=0.1,
+    ).persist()
+    n = emb.count()
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in sim.cosine_pairs(emb, threshold=0.95).collect()
+    }
+    counter = spark.sparkContext.accumulator(0)
+    sem = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in sim.semantic_dedup_pairs(
+            emb, threshold=0.95, n_cells=16, compared_counter=counter
+        ).collect()
+    }
+    emb.unpersist()
+    assert set(sem) <= set(exact)
+    for p, s in sem.items():
+        assert s == exact[p]
+    assert len(sem) / len(exact) >= 0.90
+    assert counter.value < n * (n - 1) // 2, "no pruning vs all-pairs"
+
+
+def test_semantic_dedup_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.semantic_dedup_pairs(empty, threshold=0.95).count() == 0

@@ -127,6 +127,18 @@ def _bounded_output(node) -> bool:
         # most num_bits/64 groups regardless of input size
         if all(e.split("#")[0] == "__w" for e in exprs) and "pmod(xxhash64" in tree:
             return True
+        # CMS cell table (operators/sketch.py): grouped by an exploded
+        # literal-sequence row id × pmod(md5-hash, CONSTANT width) — at
+        # most depth×width groups regardless of input size, the
+        # by-construction constant bound that makes the sketch the one
+        # provably broadcast-safe aggregate of a corpus-scaled stream
+        names = sorted(e.split("#")[0] for e in exprs)
+        if (
+            names in (["cast(row", "pos"], ["pos", "row"])
+            and "pmod(cast(conv(substring(md5" in tree
+            and "explode(sequence(" in tree
+        ):
+            return True
         return False
     if sn in _CARD_PRESERVING:
         n = node.children().size()
