@@ -107,6 +107,46 @@ def shingle_rows(
     return out.distinct() if distinct else out
 
 
+def shingle_rows_pos(
+    documents, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Positional word n-gram shingles: (doc_id, pos, s) with ``pos``
+    the 0-based token offset of the shingle's first token — consecutive
+    shingles have consecutive ``pos``, which is what position-aware
+    consumers (winnowing fingerprint selection, duplicated-span run
+    statistics) need. Same posexplode + lead() codegen shape as
+    :func:`shingle_rows`; NOT distinct by construction.
+    """
+    from pyspark.sql import Window
+
+    tk = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_column(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        tk.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select("doc_id", "pos", "s")
+    )
+
+
+def shingle_rows_pos_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingle_rows_pos` as a FROM-able fragment
+    over a CTE exposing (doc_id, tk): yields (doc_id, pos, s)."""
+    return (
+        f"SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, "
+        f"array_to_string(list_slice(tk, i, i + {n - 1}), ' ') AS s "
+        f"FROM tk, unnest(range(1, greatest(len(tk) - {n - 1}, 0) + 1)) AS u(i)"
+    )
+
+
 def split_lines(
     documents, sep: str = "\n", id_col: str = "doc_id", text_col: str = "text"
 ):

@@ -822,3 +822,88 @@ def simhash_pairs(
     return banded_hamming_pairs(
         sig, bands=bands, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
+
+
+# ------------------------------------------------------ winnowing (MOSS)
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional k-gram,
+    then in each sliding window of ``w`` consecutive hashes keep the
+    minimum; the distinct kept hashes are the document's fingerprints.
+    Guarantee: any shared run of ≥ w+k−1 tokens between two documents
+    shares at least one fingerprint, while only ~2/(w+1) of the k-gram
+    hashes are retained — the principled way to subsample shingles
+    WITHOUT losing long-match detection (random subsampling loses it).
+
+    → (doc_id, fp) distinct, fp an engine-portable unsigned-32-bit
+    md5 hash (CLAUDE.md scheme), so a DuckDB oracle replays selection
+    bit-for-bit.
+
+    Contract: documents shorter than k+w−1 tokens have no full window
+    and yield no fingerprints — route short docs to exact dedup
+    (their whole text is cheaper than any sketch).
+
+    Scale shape: positional shingles ride the posexplode + lead()
+    codegen window (doc_id-partitioned); the min-of-window is the SAME
+    doc_id partitioning (no extra Exchange); distinct is per
+    (doc, fp) — output is ~2/(w+1) of the shingle volume, and the
+    document bodies never shuffle.
+    """
+    from etl_dag_spark.functions.text import shingle_rows_pos
+
+    sh = shingle_rows_pos(documents, n=k, id_col=id_col, text_col=text_col)
+    h = F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        sh.withColumn("h", h)
+        .withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") >= w - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints:
+    the inverted-index self-join shape of ngram_jaccard_pairs, but over
+    the winnowed ~2/(w+1) subsample instead of every shingle — same
+    long-match guarantee, a fraction of the index size.
+
+    → (doc_id_a, doc_id_b, n_shared), a < b, n_shared ≥ ``min_shared``.
+
+    Fingerprints present in more than ``max_fp_df`` documents are
+    boilerplate (stop-phrase storms) and are dropped before the join —
+    the df-cap that bounds per-key candidate fan-out at web scale, same
+    policy as the LSH bucket cap.
+    """
+    fp = winnow_fingerprints(documents, k=k, w=w, id_col=id_col, text_col=text_col)
+    dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    kept = fp.join(dfreq.where(F.col("df") <= max_fp_df).select("fp"), "fp")
+    a = kept.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_id_a"))
+    b = kept.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -30,6 +30,8 @@ from etl_dag_spark.functions.text import (
     md5_fingerprint_column,
     min_shingle_md5_sql,
     shingle_rows,
+    shingle_rows_pos,
+    shingle_rows_pos_sql,
     shingles_sql,
     stopword_count_column,
     stopword_count_sql,
@@ -4303,6 +4305,227 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_K, _WIN_W = 5, 4
+_WIN_MIN_SHARED, _WIN_MAX_DF = 2, 50
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+sh AS ({shingle_rows_pos_sql("text", _WIN_K)}),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           min(('0x' || substr(md5(s), 1, 8))::BIGINT)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS fp
+    FROM sh)
+  WHERE pos >= {_WIN_W - 1}
+),
+kept AS (
+  SELECT fps.doc_id, fps.fp FROM fps
+  JOIN (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= {_WIN_MAX_DF}) d
+    ON fps.fp = d.fp
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id_a,
+       CAST(b.doc_id AS BIGINT) AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WIN_MIN_SHARED}
+""",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via winnowing fingerprints (Schleimer
+    et al. 2003, the MOSS scheme — operators/dedup.py::
+    winnowing_pairs): min-hash-per-sliding-window selects ~2/(w+1) of
+    the k-gram hashes while guaranteeing any shared token run of
+    ≥ w+k−1 still collides. The principled subsampled inverted index —
+    where dedup_ngram_jaccard indexes EVERY shingle, winnowing keeps
+    the same long-match detection at a fraction of the index size.
+
+    Scale shape: fingerprint selection is one doc_id-partitioned window
+    over the positional shingle stream (no extra Exchange after the
+    posexplode window); the pair join is inverted-index style with the
+    df-cap (> {_WIN_MAX_DF} docs = boilerplate, dropped) bounding
+    per-key fan-out; document bodies never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.winnowing_pairs(
+        d, k=_WIN_K, w=_WIN_W, min_shared=_WIN_MIN_SHARED, max_fp_df=_WIN_MAX_DF
+    )
+
+
+_SPAN_K = 5
+
+
+@register(
+    "text_dup_span_stats",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+sh AS ({shingle_rows_pos_sql("text", _SPAN_K)}),
+occ AS (SELECT s, CAST(count(*) AS BIGINT) AS occ FROM sh GROUP BY 1),
+fl AS (SELECT sh.doc_id, sh.pos, occ.occ >= 2 AS is_dup
+       FROM sh JOIN occ ON sh.s = occ.s),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM fl WHERE is_dup
+),
+rmax AS (
+  SELECT doc_id, max(cnt) AS max_run FROM (
+    SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY 1, 2)
+  GROUP BY 1
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM fl GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+       CASE WHEN coalesce(a.n_shingles, 0) > 0
+            THEN CAST(a.n_dup AS DOUBLE) / a.n_shingles
+            ELSE CAST(NULL AS DOUBLE) END AS dup_ratio,
+       CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_dup_run
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN rmax r ON d.doc_id = r.doc_id
+""",
+)
+def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics per document — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") recast as per-doc curation features: the
+    fraction of a doc's {_SPAN_K}-token shingles that occur elsewhere
+    in the corpus (any repeat, cross- or within-doc), and the longest
+    run of CONSECUTIVE duplicated shingle positions (a long run = a
+    long verbatim copied span; max_dup_run m covers a duplicated
+    substring of m+{_SPAN_K}−1 tokens). Downstream policy thresholds on
+    dup_ratio/max_dup_run instead of hard-deleting, which is how
+    production pipelines actually consume substring dedup.
+
+    Scale shape: positional shingles ride the posexplode+lead codegen
+    window; the occurrence count is a map-side-combined groupBy to the
+    shingle vocabulary; the join-back is corpus-to-vocabulary and
+    UNHINTED (Heaps' law); the run/aggregate windows are all
+    doc_id-partitioned — reusing the shingle stream's partitioning, so
+    the islands trick costs no extra Exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows_pos(d, n=_SPAN_K)
+    occ = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    fl = sh.join(occ, "s").select(
+        "doc_id", "pos", (F.col("occ") >= 2).alias("is_dup")
+    )
+    wrn = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        fl.where("is_dup")
+        .select("doc_id", (F.col("pos") - F.row_number().over(wrn)).alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_run"))
+    )
+    agg = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup"),
+    )
+    return (
+        d.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.col("n_dup").cast("double") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("dup_ratio"),
+            F.coalesce("max_run", F.lit(0)).cast("bigint").alias("max_dup_run"),
+        )
+    )
+
+
+@register(
+    "text_bigram_novelty",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1),
+                  i -> {{'pos': i, 'tok': tk[i]}})) AS u
+    FROM tk)
+),
+bg AS (
+  SELECT doc_id, tok AS t,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+),
+bgn AS (SELECT doc_id, t, nxt FROM bg WHERE nxt IS NOT NULL),
+c AS (SELECT t, nxt, CAST(count(*) AS BIGINT) AS cnt FROM bgn GROUP BY 1, 2),
+s AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS n_total FROM c GROUP BY 1),
+j AS (
+  SELECT b.doc_id, c.cnt, s.n_total
+  FROM bgn b JOIN c ON b.t = c.t AND b.nxt = c.nxt JOIN s ON b.t = s.t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS singleton_ratio,
+       min(CAST(cnt AS DOUBLE) / n_total) AS min_prob
+FROM j GROUP BY 1
+""",
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty under the corpus's own bigram statistics —
+    the count-based stand-in for perplexity filtering (documents whose
+    transitions the corpus LM finds surprising are candidate noise OR
+    candidate novelty; both ends of the distribution get human review
+    in real curation): per doc, the bigram count, how many of its
+    bigrams are corpus singletons (this doc is their only witness), and
+    the probability of its single most surprising transition.
+
+    Determinism: everything integer until two correctly-rounded
+    divisions — a ratio of the doc's own BIGINTs, and min() over
+    per-bigram cnt/n_total quotients (each one division; min of
+    identical doubles is order-independent, unlike a float SUM which is
+    why this emits min-surprisal rather than summed log-likelihood —
+    `ln` ulp behavior also differs between engines, the tfidf lesson).
+
+    Scale shape: bigram occurrences ride the posexplode+lead window;
+    corpus counts c(t,nxt) and context totals n(t) are map-side
+    combined to bigram-vocabulary size and join back UNHINTED; the
+    final per-doc aggregate reuses the doc_id partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    tkf = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_column("text")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = tkf.select(
+        "doc_id", F.col("tok").alias("t"), F.lead("tok").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    c = bgn.groupBy("t", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    s = c.groupBy("t").agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    j = bgn.join(c, ["t", "nxt"]).join(s, "t")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singleton"),
+        (
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("singleton_ratio"),
+        F.min(F.col("cnt").cast("double") / F.col("n_total")).alias("min_prob"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4331,19 +4554,21 @@ _ROTATE_TO_FRONT = [
     "dedup_containment", "etl_embedding_outliers", "text_bigram_lm",
     "text_tfidf_keywords", "text_quality_classifier",
     "etl_chunk_documents", "text_countmin_hitters", "dedup_semantic",
+    "dedup_winnowing", "text_dup_span_stats", "text_bigram_novelty",
     # oracled with r5-only evidence — the standing staleness rotation
     # (every oracled query keeps hash evidence ≤2 rounds old). The 50-
     # slot window can't hold all of them this round (new queries take
-    # priority); the 4 that yield their slot — text_langid / text_quality
-    # / text_tokens / text_normalize, single-scan pure-Column queries
-    # with snapshot-pinned plans untouched since r5 — sit right after
-    # the window and rotate first in r8.
+    # priority); the 7 that yield their slot — text_langid / text_quality
+    # / text_tokens / text_normalize / text_pii_scrub / stream_json_props
+    # / olap_value_moments, single-scan pure-Column queries with
+    # snapshot-pinned plans untouched since r5 — sit right after the
+    # window and rotate first in r8.
     "olap_pivot_events", "olap_percentiles", "olap_asof_join",
     "olap_range_join", "olap_session_windows", "etl_upsert_latest",
     "dedup_cluster", "pipeline_corpus_clean", "sql_revenue_by_category",
     "sql_top_customers", "etl_dq_uniqueness",
-    "olap_rolling_7d", "stream_json_props", "etl_scd2_history",
-    "olap_grouping_sets", "olap_value_moments", "text_pii_scrub",
+    "olap_rolling_7d", "etl_scd2_history",
+    "olap_grouping_sets",
     "text_repetition_quality", "dedup_contamination",
     "etl_pack_sequences", "etl_domain_mix", "olap_large_orders",
     "text_rarity_score",
@@ -4353,6 +4578,7 @@ _ROTATE_TO_FRONT = [
     "olap_funnel_stages",
     # first out-of-window (position 51+): rotate to front in r8
     "text_langid", "text_quality", "text_tokens", "text_normalize",
+    "text_pii_scrub", "stream_json_props", "olap_value_moments",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

@@ -252,3 +252,87 @@ def test_chunk_documents_tiles_exactly(spark):
             assert len(toks) <= _CHUNK_SIZE
             stitched.extend(toks if i == len(rows) - 1 else toks[:_CHUNK_STRIDE])
         assert stitched == docs[doc_id], f"doc {doc_id} not tiled exactly"
+
+
+# ----------------------------------------------------- winnowing (MOSS)
+
+def _docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnowing_guarantee_shared_long_run_collides(spark):
+    """The winnowing theorem: two documents sharing a token run of
+    length ≥ w+k−1 share at least one selected fingerprint — for every
+    alignment of the run inside otherwise-disjoint documents."""
+    from etl_dag_spark.operators.dedup import winnowing_pairs
+
+    k, w = 5, 4
+    run = " ".join(f"shared{i}" for i in range(k + w - 1))  # exactly w+k-1
+    for offset in range(4):
+        a = " ".join(f"apre{j}" for j in range(offset)) + (" " if offset else "") + run
+        b = run + " " + " ".join(f"bpost{j}" for j in range(7))
+        pairs = winnowing_pairs(
+            _docs(spark, [a, b]), k=k, w=w, min_shared=1, max_fp_df=50
+        ).collect()
+        assert any(
+            (r.doc_id_a, r.doc_id_b) == (0, 1) for r in pairs
+        ), f"offset {offset}: shared w+k-1 run missed"
+
+
+def test_winnowing_disjoint_docs_share_nothing(spark):
+    from etl_dag_spark.operators.dedup import winnowing_pairs
+
+    a = " ".join(f"left{i}" for i in range(30))
+    b = " ".join(f"right{i}" for i in range(30))
+    assert (
+        winnowing_pairs(_docs(spark, [a, b]), min_shared=1).count() == 0
+    )
+
+
+def test_winnowing_subsamples_the_shingle_stream(spark):
+    """Selected fingerprints are far fewer than shingles (the ~2/(w+1)
+    density that makes winnowing the scalable index) while every
+    fingerprint IS one of the doc's shingle hashes."""
+    from etl_dag_spark.functions.text import shingle_rows_pos
+    from etl_dag_spark.operators.dedup import winnow_fingerprints
+    from etl_dag_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    k, w = 5, 4
+    sh = shingle_rows_pos(d, n=k).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+    )
+    fp = winnow_fingerprints(d, k=k, w=w)
+    n_shingles, n_fp = sh.count(), fp.count()
+    assert 0 < n_fp < 0.6 * n_shingles  # ~2/(w+1)=0.4 expected density
+    assert fp.join(sh, (fp.doc_id == sh.doc_id) & (fp.fp == sh.h), "left_anti").count() == 0
+
+
+def test_dup_span_stats_run_semantics(spark):
+    """max_dup_run counts CONSECUTIVE duplicated shingle positions: a
+    verbatim copied block of L tokens inside otherwise-unique docs gives
+    max_dup_run == L−k+1 in both docs; a fully unique doc gives 0."""
+    from etl_dag_spark.queries import SPARK_QUERIES, _SPAN_K
+    import etl_dag_spark.queries as Q
+
+    k = _SPAN_K
+    block = " ".join(f"copy{i}" for i in range(12))  # L=12 -> run 12-k+1
+    texts = [
+        " ".join(f"a{i}" for i in range(8)) + " " + block,
+        block + " " + " ".join(f"b{i}" for i in range(8)),
+        " ".join(f"u{i}" for i in range(20)),
+    ]
+    d = _docs(spark, texts)
+    orig = Q.load_table
+    Q.load_table = lambda spark, sf, name: d
+    try:
+        out = {r.doc_id: r for r in SPARK_QUERIES["text_dup_span_stats"](spark, "x").collect()}
+    finally:
+        Q.load_table = orig
+    assert out[0].max_dup_run == 12 - k + 1
+    assert out[1].max_dup_run == 12 - k + 1
+    assert out[2].max_dup_run == 0 and out[2].n_dup == 0
+    assert out[2].dup_ratio == 0.0
