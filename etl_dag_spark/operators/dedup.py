@@ -896,6 +896,11 @@ def winnowing_pairs(
     policy as the LSH bucket cap.
     """
     fp = winnow_fingerprints(documents, k=k, w=w, id_col=id_col, text_col=text_col)
+    # the fingerprint index feeds three consumers (df-cap + both join
+    # sides): materialize it once instead of re-running the corpus
+    # scan→window→distinct per branch (same stage-cache policy as
+    # ngram_jaccard_pairs' inverted index above)
+    fp = fp.localCheckpoint(eager=False)
     dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     kept = fp.join(dfreq.where(F.col("df") <= max_fp_df).select("fp"), "fp")
     a = kept.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_id_a"))

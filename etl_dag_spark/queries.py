@@ -4412,10 +4412,16 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-partitioned — reusing the shingle stream's partitioning, so
     the islands trick costs no extra Exchange."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows_pos(d, n=_SPAN_K)
+    # the positional shingle stream feeds the occurrence count AND the
+    # flag join; the flagged frame feeds the run islands AND the per-doc
+    # aggregate — stage-cache each once instead of re-running the
+    # corpus window per consumer (ngram_jaccard's index policy)
+    sh = shingle_rows_pos(d, n=_SPAN_K).localCheckpoint(eager=False)
     occ = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
-    fl = sh.join(occ, "s").select(
-        "doc_id", "pos", (F.col("occ") >= 2).alias("is_dup")
+    fl = (
+        sh.join(occ, "s")
+        .select("doc_id", "pos", (F.col("occ") >= 2).alias("is_dup"))
+        .localCheckpoint(eager=False)
     )
     wrn = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
@@ -4507,10 +4513,21 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(tokens_column("text")).alias("pos", "tok"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    bgn = tkf.select(
-        "doc_id", F.col("tok").alias("t"), F.lead("tok").over(w).alias("nxt")
-    ).where(F.col("nxt").isNotNull())
-    c = bgn.groupBy("t", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # the bigram stream feeds the count table AND the scoring join; the
+    # count table feeds the context totals AND the join — one stage-
+    # cache each, not one corpus window per consumer
+    bgn = (
+        tkf.select(
+            "doc_id", F.col("tok").alias("t"), F.lead("tok").over(w).alias("nxt")
+        )
+        .where(F.col("nxt").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        bgn.groupBy("t", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     s = c.groupBy("t").agg(F.sum("cnt").cast("bigint").alias("n_total"))
     j = bgn.join(c, ["t", "nxt"]).join(s, "t")
     return j.groupBy("doc_id").agg(
