@@ -4543,6 +4543,128 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_TOP = 5
+
+
+@register(
+    "etl_join_key_skew",
+    oracle=f"""
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total
+  FROM c
+),
+r AS (
+  SELECT o_custkey, cnt,
+         CAST(rank() OVER (ORDER BY cnt DESC) AS INT) AS top_rank
+  FROM c QUALIFY top_rank <= {_SKEW_TOP}
+)
+SELECT CAST(r.o_custkey AS BIGINT) AS o_custkey, r.cnt, r.top_rank,
+       CAST(r.cnt AS DOUBLE) / tot.total AS share,
+       CAST(r.cnt * tot.n_keys AS DOUBLE) / tot.total AS skew_vs_mean
+FROM r, tot
+""",
+)
+def etl_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler over orders.o_custkey: per-key row counts,
+    the top-{_SKEW_TOP} heavy keys (ties included), each key's share of
+    the table and its multiple of the mean key size — the measurement
+    that DECIDES the mitigation (operators/skew.py salting vs plain AQE)
+    before a big join ships: a key at 1000× the mean is what makes one
+    reducer straggle at 100 TB, and you want to know the key list ahead
+    of time, not from a dead executor.
+
+    Scale shape: one map-side-combined groupBy; top-k via
+    TakeOrderedAndProject + rank over survivors (windows.py policy — no
+    global sort window); the 2-value stats frame broadcasts. Integer
+    counts end-to-end; the two ratios are single correctly-rounded
+    divisions (cnt·n_keys stays exact in BIGINT first)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").cast("bigint").alias("o_custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    top = win.top_n_with_rank(c, "cnt", n=_SKEW_TOP)
+    return top.join(F.broadcast(tot)).select(
+        "o_custkey",
+        "cnt",
+        "top_rank",
+        (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        ((F.col("cnt") * F.col("n_keys")).cast("double") / F.col("total")).alias(
+            "skew_vs_mean"
+        ),
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "olap_gap_fill",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour_idx FROM events
+),
+c AS (
+  SELECT user_id, hour_idx, CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(hour_idx) AS h0, max(hour_idx) AS h1 FROM c GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_idx FROM span
+)
+SELECT CAST(g.user_id AS BIGINT) AS user_id,
+       CAST(g.hour_idx AS BIGINT) AS hour_idx,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+       c.n_events IS NULL AS filled
+FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.hour_idx = c.hour_idx
+""",
+)
+def olap_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user hourly event counts with every
+    missing hour inside the user's observed span materialized as an
+    explicit zero (``filled`` marks synthesized rows) — the resampling
+    step dashboards and forecast models need, since a missing bucket
+    and a zero bucket mean different things until you fill. Hour index
+    is integer µs DIV (CLAUDE.md event-time invariant: the oracle's
+    epoch_us truncation matches ts_ns DIV 1000 exactly).
+
+    Scale shape: the dense grid is per-user sequence()+explode — output
+    ∝ Σ user spans, generated distributed, never a driver loop; the
+    left join is co-partitioned on (user_id, hour) with the count
+    aggregate's own shuffle partitioning; span is a second aggregate of
+    the ALREADY-reduced per-hour counts, not the raw events."""
+    e = load_events(spark, sf_dir).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr(f"(ts_ns DIV 1000) DIV {_HOUR_US}").alias("hour_idx"),
+    )
+    c = e.groupBy("user_id", "hour_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    span = c.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1)")).alias("hour_idx")
+    )
+    return (
+        grid.join(c, ["user_id", "hour_idx"], "left")
+        .select(
+            "user_id",
+            F.col("hour_idx").cast("bigint").alias("hour_idx"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n_events").isNull().alias("filled"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4572,20 +4694,22 @@ _ROTATE_TO_FRONT = [
     "text_tfidf_keywords", "text_quality_classifier",
     "etl_chunk_documents", "text_countmin_hitters", "dedup_semantic",
     "dedup_winnowing", "text_dup_span_stats", "text_bigram_novelty",
+    "etl_join_key_skew", "olap_gap_fill",
     # oracled with r5-only evidence — the standing staleness rotation
     # (every oracled query keeps hash evidence ≤2 rounds old). The 50-
     # slot window can't hold all of them this round (new queries take
-    # priority); the 7 that yield their slot — text_langid / text_quality
+    # priority); the 9 that yield their slot — text_langid / text_quality
     # / text_tokens / text_normalize / text_pii_scrub / stream_json_props
-    # / olap_value_moments, single-scan pure-Column queries with
-    # snapshot-pinned plans untouched since r5 — sit right after the
-    # window and rotate first in r8.
+    # / olap_value_moments / olap_grouping_sets / etl_scd2_history,
+    # single-scan or raw-SQL queries with snapshot-pinned plans untouched
+    # since r5 — sit right after the window and rotate FIRST in r8 (97
+    # oracled + a 50-slot window means perfect alternation keeps every
+    # oracle ≤2 rounds stale; the r8 window is the complement of this one).
     "olap_pivot_events", "olap_percentiles", "olap_asof_join",
     "olap_range_join", "olap_session_windows", "etl_upsert_latest",
     "dedup_cluster", "pipeline_corpus_clean", "sql_revenue_by_category",
     "sql_top_customers", "etl_dq_uniqueness",
-    "olap_rolling_7d", "etl_scd2_history",
-    "olap_grouping_sets",
+    "olap_rolling_7d",
     "text_repetition_quality", "dedup_contamination",
     "etl_pack_sequences", "etl_domain_mix", "olap_large_orders",
     "text_rarity_score",
@@ -4596,6 +4720,7 @@ _ROTATE_TO_FRONT = [
     # first out-of-window (position 51+): rotate to front in r8
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
+    "olap_grouping_sets", "etl_scd2_history",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
