@@ -172,3 +172,62 @@ def stream_line_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_countmin(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Cumulative count-min sketch over a streaming corpus — the
+    fixed-memory frequency summary an ingest feed keeps next to its
+    exact batch counts (operators/sketch.py; heavy-hitter monitoring
+    without a vocabulary-sized state store).
+
+    Per micro-batch: the batch's token counts fold into a batch sketch
+    (≤ depth×width rows) which APPENDS to a parquet store as cell
+    deltas — log-structured, no read-modify-write, and safe under ANY
+    file arrival order because sketch merge is cell-wise addition
+    (commutative + associative; merge(halves) == whole is pinned in
+    tests/test_sketch.py). :func:`read_countmin_store` folds the deltas
+    back to one sketch, which equals the one-shot batch sketch of
+    everything ingested — pinned in tests/test_streaming_corpus.py.
+
+    Scale shape: state on disk is ≤ depth×width rows PER BATCH (a few
+    KB), the one streaming-state story in this repo whose size is a
+    constant of the operator rather than a function of the corpus.
+    """
+    from etl_dag_spark.functions.text import tokens_column
+    from etl_dag_spark.operators.sketch import countmin_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cnt = (
+            batch_df.select(F.explode(tokens_column("text")).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        countmin_build(cnt, depth=depth, width=width).write.mode("append").parquet(
+            store_path
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_countmin_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold a :func:`stream_countmin` delta store to the current sketch:
+    (row, pos, cell), ≤ depth×width rows — cell-wise sum IS the sketch
+    merge, so the fold equals ``countmin_merge`` over every batch."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("row", "pos")
+        .agg(F.sum("cell").cast("bigint").alias("cell"))
+    )

@@ -203,3 +203,46 @@ def test_stream_line_dedup_cumulative_history_suppresses_late_boilerplate(
     )
     assert cnt == 11
     spark.sql("DROP TABLE IF EXISTS t_line_stream_cum")
+
+
+def test_stream_countmin_equals_one_shot_batch_sketch(spark, doc_stream_src, tmp_path):
+    """The streaming CMS (per-batch delta appends, maxFilesPerTrigger=1
+    so multiple micro-batches actually occur) folds to EXACTLY the
+    one-shot batch sketch of the whole corpus — cell-for-cell, and
+    therefore estimate-for-estimate."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.functions.text import tokens_column
+    from etl_dag_spark.operators.sketch import countmin_build, countmin_estimate
+    from etl_dag_spark.streaming.corpus import (
+        read_countmin_store,
+        read_document_stream,
+        stream_countmin,
+    )
+
+    store = str(tmp_path / "cms_store")
+    q = stream_countmin(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        depth=4,
+        width=64,
+    )
+    q.awaitTermination(120)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cnt = (
+        docs.select(F.explode(tokens_column("text")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    whole = countmin_build(cnt, depth=4, width=64)
+    streamed = read_countmin_store(spark, store)
+    w = {(r.row, r.pos): r.cell for r in whole.collect()}
+    s = {(r.row, r.pos): r.cell for r in streamed.collect()}
+    assert s == w
+    # and the folded store answers probes identically to the batch sketch
+    probes = cnt.orderBy(F.col("c").desc()).limit(5).select("key")
+    est_b = {r.key: r.cms_estimate for r in countmin_estimate(whole, probes, depth=4, width=64).collect()}
+    est_s = {r.key: r.cms_estimate for r in countmin_estimate(streamed, probes, depth=4, width=64).collect()}
+    assert est_s == est_b
