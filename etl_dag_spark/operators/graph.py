@@ -1,0 +1,119 @@
+"""Graph analytics as iterative DataFrame fixpoints: weighted PageRank.
+
+Complements the connected-components labeling in ``operators/dedup.py``
+(cluster_pairs) with the other canonical distributed-graph workload —
+iterative rank propagation. The same discipline applies (SURVEY §6b-4):
+every frontier stays persisted until the NEXT materialization, a fixed
+iteration count (no data-dependent driver loop over floats), and the
+only driver state is scalars.
+
+Scale shape per iteration: one shuffle — contributions grouped by
+destination — sized to the edge list; the (1−d)/N teleport and the
+dangling-mass redistribution are scalar broadcasts, never a join
+against a node-sized frame. At 100 TB the edge list is the cost, and
+nothing here touches more than one pass of it per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, fixed ``n_iter``
+    power iterations (the production form: a fixed sweep count, not a
+    float-convergence driver loop).
+
+    → (node, rank); ranks sum to 1.0 (dangling-node mass is
+    redistributed uniformly each iteration, the standard correction).
+
+    Per iteration: contribution = rank · w/out_w per edge, one groupBy
+    shuffle on the destination; dangling mass is a SCALAR (one-row
+    aggregate collected) folded into the teleport term — never a
+    node-sized join. Ranks persist per iteration and the previous
+    frontier unpersists only after the next one materializes
+    (SURVEY §6b-4 frontier discipline).
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "node string, rank double")
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # normalized edge transition weights: one frame reused every sweep
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    trans.count()
+    e.unpersist()
+
+    # dangling node set (no out-edges) is loop-invariant: compute once
+    dang = nodes.join(
+        trans.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
+    ).persist()
+    dang.count()
+
+    # each sweep references `ranks` TWICE (contributions + dangling
+    # mass), so a persist-only frontier would double the LOGICAL plan
+    # per iteration — exponential analyzer cost by sweep 10 even though
+    # the data is cached. An eager localCheckpoint truncates the plan
+    # to a cached-scan every sweep (constant-size plans; the linear-
+    # growth operators in hierarchy.py get away with persist because
+    # they reference their frontier once).
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(trans, ranks.node == trans.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_rank"))
+        )
+        # dangling mass = rank sitting on no-out-edge nodes: a 1-row
+        # aggregate folded in as a broadcast, redistributed uniformly
+        # (keeps sum(rank) == 1) — in-plan, no driver collect per sweep
+        dmass = ranks.join(dang, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(dmass))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n) * F.col("__dm")
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    # release the loop-invariant inputs; checkpointed blocks are GC'd
+    # by the context cleaner
+    nodes.unpersist()
+    trans.unpersist()
+    dang.unpersist()
+    return ranks

@@ -4665,6 +4665,54 @@ def olap_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("olap_nation_pagerank")  # float power iterations → rows-only; numpy reference in pytest
+def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the cross-nation trade digraph (edges =
+    supplier-nation → customer-nation, weight = revenue cents from the
+    Q7-class join): which nations sit at the center of the trade
+    network — the canonical iterative-graph workload, complementing the
+    connected-components labeling (operators/graph.py::pagerank; fixed
+    10 damped sweeps, dangling mass redistributed as a scalar).
+
+    Rows-only by design: power-iteration float sums are reduction-
+    order-dependent, so there is no bit-exact SQL twin; the operator is
+    instead pinned against a literal numpy reference implementation on
+    crafted graphs (tests/test_graph.py, ≤1e-9) plus the mass-
+    conservation invariant. Ranks are rounded to 9dp for a stable
+    driver hash at fixed partitioning."""
+    from etl_dag_spark.operators.graph import pagerank
+
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", star.revenue_cents().alias("rc")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    edges = (
+        joins.join_dim(
+            joins.join_dim(
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
+                s, F.col("l_suppkey") == F.col("s_suppkey"), bounded=False,
+            ),
+            c, F.col("o_custkey") == F.col("c_custkey"), bounded=False,
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst")
+        )
+        .agg(F.sum("rc").alias("w"))
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=10, weight_col="w")
+    return pr.select(
+        F.col("node").alias("nation"), F.round("rank", 9).alias("rank")
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -4717,7 +4765,10 @@ _ROTATE_TO_FRONT = [
     # rewrite) — in-window to prove no value change
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
     "olap_funnel_stages",
-    # first out-of-window (position 51+): rotate to front in r8
+    # first out-of-window (position 51+): rotate to front in r8, along
+    # with the rows-only newcomers registered after the oracled block
+    # (olap_nation_pagerank, stream/bpe entries) that have not yet had
+    # a driver row-check
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history",
