@@ -336,3 +336,21 @@ def test_dup_span_stats_run_semantics(spark):
     assert out[1].max_dup_run == 12 - k + 1
     assert out[2].max_dup_run == 0 and out[2].n_dup == 0
     assert out[2].dup_ratio == 0.0
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    """The entire winnowing selection — positional shingles, hashing,
+    min-of-window, per-doc distinct — runs on ONE doc_id hash
+    partitioning: exactly one Exchange in the plan (the initial
+    repartition by doc_id), everything after it partition-local."""
+    from etl_dag_spark.operators.dedup import winnow_fingerprints
+    from etl_dag_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        winnow_fingerprints(d, k=5, w=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

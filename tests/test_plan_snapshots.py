@@ -48,6 +48,13 @@ SNAPSHOT_QUERIES = [
     # stage, and the argmin-per-key TPC-H Q2 rewrite
     "text_line_dedup",
     "olap_min_cost_supplier",
+    # r7 cont.: winnowing (fingerprint window must reuse the shingle
+    # window's doc_id partitioning — no Exchange between them), the
+    # CMS heavy-hitter probe (constant-bound sketch broadcast), and
+    # tf-idf (vocabulary join-back must stay unhinted)
+    "dedup_winnowing",
+    "text_countmin_hitters",
+    "text_tfidf_keywords",
 ]
 
 # Node headers worth pinning: strategy-bearing operators. Detail
