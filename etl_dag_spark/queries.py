@@ -4665,6 +4665,20 @@ def olap_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_topk_quantized")  # approximate (uint8 dequantization) → rows-only; recall in pytest
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 over the uint8-quantized corpus
+    (similarity.py::quantized_topk, FAISS-SQ8-style scalar
+    quantization): the memory-scale path of the ANN family — the
+    corpus representation drops to dim bytes per vector (8× vs the
+    float64 working set), which at 100 TB is the difference between an
+    embedding store that fits a broadcast/executor cache and one that
+    doesn't. Same query contract as ann_topk_bruteforce; recall@10
+    ≥0.9 vs the exact float path pinned in tests/test_dedup_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantized_topk(emb, F.col("vec_id") % 10 == 0, k=10)
+
+
 @register("olap_nation_pagerank")  # float power iterations → rows-only; numpy reference in pytest
 def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the cross-nation trade digraph (edges =

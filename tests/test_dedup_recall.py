@@ -376,3 +376,49 @@ def test_semantic_dedup_agreement_and_pruning(spark):
 def test_semantic_dedup_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert sim.semantic_dedup_pairs(empty, threshold=0.95).count() == 0
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """uint8 scalar quantization: recall@10 vs the exact float top-k
+    ≥0.9 averaged over queries, and every emitted sim within the
+    worst-case dequantization error of the true sim."""
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    flt = F.col("vec_id") % 10 == 0
+    exact = sim.brute_force_topk(emb, flt, k=10).collect()
+    quant = sim.quantized_topk(emb, flt, k=10).collect()
+    emb.unpersist()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    qt = {}
+    sims = {}
+    for r in quant:
+        qt.setdefault(r.query_id, set()).add(r.neighbor_id)
+        sims[(r.query_id, r.neighbor_id)] = r.sim
+    assert set(qt) == set(ex)
+    recalls = [len(ex[q] & qt[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+    # spot-check the sim distortion on the pairs both paths ranked
+    ex_sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    common = set(sims) & set(ex_sims)
+    assert common
+    assert all(abs(sims[p] - ex_sims[p]) < 0.02 for p in common)
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """Every dequantized coordinate is within half a quantization step
+    (range/255/2 + float slack) of the original."""
+    import numpy as np
+
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    quant, mins, scales = sim.quantize_embeddings(emb)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in quant.collect():
+        codes = np.frombuffer(r.qvec, dtype=np.uint8).astype(np.float64)
+        deq = codes * scales + mins
+        err = np.abs(deq - orig[r.vec_id])
+        assert (err <= scales / 2 + 1e-9).all()
