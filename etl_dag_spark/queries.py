@@ -3969,7 +3969,11 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tk.select(F.col("tok").alias("t"), F.lead("tok").over(w).alias("nxt")).where(
         F.col("nxt").isNotNull()
     )
-    c = bg.groupBy("t", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # the bigram-count table feeds the stats aggregate AND the argmax
+    # join-back: one corpus window+groupBy, stage-cached
+    c = bg.groupBy("t", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)
     s = c.groupBy("t").agg(
         F.sum("cnt").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_continuations"),
@@ -4069,7 +4073,11 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.explode(tokens_column("text")).alias("token"),
     )
-    tf = tk.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    # tf feeds BOTH the df aggregate and the scoring join: one stage-
+    # cache, not one corpus explode+groupBy per consumer
+    tf = tk.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
@@ -4269,10 +4277,13 @@ def text_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized work is the token-count groupBy, map-side combined;
     top-20 via TakeOrderedAndProject + rank over survivors."""
     d = load_table(spark, sf_dir, "documents")
+    # the token-count frame feeds the sketch build, the top-k, and the
+    # probe set: one corpus explode+groupBy, stage-cached
     cnt = (
         d.select(F.explode(tokens_column("text")).alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .localCheckpoint(eager=False)
     )
     cms = sk.countmin_build(cnt, count_col="exact_count", depth=_CMS_DEPTH, width=_CMS_WIDTH)
     top = win.top_n_with_rank(cnt, "exact_count", n=20)
