@@ -246,3 +246,73 @@ def test_stream_countmin_equals_one_shot_batch_sketch(spark, doc_stream_src, tmp
     est_b = {r.key: r.cms_estimate for r in countmin_estimate(whole, probes, depth=4, width=64).collect()}
     est_s = {r.key: r.cms_estimate for r in countmin_estimate(streamed, probes, depth=4, width=64).collect()}
     assert est_s == est_b
+
+
+def test_stream_mv_maintenance_equals_full_recompute(spark, tmp_path):
+    """Incremental monthly-revenue MV: after streaming the orders table
+    in multiple micro-batches (maxFilesPerTrigger=1 over a 4-file
+    copy), the maintained view equals the one-shot batch recompute
+    row-for-row — and untouched partitions were never part of any
+    batch's rewrite (partition values read back as strings per the
+    partition-column gotcha)."""
+    from etl_dag_spark.streaming.mv import (
+        monthly_revenue,
+        read_orders_stream,
+        stream_maintain_monthly_revenue,
+    )
+
+    src = str(tmp_path / "orders_src")
+    load_table(spark, SF_DIR, "orders").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    mv = str(tmp_path / "mv")
+    q = stream_maintain_monthly_revenue(
+        read_orders_stream(spark, src),
+        mv_path=mv,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.month: (r.revenue_cents, r.n_orders)
+        for r in spark.read.parquet(mv).collect()
+    }
+    want = {
+        r.month: (r.revenue_cents, r.n_orders)
+        for r in monthly_revenue(load_table(spark, SF_DIR, "orders")).collect()
+    }
+    assert {str(k): v for k, v in got.items()} == {str(k): v for k, v in want.items()}
+
+
+def test_stream_mv_second_feed_keeps_folding(spark, tmp_path):
+    """Feeding the SAME orders again through a fresh stream doubles
+    every month's totals — the fold is genuinely additive, not
+    latest-wins."""
+    from etl_dag_spark.streaming.mv import (
+        monthly_revenue,
+        read_orders_stream,
+        stream_maintain_monthly_revenue,
+    )
+
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(2).write.mode("overwrite").parquet(src1)
+    orders.repartition(2).write.mode("overwrite").parquet(src2)
+    mv = str(tmp_path / "mv")
+    for i, src in enumerate((src1, src2)):
+        q = stream_maintain_monthly_revenue(
+            read_orders_stream(spark, src),
+            mv_path=mv,
+            checkpoint_dir=str(tmp_path / f"ckpt{i}"),
+        )
+        q.awaitTermination(120)
+    got = {
+        str(r.month): (r.revenue_cents, r.n_orders)
+        for r in spark.read.parquet(mv).collect()
+    }
+    want = {
+        str(r.month): (2 * r.revenue_cents, 2 * r.n_orders)
+        for r in monthly_revenue(orders).collect()
+    }
+    assert got == want
