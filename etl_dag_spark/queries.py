@@ -4676,6 +4676,95 @@ def olap_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_US = 86_400_000_000
+_ANOM_W = 7  # trailing window, in days
+
+
+@register(
+    "olap_event_anomalies",
+    oracle=f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT a.day, a.n,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(b.n) AS BIGINT) AS s,
+         CAST(sum(b.n * b.n) AS BIGINT) AS ss
+  FROM daily a JOIN daily b
+    ON b.day BETWEEN a.day - {_ANOM_W} AND a.day - 1
+  GROUP BY 1, 2
+)
+SELECT CAST(day AS BIGINT) AS day, n AS n_events,
+       CAST(s AS DOUBLE) / CAST({_ANOM_W} AS DOUBLE) AS mean7,
+       sqrt((CAST(ss AS DOUBLE)
+             - CAST(s * s AS DOUBLE) / CAST({_ANOM_W} AS DOUBLE))
+            / CAST({_ANOM_W} AS DOUBLE)) AS std7,
+       abs(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST({_ANOM_W} AS DOUBLE))
+         > CAST(3 AS DOUBLE)
+           * sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s * s AS DOUBLE) / CAST({_ANOM_W} AS DOUBLE))
+                  / CAST({_ANOM_W} AS DOUBLE)) AS is_spike
+FROM win WHERE m = {_ANOM_W}
+""",
+)
+def olap_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily event series —
+    the telemetry monitor that flags traffic spikes/outages: each day
+    compares against the mean and population std of the 7 PRIOR days
+    (days without a full trailing week are not scored). The trailing
+    frame is a BAND SELF-JOIN on the day-indexed aggregate, not a
+    global sort window (the daily series is calendar-bounded, but the
+    repo's no-unpartitioned-window rule holds anyway; the join
+    partitions on day).
+
+    Determinism: all sums are BIGINT (s, ss, s·s exact in integers);
+    mean/variance/sqrt are the IDENTICAL expression tree in both
+    engines — each float op correctly rounded over identical inputs,
+    with every literal explicitly DOUBLE (the DuckDB bare-decimal
+    gotcha); the spike flag compares those identical doubles. Day
+    index is integer µs DIV per the event-time invariant."""
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.select(F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # feeds both sides of the band join
+    )
+    a = daily.alias("a")
+    b = daily.select(F.col("day").alias("bday"), F.col("n").alias("bn"))
+    w = (
+        a.join(
+            b,
+            (F.col("bday") >= F.col("day") - _ANOM_W)
+            & (F.col("bday") <= F.col("day") - 1),
+        )
+        .groupBy("day", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("bn").cast("bigint").alias("s"),
+            F.sum(F.col("bn") * F.col("bn")).cast("bigint").alias("ss"),
+        )
+        .where(F.col("m") == _ANOM_W)
+    )
+    mean = F.col("s").cast("double") / F.lit(float(_ANOM_W))
+    var = (
+        F.col("ss").cast("double")
+        - (F.col("s") * F.col("s")).cast("double") / F.lit(float(_ANOM_W))
+    ) / F.lit(float(_ANOM_W))
+    std = F.sqrt(var)
+    return w.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n").alias("n_events"),
+        mean.alias("mean7"),
+        std.alias("std7"),
+        (F.abs(F.col("n").cast("double") - mean) > F.lit(3.0) * std).alias(
+            "is_spike"
+        ),
+    )
+
+
 @register("ann_topk_quantized")  # approximate (uint8 dequantization) → rows-only; recall in pytest
 def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 over the uint8-quantized corpus
@@ -4767,7 +4856,7 @@ _ROTATE_TO_FRONT = [
     "text_tfidf_keywords", "text_quality_classifier",
     "etl_chunk_documents", "text_countmin_hitters", "dedup_semantic",
     "dedup_winnowing", "text_dup_span_stats", "text_bigram_novelty",
-    "etl_join_key_skew", "olap_gap_fill",
+    "etl_join_key_skew", "olap_gap_fill", "olap_event_anomalies",
     # oracled with r5-only evidence — the standing staleness rotation
     # (every oracled query keeps hash evidence ≤2 rounds old). The 50-
     # slot window can't hold all of them this round (new queries take
@@ -4782,7 +4871,6 @@ _ROTATE_TO_FRONT = [
     "olap_range_join", "olap_session_windows", "etl_upsert_latest",
     "dedup_cluster", "pipeline_corpus_clean", "sql_revenue_by_category",
     "sql_top_customers", "etl_dq_uniqueness",
-    "olap_rolling_7d",
     "text_repetition_quality", "dedup_contamination",
     "etl_pack_sequences", "etl_domain_mix", "olap_large_orders",
     "text_rarity_score",
@@ -4796,7 +4884,7 @@ _ROTATE_TO_FRONT = [
     # a driver row-check
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
-    "olap_grouping_sets", "etl_scd2_history",
+    "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
