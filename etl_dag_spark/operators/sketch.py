@@ -106,3 +106,26 @@ def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row", "pos")
         .agg(F.sum("cell").cast("bigint").alias("cell"))
     )
+
+
+def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
+    """Equi-join cardinality estimate from two sketches built with the
+    same (depth, width): |A ⋈ B| ≈ min over rows of Σ_pos a.cell·b.cell
+    — the count-min inner-product estimator (Cormode & Muthukrishnan
+    2005, §4.3). Always ≥ the true join size (collisions only add), and
+    the row-wise MIN of ``depth`` independent estimates tightens it —
+    the optimizer-statistics primitive for predicting a shuffle's
+    output without running it.
+
+    → 1 row (est BIGINT). Pure integer arithmetic on two ≤ depth×width
+    cell tables: the estimate is deterministic and the whole plan is a
+    broadcast-sized join + one aggregate."""
+    prod = (
+        a.select("row", "pos", F.col("cell").alias("ca"))
+        .join(
+            b.select("row", "pos", F.col("cell").alias("cb")), ["row", "pos"]
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("rowest"))
+    )
+    return prod.agg(F.min("rowest").cast("bigint").alias("est"))

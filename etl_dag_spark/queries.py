@@ -4779,6 +4779,66 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantized_topk(emb, F.col("vec_id") % 10 == 0, k=10)
 
 
+@register("olap_join_size_estimate")  # integer-deterministic; rows-only (window capacity), bounds in pytest
+def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict |orders ⋈ lineitem| on orderkey from two count-min
+    sketches WITHOUT running the join — the CMS inner-product estimator
+    (sketch.py::countmin_join_size), i.e. the optimizer-statistics
+    primitive that prices a shuffle before shipping it: at 100 TB you
+    sketch both sides in one scan each (mergeable per partition) and
+    decide join strategy/salting from the estimate. Emits the estimate
+    next to the exact size and the classic additive error bound
+    ⌈e/width·|A|·|B|⌉ with its satisfaction flag — on a near-PK join
+    the ABSOLUTE error is collision noise governed by that bound (the
+    estimate can be a large multiple of a small true size; what the
+    sketch guarantees, and what this query demonstrates, is ≥-exact
+    plus the additive bound; width is sized per expected key
+    cardinality, the standard CMS sizing rule). Deterministic integer
+    arithmetic end-to-end — oracle-expressible, registered rows-only
+    only for driver-window capacity; bounds also pinned in
+    tests/test_sketch.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("key")
+    )
+    # both count frames feed their sketch AND the exact twin: stage-cache
+    co = o.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    cl = li.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    width = 65536
+    est = sk.countmin_join_size(
+        sk.countmin_build(co, depth=4, width=width),
+        sk.countmin_build(cl, depth=4, width=width),
+        depth=4,
+    )
+    exact = (
+        co.join(cl.select(F.col("key"), F.col("c").alias("cl")), "key")
+        .agg(F.sum(F.col("c") * F.col("cl")).cast("bigint").alias("exact"))
+    )
+    sizes = co.agg(F.sum("c").alias("na")).join(
+        F.broadcast(cl.agg(F.sum("c").alias("nb")))
+    )
+    return (
+        est.join(F.broadcast(exact))
+        .join(F.broadcast(sizes))
+        .select(
+            "est",
+            "exact",
+            F.ceil(F.lit(2.718281828459045 / width) * F.col("na") * F.col("nb"))
+            .cast("bigint")
+            .alias("error_bound"),
+        )
+        .withColumn(
+            "within_bound", F.col("est") - F.col("exact") <= F.col("error_bound")
+        )
+    )
+
+
 @register("olap_nation_pagerank")  # float power iterations → rows-only; numpy reference in pytest
 def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the cross-nation trade digraph (edges =

@@ -76,3 +76,34 @@ def test_duplicate_count_rows_fold_like_a_raw_stream(spark):
     s1 = {(r.row, r.pos): r.cell for r in sk.countmin_build(split, depth=DEPTH, width=WIDTH).collect()}
     s2 = {(r.row, r.pos): r.cell for r in sk.countmin_build(folded, depth=DEPTH, width=WIDTH).collect()}
     assert s1 == s2
+
+
+def test_join_size_estimate_bounds(spark):
+    """CMS inner product: always >= the exact equi-join size, and with
+    depth=4 rows the min-estimate lands within the classic additive
+    bound e/width * |A| * |B|."""
+    import random
+
+    rng = random.Random(7)
+    a_items = {f"k{i}": rng.randint(1, 20) for i in range(120)}
+    b_items = {f"k{i}": rng.randint(1, 20) for i in range(60, 180)}
+    exact = sum(a_items[k] * b_items[k] for k in a_items.keys() & b_items.keys())
+    cms_a = sk.countmin_build(_counted(spark, a_items), depth=DEPTH, width=WIDTH)
+    cms_b = sk.countmin_build(_counted(spark, b_items), depth=DEPTH, width=WIDTH)
+    est = sk.countmin_join_size(cms_a, cms_b, depth=DEPTH).collect()[0].est
+    assert est >= exact
+    na = sum(a_items.values())
+    nb = sum(b_items.values())
+    assert est - exact <= (2.72 / WIDTH) * na * nb
+
+
+def test_join_size_estimate_disjoint_keys_small(spark):
+    """Disjoint key sets: the true join is empty; the estimate is pure
+    collision noise, far below any overlapping configuration."""
+    a_items = {f"a{i}": 10 for i in range(100)}
+    b_items = {f"b{i}": 10 for i in range(100)}
+    cms_a = sk.countmin_build(_counted(spark, a_items), depth=DEPTH, width=WIDTH)
+    cms_b = sk.countmin_build(_counted(spark, b_items), depth=DEPTH, width=WIDTH)
+    est = sk.countmin_join_size(cms_a, cms_b, depth=DEPTH).collect()[0].est
+    na, nb = 1000, 1000
+    assert 0 <= est <= (2.72 / WIDTH) * na * nb
