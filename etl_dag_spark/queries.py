@@ -4924,7 +4924,7 @@ _ROTATE_TO_FRONT = [
     # / text_tokens / text_normalize / text_pii_scrub / stream_json_props
     # / olap_value_moments / olap_grouping_sets / etl_scd2_history,
     # single-scan or raw-SQL queries with snapshot-pinned plans untouched
-    # since r5 — sit right after the window and rotate FIRST in r8 (97
+    # since r5 — sit right after the window and rotate FIRST in r8 (100
     # oracled + a 50-slot window means perfect alternation keeps every
     # oracle ≤2 rounds stale; the r8 window is the complement of this one).
     "olap_pivot_events", "olap_percentiles", "olap_asof_join",
