@@ -4938,10 +4938,17 @@ _ROTATE_TO_FRONT = [
     # rewrite) — in-window to prove no value change
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
     "olap_funnel_stages",
-    # first out-of-window (position 51+): rotate to front in r8, along
-    # with the rows-only newcomers registered after the oracled block
-    # (olap_nation_pagerank, stream/bpe entries) that have not yet had
-    # a driver row-check
+    # first out-of-window (position 51+): rotate to front in r8.
+    # Concrete r8 plan (so next round is mechanical): the oracled
+    # complement of this window is 56 queries — these 10 r5-stale ones
+    # FIRST, then the 46 r6-evidence queries, minus 6 designated
+    # carry-overs to r9 (etl_dates_dim, olap_cube_sales, olap_set_ops,
+    # etl_value_histogram, bi_yoy_growth, olap_order_id_list — pinned
+    # single-scan/aggregate plans whose per-round pytest parity is the
+    # secondary evidence). The r7 rows-only newcomers (text_bpe_train,
+    # pipeline_bpe_segment, ann_topk_quantized, olap_join_size_estimate,
+    # olap_nation_pagerank) get their first driver row-check in r9,
+    # after the oracled backlog clears.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
