@@ -887,3 +887,147 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# --------------------------------------------- persisted IVF index
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int | None = None,
+) -> None:
+    """Build a PERSISTED inverted-file ANN index: the production shape
+    (build once, query many) that :func:`ivf_topk` — which retrains its
+    codebook per call — grows into. Two parquet datasets under
+    ``index_path``:
+
+    - ``centroids/``: the (n_lists × dim) codebook, n_lists rows.
+    - ``cells/``: every corpus vector, PARTITIONED BY its cell — so a
+      query probing p cells reads exactly p partition directories and
+      the rest of the corpus is never opened (partition pruning is the
+      disk-level analogue of the in-memory probe restriction, pinned in
+      tests via the scan's PartitionFilters).
+
+    Same capped-sample training and Arrow assignment pass as
+    :func:`semantic_dedup_pairs`; identical seed/cap therefore
+    reproduces :func:`ivf_topk`'s codebook bit-for-bit, which is what
+    lets the equality test demand identical output, not just recall.
+    """
+    import os
+
+    spark = embeddings.sparkSession
+    train_pdf = _train_sample(
+        embeddings, id_col, vec_col, train_cap or max(256 * n_lists, 4096), seed
+    )
+    _, train_mat = _matrix(train_pdf, id_col, vec_col)
+    centroids = _kmeans_centroids(train_mat, n_lists, seed=seed)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mat = _matrix(pdf, id_col, vec_col)
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                    "embedding": list(pdf[vec_col]),
+                }
+            )
+
+    (
+        _spread(embeddings.select(id_col, vec_col))
+        .mapInPandas(assign, "vec_id long, cell int, embedding array<double>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "cells"))
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    scored_counter=None,
+):
+    """Approximate top-k from a persisted IVF index — no training, no
+    full-corpus scan: the probed cells' partitions are the ONLY files
+    opened (`.where(cell.isin(...))` reaches the scan as a
+    PartitionFilter). ``queries`` is a driver-side (vec_id, embedding)
+    frame — the queries-are-few contract of the ANN family.
+
+    Output contract matches :func:`ivf_topk`; with the same
+    (n_lists, seed, train_cap) the results are IDENTICAL, because the
+    stored codebook is the same k-means run.
+    """
+    import os
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(index_path, "centroids")).collect(),
+        key=lambda r: r.cell,
+    )
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    q_ids, q_mat = _matrix(queries, "vec_id", "embedding")
+    qc = ((q_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qc, axis=1)[:, :n_probe]
+    probed_cells = sorted({int(c) for row in probes for c in row})
+
+    cells = spark.read.parquet(os.path.join(index_path, "cells")).where(
+        F.col("cell").isin(probed_cells)
+    )
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, _seq_norms(q_mat), probes))
+    local_k = k + 8
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bq_ids, bq_mat, bq_norm, bq_probes = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # partition-column values come back type-inferred: normalize
+            c_cell = pdf["cell"].to_numpy(dtype=np.int64)
+            c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_norm = _seq_norms(c_mat)
+            for j in range(len(bq_ids)):
+                in_probe = np.isin(c_cell, bq_probes[j])
+                idx = np.flatnonzero(in_probe & (c_ids != bq_ids[j]))
+                if not len(idx):
+                    continue
+                if scored_counter is not None:
+                    scored_counter.add(int(len(idx)))
+                sims = _seq_dot_block(c_mat[idx], bq_mat[j : j + 1])[:, 0] / (
+                    c_norm[idx] * bq_norm[j]
+                )
+                order = np.lexsort((c_ids[idx], -np.round(sims, 6)))[:local_k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), bq_ids[j], dtype=np.int64),
+                        "neighbor_id": c_ids[idx[order]],
+                        "sim_raw": sims[order],
+                    }
+                )
+
+    scored = cells.mapInPandas(
+        score, "query_id long, neighbor_id long, sim_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

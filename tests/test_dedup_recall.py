@@ -422,3 +422,45 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         deq = codes * scales + mins
         err = np.abs(deq - orig[r.vec_id])
         assert (err <= scales / 2 + 1e-9).all()
+
+
+def test_ivf_index_build_once_query_many(spark, tmp_path):
+    """Persisted IVF index: (a) with the same (n_lists, seed) the
+    stored-index query returns EXACTLY ivf_topk's output (same k-means
+    codebook, same probes, same candidates); (b) the cells read carry a
+    PartitionFilter on `cell` — the probed partitions are the only
+    files opened; (c) a second query against the store needs no
+    retraining and scores fewer rows than the corpus (pruning
+    accumulator)."""
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    n = emb.count()
+    idx = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(emb, idx, n_lists=16, seed=42)
+
+    flt = F.col("vec_id") % 10 == 0
+    want = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_topk(emb, flt, k=10, n_lists=16, n_probe=4, seed=42).collect()
+    }
+    q_pdf = emb.where(flt).select("vec_id", "embedding").toPandas()
+    emb.unpersist()
+    counter = spark.sparkContext.accumulator(0)
+    got_df = sim.ivf_index_topk(
+        spark, idx, q_pdf, k=10, n_probe=4, scored_counter=counter
+    )
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "cell#" in plan.split("PartitionFilters")[1][:80]
+    got = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim) for r in got_df.collect()
+    }
+    assert got == want
+    n_queries = len(q_pdf)
+    assert counter.value < n * n_queries  # probe restriction pruned scoring
+    # query-many: second call, no rebuild, same answer
+    got2 = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_index_topk(spark, idx, q_pdf, k=10, n_probe=4).collect()
+    }
+    assert got2 == want
