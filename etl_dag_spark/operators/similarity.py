@@ -1031,3 +1031,53 @@ def ivf_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def append_to_ivf_index(
+    new_embeddings: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors under the
+    STORED codebook and append them to their cell partitions — the
+    ingest path of a production ANN store (vectors arrive forever; the
+    codebook retrains rarely and offline). Append-mode partitioned
+    parquet touches only the cells the batch lands in; existing files
+    are never rewritten. Queries see the union immediately, because
+    scoring is against cell membership, not file boundaries —
+    append(B) onto index(A) answers exactly like an index of A∪B built
+    with the same codebook (pinned in tests/test_dedup_recall.py).
+    """
+    import os
+
+    spark = new_embeddings.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(index_path, "centroids")).collect(),
+        key=lambda r: r.cell,
+    )
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mat = _matrix(pdf, id_col, vec_col)
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                    "embedding": list(pdf[vec_col]),
+                }
+            )
+
+    (
+        _spread(new_embeddings.select(id_col, vec_col))
+        .mapInPandas(assign, "vec_id long, cell int, embedding array<double>")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "cells"))
+    )

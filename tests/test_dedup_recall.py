@@ -464,3 +464,44 @@ def test_ivf_index_build_once_query_many(spark, tmp_path):
         for r in sim.ivf_index_topk(spark, idx, q_pdf, k=10, n_probe=4).collect()
     }
     assert got2 == want
+
+
+def test_ivf_index_incremental_append_equals_union_build(spark, tmp_path):
+    """append(B) onto index(A) answers queries exactly like an index
+    whose cells hold A∪B under the SAME codebook: build on half the
+    corpus, append the other half, and compare against an index built
+    by assigning the full corpus with the stored centroids (codebook
+    identity guaranteed by copying the centroids dataset)."""
+    import shutil
+
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    idx_inc = str(tmp_path / "idx_inc")
+    sim.build_ivf_index(half_a, idx_inc, n_lists=16, seed=42)
+    sim.append_to_ivf_index(half_b, idx_inc)
+
+    # reference: same codebook, cells assigned from the full corpus in
+    # one shot — copy centroids, then append everything to empty cells
+    idx_ref = str(tmp_path / "idx_ref")
+    shutil.copytree(f"{idx_inc}/centroids", f"{idx_ref}/centroids")
+    sim.append_to_ivf_index(emb, idx_ref)
+
+    flt = F.col("vec_id") % 10 == 0
+    q_pdf = emb.where(flt).select("vec_id", "embedding").toPandas()
+    emb.unpersist()
+    got = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_index_topk(spark, idx_inc, q_pdf, k=10, n_probe=4).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_index_topk(spark, idx_ref, q_pdf, k=10, n_probe=4).collect()
+    }
+    assert got == want
+    # and the union actually matters: neighbors come from BOTH halves
+    parities = {nid % 2 for (_, nid) in got}
+    assert parities == {0, 1}
