@@ -831,6 +831,7 @@ def quantized_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prequantized=None,
 ) -> DataFrame:
     """Approximate cosine top-k over the uint8-quantized corpus —
     float queries (few, broadcast) scored against dequantized corpus
@@ -838,6 +839,11 @@ def quantized_topk(
     :func:`brute_force_topk`; the approximation error is the per-dim
     quantization step (range/255), giving recall@k ≥ 0.9 vs the exact
     float path (tests/test_dedup_recall.py) at 1/8 the corpus bytes.
+
+    ``prequantized`` (the (q, mins, scales) triple from
+    :func:`quantize_embeddings`, e.g. read back from a persisted
+    store) skips the quantization pass — the build-once/query-many
+    shape; omitted, it is computed inline (one extra corpus pass).
     """
     spark = embeddings.sparkSession
     q_pdf = embeddings.where(query_filter).select(id_col, vec_col).toPandas()
@@ -845,7 +851,9 @@ def quantized_topk(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, sim double"
         )
-    quant, mins, scales = quantize_embeddings(embeddings, id_col, vec_col)
+    quant, mins, scales = prequantized or quantize_embeddings(
+        embeddings, id_col, vec_col
+    )
     q_ids, q_mat = _matrix(q_pdf, id_col, vec_col)
     q_norm = _seq_norms(q_mat)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, mins, scales))

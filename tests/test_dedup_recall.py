@@ -505,3 +505,21 @@ def test_ivf_index_incremental_append_equals_union_build(spark, tmp_path):
     # and the union actually matters: neighbors come from BOTH halves
     parities = {nid % 2 for (_, nid) in got}
     assert parities == {0, 1}
+
+
+def test_quantized_topk_prequantized_reuse(spark):
+    """Passing the quantize_embeddings triple skips the inline pass and
+    returns the identical result — the build-once/query-many shape."""
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    flt = F.col("vec_id") % 10 == 0
+    triple = sim.quantize_embeddings(emb)
+    q, mins, scales = triple
+    q = q.localCheckpoint()  # stands in for a persisted qvec store
+    a = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+         for r in sim.quantized_topk(emb, flt, k=10).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+         for r in sim.quantized_topk(emb, flt, k=10, prequantized=(q, mins, scales)).collect()}
+    emb.unpersist()
+    assert a == b
