@@ -4839,6 +4839,59 @@ def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_ALPHA = 0.5  # temperature exponent: kept mass ∝ n_s^alpha
+
+
+@register("etl_temperature_sample")  # deterministic; rows-only (window capacity), literal replay in pytest
+def etl_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing — the α-sampling used to
+    flatten source skew in LLM corpora (multilingual/multi-domain
+    training mixes, α≈0.5 ... 0.7): where etl_domain_mix applies a
+    STATIC rate table, here each source's keep-rate is DERIVED from the
+    corpus itself, q_s = (n_min/n_s)^(1−α) — the smallest source keeps
+    everything, larger sources downsample so kept mass ∝ n_s^α.
+    Downsample-only (no upsampling churn), decided per doc by a salted
+    content hash, so re-running on a grown corpus keeps prior
+    decisions stable per doc_id.
+
+    Scale shape: one tiny per-source count aggregate → a sources-sized
+    threshold frame joined back (unhinted; AQE broadcasts it) → the
+    keep decision is a pure scan-speed filter. Determinism: n_min/n_s
+    is one correctly-rounded division, pow(x, 0.5) is IEEE sqrt, the
+    threshold floors into the integer 2³² hash space — the exact kept
+    set is replayed literally in tests/test_corpus_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    nmin = counts.agg(F.min("n_s").alias("n_min"))
+    thr = (
+        counts.join(F.broadcast(nmin))
+        .select(
+            "source",
+            F.floor(
+                F.pow(
+                    F.col("n_min").cast("double") / F.col("n_s").cast("double"),
+                    F.lit(1.0 - _TEMP_ALPHA),
+                )
+                * F.lit(float(1 << 32))
+            )
+            .cast("bigint")
+            .alias("thr"),
+        )
+    )
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat('temp:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "source", hv.alias("hv")
+        )
+        .join(thr, "source")
+        .where(F.col("hv") < F.col("thr"))
+        .select("doc_id", "source")
+    )
+
+
 @register("olap_nation_pagerank")  # float power iterations → rows-only; numpy reference in pytest
 def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the cross-nation trade digraph (edges =

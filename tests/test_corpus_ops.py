@@ -354,3 +354,40 @@ def test_winnow_fingerprints_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_temperature_sample_literal_replay(spark):
+    """etl_temperature_sample replayed literally in Python: same md5
+    hash, same q_s = (n_min/n_s)^(1-alpha) arithmetic, same floor into
+    the 2^32 space — the kept set must match EXACTLY, and kept mass
+    must flatten the skew (kept_s/n_s^alpha roughly constant)."""
+    import hashlib
+    from collections import Counter
+
+    from etl_dag_spark.queries import SPARK_QUERIES, _TEMP_ALPHA
+    from etl_dag_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = [(r.doc_id, r.source) for r in load_table(spark, sf, "documents").collect()]
+    n = Counter(s for _, s in docs)
+    n_min = min(n.values())
+    thr = {
+        s: int((n_min / ns) ** (1.0 - _TEMP_ALPHA) * float(1 << 32))
+        for s, ns in n.items()
+    }
+    expected = set()
+    for doc_id, s in docs:
+        hv = int(hashlib.md5(f"temp:{doc_id}".encode()).hexdigest()[:8], 16)
+        if hv < thr[s]:
+            expected.add((doc_id, s))
+    got = {
+        (r.doc_id, r.source)
+        for r in SPARK_QUERIES["etl_temperature_sample"](spark, sf).collect()
+    }
+    assert got == expected
+    # the smallest source is kept in full; larger sources downsampled
+    kept = Counter(s for _, s in got)
+    assert kept[min(n, key=n.get)] == n[min(n, key=n.get)]
+    ratios = {s: kept[s] / (n[s] ** _TEMP_ALPHA) for s in n}
+    lo, hi = min(ratios.values()), max(ratios.values())
+    assert hi / lo < 1.5, ratios  # flattened to ~constant mass per n^alpha
