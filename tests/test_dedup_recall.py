@@ -523,3 +523,36 @@ def test_quantized_topk_prequantized_reuse(spark):
          for r in sim.quantized_topk(emb, flt, k=10, prequantized=(q, mins, scales)).collect()}
     emb.unpersist()
     assert a == b
+
+
+def test_quantized_store_parquet_roundtrip(spark, tmp_path):
+    """The quantized corpus persists as real parquet (binary qvec +
+    codebook) and a query against the read-back store equals the inline
+    path — the dim-bytes-per-vector store is durable, not an in-memory
+    artifact."""
+    import json
+
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    flt = F.col("vec_id") % 10 == 0
+    q, mins, scales = sim.quantize_embeddings(emb)
+    store = str(tmp_path / "qstore")
+    q.write.mode("overwrite").parquet(store)
+    (tmp_path / "codebook.json").write_text(
+        json.dumps({"mins": list(mins), "scales": list(scales)})
+    )
+    cb = json.loads((tmp_path / "codebook.json").read_text())
+    import numpy as np
+
+    loaded = (
+        spark.read.parquet(store),
+        np.array(cb["mins"]),
+        np.array(cb["scales"]),
+    )
+    a = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+         for r in sim.quantized_topk(emb, flt, k=10).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+         for r in sim.quantized_topk(emb, flt, k=10, prequantized=loaded).collect()}
+    emb.unpersist()
+    assert a == b
