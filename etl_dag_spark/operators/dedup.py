@@ -99,6 +99,104 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------ prefix-filtered exact Jaccard
+
+
+def prefix_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: tuple[int, int] = (4, 5),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via AllPairs/PPJoin-style PREFIX
+    filtering (Chaudhuri et al. SSJoin 2006; Bayardo et al. WWW 2007) —
+    the LOSSLESS candidate pruner, where ``ngram_jaccard_pairs``'s
+    df-cap is lossy.
+
+    → (doc_id_a, doc_id_b, jaccard), doc_id_a < doc_id_b, jaccard ≥
+    num/den over DISTINCT word n-grams of the FULL (uncapped) sets.
+
+    Why this is exact: order the shingle universe globally (ascending
+    document frequency, shingle string tie-break). For a doc with
+    ``m`` distinct shingles, Jaccard ≥ t against ANY partner forces
+    |A∩B| ≥ ⌈t·m⌉, so the minimum common shingle under the global
+    order has ≥ ⌈t·m⌉−1 intersection elements above it — its rank
+    within the doc is ≤ m−⌈t·m⌉+1. Index ONLY those first
+    m−⌈t·m⌉+1 shingles per doc (the "prefix"); every qualifying
+    pair is guaranteed to collide on some prefix shingle of BOTH
+    docs. A second lossless cut — den·min(m_a,m_b) ≥ num·max — drops
+    size-incompatible collisions before dedup. Survivors are verified
+    with an exact intersection count over the full sets.
+
+    Scale shape: the global order puts RARE shingles first, so prefix
+    posting lists are short by construction — stop-phrase shingles
+    (huge df) sort last and almost never enter a prefix, which is the
+    structural fix for the quadratic hot-shingle blowup that forces
+    the df-cap in the plain inverted index. Candidate volume ≈
+    Σ_s df_prefix(s)², verification is candidates × doc size. The
+    threshold is a rational num/den: ⌈t·m⌉ = (num·m+den−1) DIV den
+    stays in integers (0.8 is not exact in binary — float ceil would
+    misdecide boundary sizes), and the final filter is the integer
+    cross-multiplication den·|∩| ≥ num·|∪|.
+    """
+    num, den = threshold
+    sh = shingle_rows(documents, n=n, id_col=id_col, text_col=text_col)
+    # the shingle stream feeds the df count, the prefix index, and the
+    # verify join — materialize once
+    sh = sh.localCheckpoint(eager=False)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    # unhinted: the frequency table is vocabulary-sized (grows with the
+    # corpus); AQE broadcasts it only while statistics say it fits
+    ordered = sh.join(dfreq, "s")
+    w_rank = Window.partitionBy(id_col).orderBy(F.col("__df"), F.col("s"))
+    w_all = Window.partitionBy(id_col)
+    ranked = ordered.select(
+        F.col(id_col),
+        "s",
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+    )
+    # prefix length m − ⌈t·m⌉ + 1, all-integer
+    alpha = F.expr(f"({num} * __m + {den} - 1) DIV {den}")
+    prefix = ranked.where(F.col("__r") <= F.col("__m") - alpha + 1)
+    prefix = prefix.localCheckpoint(eager=False)  # both sides of the self-join
+    pa = prefix.select(
+        F.col(id_col).alias("doc_id_a"), "s", F.col("__m").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("doc_id_b"), "s", F.col("__m").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "s")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        # lossless length filter: J ≤ min/max, so J ≥ num/den needs
+        # den·min ≥ num·max
+        .where(
+            F.expr(f"{den} * least(n_a, n_b) >= {num} * greatest(n_a, n_b)")
+        )
+        .select("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .distinct()
+    )
+    fa = sh.select(F.col(id_col).alias("doc_id_a"), "s")
+    fb = sh.select(F.col(id_col).alias("doc_id_b"), "s")
+    common = (
+        cand.join(fa, "doc_id_a")
+        .join(fb, ["doc_id_b", "s"])
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        common.where(F.col("n_common") * den >= F.lit(num) * union_sz)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("n_common").cast("double") / union_sz).alias("jaccard"),
+        )
+    )
+
+
 # ----------------------------------------------- persisted store plumbing
 
 

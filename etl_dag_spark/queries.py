@@ -673,6 +673,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+       CAST(doc_id_b AS BIGINT) AS doc_id_b,
+       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_id_a
+JOIN sizes nb ON nb.doc_id = doc_id_b
+WHERE 5 * n_common >= 4 * (na.n_sh + nb.n_sh - n_common)
+""",
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 4/5 pairs via AllPairs/PPJoin
+    PREFIX filtering (dedup.py::prefix_jaccard_pairs) — the LOSSLESS
+    candidate pruner: docs index only their m−⌈0.8m⌉+1 globally-rarest
+    shingles, every qualifying pair provably collides there, survivors
+    are verified exactly over the FULL sets. Unlike
+    ``dedup_ngram_jaccard``'s df-cap (which changes the answer), the
+    oracle here is the plain uncapped quadratic join — same values,
+    structurally pruned plan. Both engines gate on the integer
+    cross-multiplication 5·|∩| ≥ 4·|∪| (no float-threshold boundary
+    rows)."""
+    return dd.prefix_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=(4, 5)
+    )
+
+
 @register("dedup_minhash_lsh")  # approximate → rows-only driver check; recall in pytest
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64perm)+LSH(16 bands) near-dup pairs, verified at exact
@@ -4961,6 +4998,7 @@ _ROTATE_TO_FRONT = [
     "dedup_cluster_lsh", "dedup_embedding_cosine_nd_exact",
     "dedup_incremental", "etl_pack_sequences_firstfit", "mm_phash_dedup",
     # new in round 7 — never driver-hashed
+    "dedup_prefix_jaccard",
     "text_line_dedup", "olap_revenue_forecast", "olap_nation_profit",
     "olap_min_cost_supplier", "olap_important_parts",
     "olap_supplier_part_counts", "olap_excess_suppliers",

@@ -56,6 +56,50 @@ def test_exact_jaccard_finds_planted_pairs(spark, corpus):
     assert set(planted) <= got
 
 
+def test_prefix_jaccard_equals_uncapped_exact(spark, corpus):
+    """Prefix filtering (AllPairs/PPJoin) is LOSSLESS: the result must
+    equal the uncapped quadratic inverted-index join pair-for-pair and
+    value-for-value — while indexing strictly fewer shingle rows."""
+    documents, planted = corpus
+    exact = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 12))
+        for r in dd.ngram_jaccard_pairs(documents, n=3, threshold=0.8).collect()
+    }
+    pref = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 12))
+        for r in dd.prefix_jaccard_pairs(documents, n=3, threshold=(4, 5)).collect()
+    }
+    assert pref == exact
+    assert {(a, b) for a, b, _ in pref} >= set(planted)
+
+
+def test_prefix_index_is_a_strict_subsample(spark, corpus):
+    """The indexed prefix keeps m−⌈0.8m⌉+1 of each doc's m shingles —
+    ~20% — so candidate volume shrinks quadratically vs the full
+    inverted index. Pin the pruning (the reason the operator exists)."""
+    from etl_dag_spark.functions.text import shingle_rows
+
+    documents, _ = corpus
+    full = shingle_rows(documents, n=3).count()
+    # re-derive the prefix size exactly as the operator does
+    sh = shingle_rows(documents, n=3)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("__df"), F.col("s"))
+    w_all = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "s").select(
+        "doc_id",
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+    )
+    prefix_rows = ranked.where(
+        F.col("__r") <= F.col("__m") - F.expr("(4 * __m + 4) DIV 5") + 1
+    ).count()
+    # 200-token docs: prefix ≈ 0.2·m + 1 ⇒ well under 30% of the index
+    assert prefix_rows < 0.3 * full
+
+
 def test_minhash_lsh_recall_vs_exact(spark, corpus):
     documents, _ = corpus
     exact = {
