@@ -3174,6 +3174,105 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_TERMS = ["spark", "vector", "hash"]
+
+
+@register(
+    "text_search_ranked",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tf
+  FROM tk WHERE t IN ({", ".join("'" + t + "'" for t in _SEARCH_TERMS)})
+  GROUP BY doc_id
+  HAVING count(DISTINCT t) = {len(_SEARCH_TERMS)}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, total_tf,
+       CAST(rank() OVER (ORDER BY total_tf DESC) AS INT) AS search_rank
+FROM m QUALIFY search_rank <= 20
+""",
+)
+def text_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) term search with tf ranking — the retrieval
+    primitive over a corpus: documents containing ALL query terms,
+    ranked by total term frequency, top-20 with ties. Ranking by raw tf
+    (not tf-idf) keeps the score a BIGINT — no float ordering
+    divergence; ties share a rank, so the cut is deterministic.
+
+    Scale shape: the term filter is a narrow `isin` over the exploded
+    token stream — scan-speed, and only matching tokens (∝ posting-list
+    size, not corpus size) reach the per-doc aggregate; the AND gate is
+    count(DISTINCT term) == |query| on that tiny stream. The global
+    top-20 rides TakeOrderedAndProject + rank-over-survivors
+    (windows.py::top_n_with_rank), never a full sort. A standing query
+    workload would instead probe the same stream against a broadcast
+    term list — this is the one-query form."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens_column("text")).alias("t"))
+    m = (
+        tk.where(F.col("t").isin(_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_tf"),
+            F.countDistinct("t").alias("__nt"),
+        )
+        .where(F.col("__nt") == len(_SEARCH_TERMS))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "total_tf")
+    )
+    return (
+        win.top_n_with_rank(m, "total_tf", n=20)
+        .select(
+            "doc_id", "total_tf", F.col("top_rank").cast("int").alias("search_rank")
+        )
+    )
+
+
+_UNIFORM_SAMPLE_K = 200
+
+
+@register(
+    "etl_uniform_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('usamp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hv
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) AS INT) AS sample_rank
+FROM h QUALIFY sample_rank <= {_UNIFORM_SAMPLE_K}
+""",
+)
+def etl_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform corpus sample, deterministic: the k documents
+    with the smallest salted content hash — the inspection/eval-set
+    primitive where `sample(fraction)` gives only an EXPECTED size and
+    RNG-based sampling isn't reproducible across runs or engines. The
+    'usamp:' salt decorrelates the draw from the domain-mix and
+    train/split hashes (the same doc is not systematically favored by
+    every sampler).
+
+    Scale shape: a global hash top-k is TakeOrderedAndProject — each
+    partition keeps a k-row heap, the driver merges k·n_partitions
+    rows — then rank-over-survivors; no global sort, no shuffle of the
+    corpus. Growing the corpus only evicts prior sample members as
+    lower hashes arrive (stable under append, like the host cap)."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat('usamp:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    h = d.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source", hv.alias("__hv"))
+    survivors = h.orderBy("__hv", "doc_id").limit(_UNIFORM_SAMPLE_K)
+    w = Window.orderBy("__hv", "doc_id")  # ≤ k survivor rows, bounded
+    return survivors.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+    )
+
+
 @register(
     "olap_cumulative_new_users",
     oracle="""
@@ -4998,7 +5097,7 @@ _ROTATE_TO_FRONT = [
     "dedup_cluster_lsh", "dedup_embedding_cosine_nd_exact",
     "dedup_incremental", "etl_pack_sequences_firstfit", "mm_phash_dedup",
     # new in round 7 — never driver-hashed
-    "dedup_prefix_jaccard",
+    "dedup_prefix_jaccard", "text_search_ranked", "etl_uniform_sample",
     "text_line_dedup", "olap_revenue_forecast", "olap_nation_profit",
     "olap_min_cost_supplier", "olap_important_parts",
     "olap_supplier_part_counts", "olap_excess_suppliers",
