@@ -767,6 +767,35 @@ def semantic_dedup_pairs(
 
 # ------------------------------------------------- int8 quantization
 
+def _quant_params(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Per-dimension uint8 codebook (mins, scales) from one posexplode
+    pass, map-side combined to ``dim`` rows — bounded by the schema,
+    not the corpus."""
+    stats = (
+        embeddings.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    dim = len(stats)
+    mins = np.zeros(dim)
+    scales = np.ones(dim)
+    for r in stats:
+        mins[r.d] = r.lo
+        rng = r.hi - r.lo
+        scales[r.d] = (rng / 255.0) if rng > 0 else 1.0
+    return mins, scales
+
+
+def _pack_codes(mat: "np.ndarray", mins: "np.ndarray", scales: "np.ndarray") -> list:
+    codes = np.clip(np.round((mat - mins[None, :]) / scales[None, :]), 0, 255).astype(
+        np.uint8
+    )
+    return [c.tobytes() for c in codes]
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -790,19 +819,7 @@ def quantize_embeddings(
     schema, not the corpus); packing is one Arrow pass; the corpus
     never shuffles.
     """
-    stats = (
-        embeddings.select(F.posexplode(vec_col).alias("d", "x"))
-        .groupBy("d")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .collect()
-    )
-    dim = len(stats)
-    mins = np.zeros(dim)
-    scales = np.ones(dim)
-    for r in stats:
-        mins[r.d] = r.lo
-        rng = r.hi - r.lo
-        scales[r.d] = (rng / 255.0) if rng > 0 else 1.0
+    mins, scales = _quant_params(embeddings, vec_col)
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast((mins, scales))
 
@@ -907,6 +924,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int | None = None,
+    quantize: bool = False,
 ) -> None:
     """Build a PERSISTED inverted-file ANN index: the production shape
     (build once, query many) that :func:`ivf_topk` — which retrains its
@@ -924,6 +942,14 @@ def build_ivf_index(
     :func:`semantic_dedup_pairs`; identical seed/cap therefore
     reproduces :func:`ivf_topk`'s codebook bit-for-bit, which is what
     lets the equality test demand identical output, not just recall.
+
+    ``quantize=True`` stores each cell's vectors as uint8 SQ8 codes
+    (the FAISS IVF-SQ composition): cells hold dim-byte ``qvec``
+    binaries instead of float arrays — 8× smaller on disk and over the
+    wire — and a third dataset ``quant/`` (dim rows: d, lo, scale)
+    holds the scalar codebook. Queries dequantize per Arrow batch;
+    appends quantize under the STORED params so old and new codes stay
+    comparable.
     """
     import os
 
@@ -938,29 +964,68 @@ def build_ivf_index(
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
 
-    bc = spark.sparkContext.broadcast(centroids)
+    mins = scales = None
+    if quantize:
+        mins, scales = _quant_params(embeddings, vec_col)
+        spark.createDataFrame(
+            [(int(i), float(mins[i]), float(scales[i])) for i in range(len(mins))],
+            "d int, lo double, scale double",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "quant"))
+
+    bc = spark.sparkContext.broadcast((centroids, mins, scales))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = bc.value
+        cents, bmins, bscales = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             ids, mat = _matrix(pdf, id_col, vec_col)
             d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "cell": d.argmin(axis=1).astype(np.int32),
-                    "embedding": list(pdf[vec_col]),
-                }
-            )
+            cells = d.argmin(axis=1).astype(np.int32)
+            if bmins is not None:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cell": cells,
+                        "qvec": _pack_codes(mat, bmins, bscales),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"vec_id": ids, "cell": cells, "embedding": list(pdf[vec_col])}
+                )
 
+    out_schema = (
+        "vec_id long, cell int, qvec binary"
+        if quantize
+        else "vec_id long, cell int, embedding array<double>"
+    )
     (
         _spread(embeddings.select(id_col, vec_col))
-        .mapInPandas(assign, "vec_id long, cell int, embedding array<double>")
+        .mapInPandas(assign, out_schema)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_path, "cells"))
+    )
+
+
+def _read_quant_params(spark, index_path: str):
+    """(mins, scales) from a persisted index's ``quant/`` dataset, or
+    (None, None) when the index stores float cells."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        qp = sorted(
+            spark.read.parquet(os.path.join(index_path, "quant")).collect(),
+            key=lambda r: r.d,
+        )
+    except AnalysisException:
+        return None, None
+    return (
+        np.array([r.lo for r in qp], dtype=np.float64),
+        np.array([r.scale for r in qp], dtype=np.float64),
     )
 
 
@@ -997,18 +1062,30 @@ def ivf_index_topk(
     cells = spark.read.parquet(os.path.join(index_path, "cells")).where(
         F.col("cell").isin(probed_cells)
     )
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, _seq_norms(q_mat), probes))
+    # quantized (IVF-SQ) stores hold uint8 codes; dequantize per batch
+    mins, scales = (
+        _read_quant_params(spark, index_path) if "qvec" in cells.columns else (None, None)
+    )
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, _seq_norms(q_mat), probes, mins, scales)
+    )
     local_k = k + 8
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bq_ids, bq_mat, bq_norm, bq_probes = bc.value
+        bq_ids, bq_mat, bq_norm, bq_probes, bmins, bscales = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             # partition-column values come back type-inferred: normalize
             c_cell = pdf["cell"].to_numpy(dtype=np.int64)
-            c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if bmins is not None:
+                codes = np.vstack(
+                    [np.frombuffer(b, dtype=np.uint8) for b in pdf["qvec"]]
+                ).astype(np.float64)
+                c_mat = codes * bscales[None, :] + bmins[None, :]
+            else:
+                c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             c_norm = _seq_norms(c_mat)
             for j in range(len(bq_ids)):
                 in_probe = np.isin(c_cell, bq_probes[j])
@@ -1065,26 +1142,40 @@ def append_to_ivf_index(
         key=lambda r: r.cell,
     )
     centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast(centroids)
+    # quantized store → new vectors must encode under the STORED scalar
+    # codebook (NOT batch-local ranges) so old and new codes compare
+    mins, scales = _read_quant_params(spark, index_path)
+    bc = spark.sparkContext.broadcast((centroids, mins, scales))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = bc.value
+        cents, bmins, bscales = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             ids, mat = _matrix(pdf, id_col, vec_col)
             d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "cell": d.argmin(axis=1).astype(np.int32),
-                    "embedding": list(pdf[vec_col]),
-                }
-            )
+            cells = d.argmin(axis=1).astype(np.int32)
+            if bmins is not None:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cell": cells,
+                        "qvec": _pack_codes(mat, bmins, bscales),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"vec_id": ids, "cell": cells, "embedding": list(pdf[vec_col])}
+                )
 
+    out_schema = (
+        "vec_id long, cell int, qvec binary"
+        if mins is not None
+        else "vec_id long, cell int, embedding array<double>"
+    )
     (
         _spread(new_embeddings.select(id_col, vec_col))
-        .mapInPandas(assign, "vec_id long, cell int, embedding array<double>")
+        .mapInPandas(assign, out_schema)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(index_path, "cells"))

@@ -600,3 +600,85 @@ def test_quantized_store_parquet_roundtrip(spark, tmp_path):
          for r in sim.quantized_topk(emb, flt, k=10, prequantized=loaded).collect()}
     emb.unpersist()
     assert a == b
+
+
+def _dir_bytes(path):
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_ivf_sq8_index_quantized_cells(spark, tmp_path):
+    """IVF-SQ composition (quantize=True): cells hold dim-byte uint8
+    codes — materially smaller on disk than the float index — queries
+    still ride partition pruning, and recall@10 vs the float persisted
+    index stays ≥0.9 (the scalar-quantization error budget)."""
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    idx_f = str(tmp_path / "ivf_float")
+    idx_q = str(tmp_path / "ivf_sq8")
+    sim.build_ivf_index(emb, idx_f, n_lists=16, seed=42)
+    sim.build_ivf_index(emb, idx_q, n_lists=16, seed=42, quantize=True)
+
+    cells = spark.read.parquet(f"{idx_q}/cells")
+    assert "qvec" in cells.columns and "embedding" not in cells.columns
+    # 8 doubles → 1 byte per dim; parquet overhead eats some of the 8×,
+    # but the quantized cells must still be well under half the size
+    assert _dir_bytes(f"{idx_q}/cells") < 0.5 * _dir_bytes(f"{idx_f}/cells")
+
+    flt = F.col("vec_id") % 10 == 0
+    q_pdf = emb.where(flt).select("vec_id", "embedding").toPandas()
+    emb.unpersist()
+    got_df = sim.ivf_index_topk(spark, idx_q, q_pdf, k=10, n_probe=4)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = {(r.query_id, r.neighbor_id) for r in got_df.collect()}
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_index_topk(spark, idx_f, q_pdf, k=10, n_probe=4).collect()
+    }
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_ivf_sq8_append_uses_stored_codebook(spark, tmp_path):
+    """Appending to a quantized index encodes new vectors under the
+    STORED scalar codebook, so append(B) onto quantized index(A)
+    answers exactly like assigning A∪B under the same centroids+quant
+    params (bit-identical, not just recall)."""
+    import shutil
+
+    from etl_dag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").persist()
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    idx_inc = str(tmp_path / "sq_inc")
+    sim.build_ivf_index(half_a, idx_inc, n_lists=16, seed=42, quantize=True)
+    sim.append_to_ivf_index(half_b, idx_inc)
+    assert "qvec" in spark.read.parquet(f"{idx_inc}/cells").columns
+
+    idx_ref = str(tmp_path / "sq_ref")
+    shutil.copytree(f"{idx_inc}/centroids", f"{idx_ref}/centroids")
+    shutil.copytree(f"{idx_inc}/quant", f"{idx_ref}/quant")
+    sim.append_to_ivf_index(emb, idx_ref)
+
+    flt = F.col("vec_id") % 10 == 0
+    q_pdf = emb.where(flt).select("vec_id", "embedding").toPandas()
+    emb.unpersist()
+    got = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_index_topk(spark, idx_inc, q_pdf, k=10, n_probe=4).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_index_topk(spark, idx_ref, q_pdf, k=10, n_probe=4).collect()
+    }
+    assert got == want
+    assert {nid % 2 for (_, nid) in got} == {0, 1}
