@@ -129,3 +129,93 @@ def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("rowest"))
     )
     return prod.agg(F.min("rowest").cast("bigint").alias("est"))
+
+
+# ------------------------------------------------------- HyperLogLog
+
+def hll_registers(
+    keys: DataFrame, key_col: str = "key", p: int = 8, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table as pure Column algebra (Flajolet et
+    al. 2007): → (register INT, max_rho INT), ≤ 2^p rows.
+
+    The 32-bit portable hash splits into the top ``p`` bits (register
+    index) and the low ``w = 32−p`` bits (the rank source); rho = the
+    leading-zero count of the low bits + 1, computed WITHOUT log():
+    ``w − (length(bin(v)) − 1)`` — both engines' ``bin()`` renders an
+    integer with no leading zeros, so the expression is exact integer/
+    string algebra and a DuckDB oracle replays every register
+    bit-for-bit (float log2 at a power-of-two boundary could misround
+    differently per engine; string length cannot).
+
+    Scale shape: one narrow projection + a map-side-combined groupBy to
+    AT MOST 2^p rows — like the CMS, the sketch's size is a constant of
+    the operator, so it is always broadcastable and the register table
+    of two corpus halves folds to the union's by per-register MAX
+    (commutative + associative + idempotent — even replayed batches
+    cannot corrupt it, unlike the CMS's additive fold).
+    """
+    w = 32 - p
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}:', key)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    rows = keys.select(F.col(key_col).cast("string").alias("key")).select(
+        h.alias("__h")
+    )
+    rows = rows.select(
+        F.expr(f"CAST(__h DIV {1 << w} AS INT)").alias("register"),
+        F.expr(f"__h % {1 << w}").alias("__v"),
+    ).select(
+        "register",
+        F.when(F.col("__v") > 0, F.lit(w) - (F.length(F.expr("bin(__v)")) - 1))
+        .otherwise(F.lit(w + 1))
+        .cast("int")
+        .alias("__rho"),
+    )
+    return rows.groupBy("register").agg(F.max("__rho").alias("max_rho"))
+
+
+def hll_registers_sql(
+    from_clause: str, key_expr: str, p: int = 8, salt: str = "hll"
+) -> str:
+    """DuckDB twin of :func:`hll_registers` (same md5 hash, same bin()
+    rank algebra): a complete SELECT yielding (register, max_rho)."""
+    w = 32 - p
+    h = f"(('0x' || substr(md5('{salt}:' || {key_expr}), 1, 8))::BIGINT)"
+    return f"""
+SELECT CAST(h // {1 << w} AS INT) AS register,
+       CAST(max(CASE WHEN h % {1 << w} > 0
+                     THEN {w} - (length(bin(h % {1 << w})) - 1)
+                     ELSE {w + 1} END) AS INT) AS max_rho
+FROM (SELECT {h} AS h FROM {from_clause})
+GROUP BY 1
+"""
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-register MAX of two register tables built with the same
+    (p, salt) — HLL(A ∪ B) == merge(HLL(A), HLL(B)); max is also
+    idempotent, so replaying a batch is harmless."""
+    return a.unionByName(b).groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Distinct-count estimate from a register table: the standard HLL
+    estimator with the small-range (linear counting) correction. The
+    register table is ≤ 2^p rows by construction, so collecting it is a
+    bounded driver materialization — the float arithmetic happens ONCE
+    on the driver, never inside a distributed (order-dependent) sum.
+    """
+    m = 1 << p
+    regs = {r.register: r.max_rho for r in registers.collect()}
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len([v for v in regs.values() if v > 0])
+    if est <= 2.5 * m and zeros > 0:
+        import math
+
+        est = m * math.log(m / zeros)
+    return est

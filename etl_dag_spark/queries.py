@@ -4369,6 +4369,31 @@ _CMS_WIDTH = 256
 
 
 @register(
+    "olap_hll_registers",
+    oracle=sk.hll_registers_sql("events", "CAST(user_id AS VARCHAR)", p=8),
+)
+def olap_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the event stream's user ids
+    (operators/sketch.py::hll_registers) — the mergeable fixed-memory
+    distinct-count sketch, as engine-portable Column algebra: the
+    32-bit md5 hash splits into register index (top 8 bits) and rank
+    source, and rho comes from ``length(bin(v))`` string algebra
+    instead of float log2, so DuckDB replays all ≤256 registers
+    bit-for-bit. The built-in `approx_count_distinct` (#43) gives
+    Spark's opaque sketch; THIS one is inspectable, oracle-exact, and
+    its per-register MAX fold is idempotent — the right cumulative
+    state for streams with replays (streaming/corpus.py::stream_hll).
+
+    Scale shape: one narrow projection + map-side-combined groupBy to
+    ≤2^p rows — sketch size is a constant of the operator, never of
+    the corpus; the float estimator runs once on the driver over the
+    collected ≤256 rows (sketch.py::hll_estimate, accuracy pinned in
+    tests/test_sketch.py)."""
+    ev = load_events(spark, sf_dir).select("user_id")
+    return sk.hll_registers(ev, key_col="user_id", p=8)
+
+
+@register(
     "text_countmin_hitters",
     oracle=f"""
 WITH tk AS (SELECT unnest({tokens_sql("text")}) AS key FROM documents),
@@ -5098,6 +5123,7 @@ _ROTATE_TO_FRONT = [
     "dedup_incremental", "etl_pack_sequences_firstfit", "mm_phash_dedup",
     # new in round 7 — never driver-hashed
     "dedup_prefix_jaccard", "text_search_ranked", "etl_uniform_sample",
+    "olap_hll_registers",
     "text_line_dedup", "olap_revenue_forecast", "olap_nation_profit",
     "olap_min_cost_supplier", "olap_important_parts",
     "olap_supplier_part_counts", "olap_excess_suppliers",

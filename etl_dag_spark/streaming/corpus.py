@@ -231,3 +231,47 @@ def read_countmin_store(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("row", "pos")
         .agg(F.sum("cell").cast("bigint").alias("cell"))
     )
+
+
+def stream_hll(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    p: int = 8,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Cumulative HyperLogLog over a streaming corpus's distinct tokens
+    (operators/sketch.py::hll_registers) — distinct-cardinality
+    tracking with ≤2^p rows of state, the register-table twin of
+    :func:`stream_countmin`.
+
+    Per micro-batch the batch's register table APPENDS to a parquet
+    store; :func:`read_hll_store` folds with per-register MAX. Unlike
+    the CMS's additive fold, MAX is also IDEMPOTENT — a replayed or
+    double-delivered batch cannot corrupt the sketch, so this store
+    needs no exactly-once guarantee from the sink at all.
+    """
+    from etl_dag_spark.functions.text import tokens_column
+    from etl_dag_spark.operators.sketch import hll_registers
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys = batch_df.select(F.explode(tokens_column("text")).alias("key"))
+        hll_registers(keys, p=p).write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold a :func:`stream_hll` delta store to the current register
+    table: per-register MAX == hll_merge over every batch."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )

@@ -107,3 +107,59 @@ def test_join_size_estimate_disjoint_keys_small(spark):
     est = sk.countmin_join_size(cms_a, cms_b, depth=DEPTH).collect()[0].est
     na, nb = 1000, 1000
     assert 0 <= est <= (2.72 / WIDTH) * na * nb
+
+
+# ------------------------------------------------------- HyperLogLog
+
+
+def _keys(spark, n: int, salt: str = "k"):
+    return spark.createDataFrame(
+        [(f"{salt}{i}",) for i in range(n)], "key string"
+    )
+
+
+def test_hll_estimate_within_theoretical_band(spark):
+    """p=8 ⇒ relative standard error 1.04/√256 ≈ 6.5%; a 3σ band of
+    20% must hold across cardinalities spanning the linear-counting
+    and raw-estimator regimes."""
+    for n in (50, 500, 5000):
+        regs = sk.hll_registers(_keys(spark, n), p=8)
+        est = sk.hll_estimate(regs, p=8)
+        assert abs(est - n) / n < 0.20, f"n={n}: est={est:.0f}"
+
+
+def test_hll_merge_of_halves_equals_registers_of_union(spark):
+    both = _keys(spark, 2000)
+    a = both.where(F.expr("CAST(substr(key, 2) AS INT) % 2 = 0"))
+    b = both.where(F.expr("CAST(substr(key, 2) AS INT) % 2 = 1"))
+    whole = {
+        (r.register, r.max_rho) for r in sk.hll_registers(both, p=8).collect()
+    }
+    merged = {
+        (r.register, r.max_rho)
+        for r in sk.hll_merge(
+            sk.hll_registers(a, p=8), sk.hll_registers(b, p=8)
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_merge_is_idempotent_under_replay(spark):
+    """MAX-fold absorbs duplicate delivery: merge(S, S) == S — the
+    property that lets the streaming store tolerate batch replays
+    without exactly-once sinks (unlike the additive CMS fold)."""
+    regs = sk.hll_registers(_keys(spark, 1000), p=8)
+    replayed = {
+        (r.register, r.max_rho) for r in sk.hll_merge(regs, regs).collect()
+    }
+    assert replayed == {(r.register, r.max_rho) for r in regs.collect()}
+
+
+def test_hll_duplicate_keys_do_not_move_registers(spark):
+    """Distinct-count semantics: feeding every key 5× yields the
+    identical register table (rho depends only on the key's hash)."""
+    ks = _keys(spark, 300)
+    dup = ks.union(ks).union(ks).union(ks).union(ks)
+    a = {(r.register, r.max_rho) for r in sk.hll_registers(ks, p=8).collect()}
+    b = {(r.register, r.max_rho) for r in sk.hll_registers(dup, p=8).collect()}
+    assert a == b

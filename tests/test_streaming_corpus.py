@@ -316,3 +316,54 @@ def test_stream_mv_second_feed_keeps_folding(spark, tmp_path):
         for r in monthly_revenue(orders).collect()
     }
     assert got == want
+
+
+def test_stream_hll_equals_one_shot_batch_registers(spark, doc_stream_src, tmp_path):
+    """The streaming HLL (per-batch register appends over multiple
+    micro-batches) folds to EXACTLY the one-shot batch register table
+    of the whole corpus — and re-running the stream over the same files
+    into the same store changes nothing (idempotent MAX fold)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.functions.text import tokens_column
+    from etl_dag_spark.operators.sketch import hll_registers
+    from etl_dag_spark.streaming.corpus import (
+        read_document_stream,
+        read_hll_store,
+        stream_hll,
+    )
+
+    store = str(tmp_path / "hll_store")
+    q = stream_hll(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_hll"),
+        p=8,
+    )
+    q.awaitTermination(120)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    whole = {
+        (r.register, r.max_rho)
+        for r in hll_registers(
+            docs.select(F.explode(tokens_column("text")).alias("key")), p=8
+        ).collect()
+    }
+    streamed = {
+        (r.register, r.max_rho) for r in read_hll_store(spark, store).collect()
+    }
+    assert streamed == whole
+
+    # replay: a second full pass (fresh checkpoint, same store) must
+    # leave the folded registers unchanged
+    q2 = stream_hll(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_hll2"),
+        p=8,
+    )
+    q2.awaitTermination(120)
+    replayed = {
+        (r.register, r.max_rho) for r in read_hll_store(spark, store).collect()
+    }
+    assert replayed == whole
