@@ -134,7 +134,11 @@ def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
 # ------------------------------------------------------- HyperLogLog
 
 def hll_registers(
-    keys: DataFrame, key_col: str = "key", p: int = 8, salt: str = "hll"
+    keys: DataFrame,
+    key_col: str = "key",
+    p: int = 8,
+    salt: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """HyperLogLog register table as pure Column algebra (Flajolet et
     al. 2007): → (register INT, max_rho INT), ≤ 2^p rows.
@@ -154,41 +158,56 @@ def hll_registers(
     of two corpus halves folds to the union's by per-register MAX
     (commutative + associative + idempotent — even replayed batches
     cannot corrupt it, unlike the CMS's additive fold).
+
+    ``group_cols`` gives the GROUP BY form (one sketch per group — the
+    Druid/BigQuery sketch-aggregate shape): output is ≤ groups × 2^p
+    rows, still map-side combined in one pass over the input.
     """
+    g = list(group_cols or [])
     w = 32 - p
     h = F.expr(
         f"CAST(conv(substring(md5(concat('{salt}:', key)), 1, 8), 16, 10) AS BIGINT)"
     )
-    rows = keys.select(F.col(key_col).cast("string").alias("key")).select(
-        h.alias("__h")
-    )
+    rows = keys.select(
+        *g, F.col(key_col).cast("string").alias("key")
+    ).select(*g, h.alias("__h"))
     rows = rows.select(
+        *g,
         F.expr(f"CAST(__h DIV {1 << w} AS INT)").alias("register"),
         F.expr(f"__h % {1 << w}").alias("__v"),
     ).select(
+        *g,
         "register",
         F.when(F.col("__v") > 0, F.lit(w) - (F.length(F.expr("bin(__v)")) - 1))
         .otherwise(F.lit(w + 1))
         .cast("int")
         .alias("__rho"),
     )
-    return rows.groupBy("register").agg(F.max("__rho").alias("max_rho"))
+    return rows.groupBy(*g, "register").agg(F.max("__rho").alias("max_rho"))
 
 
 def hll_registers_sql(
-    from_clause: str, key_expr: str, p: int = 8, salt: str = "hll"
+    from_clause: str,
+    key_expr: str,
+    p: int = 8,
+    salt: str = "hll",
+    group_exprs: list[str] | None = None,
 ) -> str:
     """DuckDB twin of :func:`hll_registers` (same md5 hash, same bin()
-    rank algebra): a complete SELECT yielding (register, max_rho)."""
+    rank algebra): a complete SELECT yielding ([groups,] register,
+    max_rho)."""
+    g = list(group_exprs or [])
     w = 32 - p
     h = f"(('0x' || substr(md5('{salt}:' || {key_expr}), 1, 8))::BIGINT)"
+    gsel = "".join(f"{e}, " for e in g)
+    gby = ", ".join(str(i + 1) for i in range(len(g) + 1))
     return f"""
-SELECT CAST(h // {1 << w} AS INT) AS register,
+SELECT {gsel}CAST(h // {1 << w} AS INT) AS register,
        CAST(max(CASE WHEN h % {1 << w} > 0
                      THEN {w} - (length(bin(h % {1 << w})) - 1)
                      ELSE {w + 1} END) AS INT) AS max_rho
-FROM (SELECT {h} AS h FROM {from_clause})
-GROUP BY 1
+FROM (SELECT {gsel}{h} AS h FROM {from_clause})
+GROUP BY {gby}
 """
 
 
@@ -201,15 +220,8 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame, p: int = 8) -> float:
-    """Distinct-count estimate from a register table: the standard HLL
-    estimator with the small-range (linear counting) correction. The
-    register table is ≤ 2^p rows by construction, so collecting it is a
-    bounded driver materialization — the float arithmetic happens ONCE
-    on the driver, never inside a distributed (order-dependent) sum.
-    """
+def _hll_est_from_regs(regs: dict, p: int) -> float:
     m = 1 << p
-    regs = {r.register: r.max_rho for r in registers.collect()}
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
     est = alpha * m * m / s
@@ -219,3 +231,27 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> float:
 
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Distinct-count estimate from a register table: the standard HLL
+    estimator with the small-range (linear counting) correction. The
+    register table is ≤ 2^p rows by construction, so collecting it is a
+    bounded driver materialization — the float arithmetic happens ONCE
+    on the driver, never inside a distributed (order-dependent) sum.
+    """
+    return _hll_est_from_regs(
+        {r.register: r.max_rho for r in registers.collect()}, p
+    )
+
+
+def hll_estimate_by_group(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> dict:
+    """Per-group estimates from a grouped register table → {group_key
+    tuple: estimate}. Bounded: ≤ groups × 2^p rows collected."""
+    groups: dict = {}
+    for r in registers.collect():
+        gk = tuple(r[c] for c in group_cols)
+        groups.setdefault(gk, {})[r.register] = r.max_rho
+    return {gk: _hll_est_from_regs(regs, p) for gk, regs in groups.items()}

@@ -4394,6 +4394,27 @@ def olap_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_hll_registers_by_type",
+    oracle=sk.hll_registers_sql(
+        "events", "CAST(user_id AS VARCHAR)", p=8, group_exprs=["event_type"]
+    ),
+)
+def olap_hll_registers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY form of the HLL sketch: one register table per
+    event_type (distinct users per activity class) — the
+    sketch-as-group-aggregate shape OLAP stores (Druid/BigQuery
+    DataSketches) keep so any union of groups can be estimated later
+    WITHOUT rescanning (per-register MAX across the chosen groups).
+    Output is ≤ |event_type| × 2^p rows, map-side combined in one
+    pass; per-group estimate accuracy vs exact distincts is pinned in
+    tests/test_sketch.py."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    return sk.hll_registers(
+        ev, key_col="user_id", p=8, group_cols=["event_type"]
+    )
+
+
+@register(
     "text_countmin_hitters",
     oracle=f"""
 WITH tk AS (SELECT unnest({tokens_sql("text")}) AS key FROM documents),
@@ -5133,6 +5154,7 @@ _ROTATE_TO_FRONT = [
     "etl_chunk_documents", "text_countmin_hitters", "dedup_semantic",
     "dedup_winnowing", "text_dup_span_stats", "text_bigram_novelty",
     "etl_join_key_skew", "olap_gap_fill", "olap_event_anomalies",
+    "olap_hll_registers_by_type",
     # oracled with r5-only evidence — the standing staleness rotation
     # (every oracled query keeps hash evidence ≤2 rounds old). The 50-
     # slot window can't hold all of them this round (new queries take

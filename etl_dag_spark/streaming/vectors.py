@@ -1,0 +1,58 @@
+"""Streaming vector-store ingest: embeddings arrive continuously (the
+output of an embedding service over a crawl feed) and fold into the
+PERSISTED IVF index — the production ANN maintenance loop composed from
+``operators/similarity.py``'s index primitives.
+
+Per micro-batch: vectors are assigned under the index's STORED codebook
+(k-means centroids trained once, offline — never retrained by the
+stream) and appended to exactly the cell partitions the batch lands in.
+Queries against the index see every ingested vector immediately,
+because scoring keys on cell membership, not file boundaries; with a
+quantized (IVF-SQ8) index the batch also encodes under the stored
+scalar codebook, keeping old and new codes comparable.
+
+Scale shape: state IS the index on disk (∝ corpus, never executor
+memory); each micro-batch shuffles nothing — one Arrow assignment pass
+and a partitioned append. Codebook drift (a corpus whose distribution
+migrates away from the trained centroids) is handled the way production
+systems do: rebuild offline, swap the index path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+EMBEDDING_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def read_embedding_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EMBEDDING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def stream_index_vectors(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """foreachBatch ingest into a persisted IVF index built by
+    ``similarity.build_ivf_index`` — append-only partitioned parquet,
+    existing files never rewritten. Equality with a one-shot union
+    build under the same codebook is pinned in
+    tests/test_streaming_corpus.py."""
+    from etl_dag_spark.operators.similarity import append_to_ivf_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(batch_df, index_path)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -163,3 +163,33 @@ def test_hll_duplicate_keys_do_not_move_registers(spark):
     a = {(r.register, r.max_rho) for r in sk.hll_registers(ks, p=8).collect()}
     b = {(r.register, r.max_rho) for r in sk.hll_registers(dup, p=8).collect()}
     assert a == b
+
+
+def test_hll_grouped_registers_estimate_per_group(spark):
+    """GROUP BY form: per-group register tables match per-group builds,
+    group-union merge (per-register MAX across groups) estimates the
+    distinct union, and every estimate sits in the error band."""
+    rows = [("a", f"u{i}") for i in range(800)] + [
+        ("b", f"u{i}") for i in range(600, 1400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    regs = sk.hll_registers(df, p=8, group_cols=["grp"])
+    ests = sk.hll_estimate_by_group(regs, ["grp"], p=8)
+    assert abs(ests[("a",)] - 800) / 800 < 0.2
+    assert abs(ests[("b",)] - 800) / 800 < 0.2
+    # merging the two groups' registers estimates |A ∪ B| = 1400
+    union = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    u = sk.hll_estimate(union, p=8)
+    assert abs(u - 1400) / 1400 < 0.2
+    # grouped build == independent per-group builds
+    only_a = {
+        (r.register, r.max_rho)
+        for r in sk.hll_registers(
+            df.where(F.col("grp") == "a"), p=8
+        ).collect()
+    }
+    grouped_a = {
+        (r.register, r.max_rho)
+        for r in regs.where(F.col("grp") == "a").select("register", "max_rho").collect()
+    }
+    assert grouped_a == only_a

@@ -367,3 +367,55 @@ def test_stream_hll_equals_one_shot_batch_registers(spark, doc_stream_src, tmp_p
         (r.register, r.max_rho) for r in read_hll_store(spark, store).collect()
     }
     assert replayed == whole
+
+
+def test_stream_index_vectors_equals_union_build(spark, tmp_path):
+    """Streaming ANN-index maintenance: vectors streamed file-by-file
+    into a persisted IVF index answer queries exactly like a one-shot
+    assignment of the same corpus under the same codebook."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.operators import similarity as sim
+    from etl_dag_spark.streaming.vectors import (
+        read_embedding_stream,
+        stream_index_vectors,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").persist()
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    # historical index built offline on half A
+    idx = str(tmp_path / "vec_idx")
+    sim.build_ivf_index(half_a, idx, n_lists=16, seed=42)
+
+    # half B arrives as a 4-file stream
+    src = str(tmp_path / "vec_stream")
+    half_b.repartition(4).write.mode("overwrite").parquet(src)
+    q = stream_index_vectors(
+        read_embedding_stream(spark, src),
+        index_path=idx,
+        checkpoint_dir=str(tmp_path / "ckpt_vec"),
+    )
+    q.awaitTermination(120)
+
+    # reference: same codebook, whole corpus assigned in one shot
+    idx_ref = str(tmp_path / "vec_ref")
+    shutil.copytree(f"{idx}/centroids", f"{idx_ref}/centroids")
+    sim.append_to_ivf_index(emb, idx_ref)
+
+    flt = F.col("vec_id") % 10 == 0
+    q_pdf = emb.where(flt).select("vec_id", "embedding").toPandas()
+    emb.unpersist()
+    got = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_index_topk(spark, idx, q_pdf, k=10, n_probe=4).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim)
+        for r in sim.ivf_index_topk(spark, idx_ref, q_pdf, k=10, n_probe=4).collect()
+    }
+    assert got == want
+    assert {nid % 2 for (_, nid) in got} == {0, 1}
