@@ -211,6 +211,84 @@ GROUP BY {gby}
 """
 
 
+def kmv_hash(key_col: str, salt: str = "kmv") -> Column:
+    """Engine-portable 32-bit hash of a string key (the CLAUDE.md md5
+    scheme) — the value space [0, 2^32) every KMV estimate divides by."""
+    return F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}:', {key_col})), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def kmv_sketch(
+    keys: DataFrame, key_col: str = "key", k: int = 128, salt: str = "kmv"
+) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002): the k SMALLEST
+    distinct hash values of the key set → (hv BIGINT), ≤ k rows.
+
+    This is the third sketch family member: the CMS answers frequency,
+    the HLL answers |A|, the KMV answers |A|, |A ∪ B| AND — uniquely —
+    |A ∩ B|/Jaccard, because bottom-k sets compose: every element of
+    bottom-k(S_A ∪ S_B) lies below A's k-th smallest hash, so its
+    membership in A is decided by S_A alone (no rescan of A).
+
+    Scale shape: the distinct is a map-side-combined aggregate (shuffle
+    volume = distinct hashes, the same class as any COUNT(DISTINCT));
+    the trailing sort+limit is TakeOrderedAndProject — a per-partition
+    k-heap, never a global sort. Selection is deterministic (distinct
+    values, total order), so a DuckDB oracle replays the sketch
+    bit-for-bit.
+    """
+    return (
+        keys.select(kmv_hash(key_col, salt).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_sketch_sql(
+    from_clause: str, key_expr: str, k: int = 128, salt: str = "kmv"
+) -> str:
+    """DuckDB twin of :func:`kmv_sketch`: a SELECT yielding (hv)."""
+    h = f"(('0x' || substr(md5('{salt}:' || {key_expr}), 1, 8))::BIGINT)"
+    return (
+        f"SELECT DISTINCT {h} AS hv FROM {from_clause} ORDER BY 1 LIMIT {k}"
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 128) -> DataFrame:
+    """bottom-k of the union of two same-k sketches — exactly equal to
+    the sketch of A ∪ B (bottom-k(bottom-k(A) ∪ bottom-k(B)) ==
+    bottom-k(A ∪ B); pinned in tests/test_sketch.py)."""
+    return a.unionByName(b).distinct().orderBy("hv").limit(k)
+
+
+def kmv_est_sql(m_expr: str, kth_expr: str, k: int) -> str:
+    """The KMV distinct-count estimator as a SQL string valid in BOTH
+    engines over a sketch's (row count m, k-th smallest hash value):
+    (k−1) · 2^32 / h_k, or exactly m when the set had fewer than k
+    distinct hashes (the sketch holds ALL of them). One float division
+    over integer inputs — correctly rounded identically in both
+    engines; every literal explicitly DOUBLE (DuckDB bare-decimal
+    gotcha)."""
+    return (
+        f"CASE WHEN {m_expr} < {k} THEN CAST({m_expr} AS DOUBLE)"
+        f" ELSE CAST({k - 1} AS DOUBLE) * CAST(4294967296 AS DOUBLE)"
+        f" / CAST({kth_expr} AS DOUBLE) END"
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 128) -> DataFrame:
+    """Fold a sketch to its 1-row estimate frame → (m BIGINT,
+    kth BIGINT, est DOUBLE). Bounded by construction (aggregate of a
+    ≤ k-row frame)."""
+    return sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.max("hv").cast("bigint").alias("kth"),
+    ).withColumn("est", F.expr(kmv_est_sql("m", "kth", k)))
+
+
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Per-register MAX of two register tables built with the same
     (p, salt) — HLL(A ∪ B) == merge(HLL(A), HLL(B)); max is also

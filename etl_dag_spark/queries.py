@@ -4947,6 +4947,155 @@ def olap_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 128
+_KMV_KEY_SQL = (
+    "CAST(user_id AS VARCHAR) || ':' || "
+    f"CAST(epoch_us(ts) // {_DAY_US} AS VARCHAR)"
+)
+
+
+@register(
+    "olap_kmv_set_overlap",
+    oracle=f"""
+WITH da AS (
+  SELECT DISTINCT {_KMV_KEY_SQL} AS key FROM events WHERE event_type = 'view'
+),
+db AS (
+  SELECT DISTINCT {_KMV_KEY_SQL} AS key FROM events WHERE event_type = 'purchase'
+),
+ka AS ({sk.kmv_sketch_sql("da", "key", k=_KMV_K)}),
+kb AS ({sk.kmv_sketch_sql("db", "key", k=_KMV_K)}),
+lu AS (
+  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+  ORDER BY 1 LIMIT {_KMV_K}
+),
+ea AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(max(hv) AS BIGINT) AS kth FROM ka),
+eb AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(max(hv) AS BIGINT) AS kth FROM kb),
+eu AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(max(hv) AS BIGINT) AS kth FROM lu),
+mt AS (
+  SELECT CAST(count(*) AS BIGINT) AS matches FROM lu
+  WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)
+),
+ex AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM da) AS exact_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM db) AS exact_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM da JOIN db USING (key)) AS exact_inter
+)
+SELECT exact_a, exact_b, exact_inter, exact_union,
+       kmv_a, kmv_b, kmv_union, kmv_jaccard,
+       kmv_jaccard * kmv_union AS kmv_inter
+FROM (
+  SELECT ex.exact_a, ex.exact_b, ex.exact_inter,
+         ex.exact_a + ex.exact_b - ex.exact_inter AS exact_union,
+         {sk.kmv_est_sql("ea.m", "ea.kth", _KMV_K)} AS kmv_a,
+         {sk.kmv_est_sql("eb.m", "eb.kth", _KMV_K)} AS kmv_b,
+         {sk.kmv_est_sql("eu.m", "eu.kth", _KMV_K)} AS kmv_union,
+         CAST(mt.matches AS DOUBLE) / CAST(eu.m AS DOUBLE) AS kmv_jaccard
+  FROM ex, ea, eb, eu, mt
+)
+""",
+)
+def olap_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch set algebra vs ground truth: estimate the
+    overlap between two behavioral cohorts — user-days with a view vs
+    user-days with a purchase — from two k=128 sketches
+    (operators/sketch.py::kmv_sketch, Bar-Yossef et al. 2002). The KMV
+    completes the sketch family: CMS answers frequency, HLL answers
+    |A|, and the KMV alone answers |A ∩ B| / Jaccard, because bottom-k
+    sets compose — every element of bottom-k(A ∪ B) lies below each
+    set's own k-th smallest hash, so membership is decided by the
+    sketches alone, never a rescan. Emits exact |A|, |B|, |A∩B|, |A∪B|
+    next to the sketch estimates (the CMS-hitters
+    sketch-vs-ground-truth shape; accuracy bands pinned in
+    tests/test_sketch.py).
+
+    Determinism/oracle: selection is bottom-k over DISTINCT portable
+    md5 hashes (total order, no ties) → DuckDB replays every sketch
+    row bit-for-bit; estimates are single correctly-rounded float
+    divisions over identical integers (sketch.py::kmv_est_sql, the
+    shared estimator string). Scale shape: each sketch is one
+    map-side-combined distinct (shuffle = distinct keys, the same
+    class as the exact COUNT(DISTINCT) it replaces) + a
+    TakeOrderedAndProject k-heap; everything downstream joins ≤ k-row
+    limit frames (structurally bounded → broadcast). Day index is
+    integer µs DIV per the event-time invariant."""
+    e = load_events(spark, sf_dir)
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr(f"CAST((ts_ns DIV 1000) DIV {_DAY_US} AS STRING)"),
+    ).alias("key")
+    # the distinct key frames feed both the sketch and the exact twin:
+    # stage-cache each (one corpus scan per cohort)
+    da = (
+        e.where(F.col("event_type") == "view")
+        .select(key)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    db = (
+        e.where(F.col("event_type") == "purchase")
+        .select(key)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ka = sk.kmv_sketch(da, "key", k=_KMV_K).localCheckpoint(eager=False)
+    kb = sk.kmv_sketch(db, "key", k=_KMV_K).localCheckpoint(eager=False)
+    lu = sk.kmv_merge(ka, kb, k=_KMV_K).localCheckpoint(eager=False)
+    ea = sk.kmv_estimate(ka, k=_KMV_K)
+    eb = sk.kmv_estimate(kb, k=_KMV_K)
+    eu = sk.kmv_estimate(lu, k=_KMV_K)
+    # membership of union-sketch elements in each side's sketch: ≤ k-row
+    # limit frames on both sides → structurally bounded broadcasts
+    mt = (
+        lu.join(F.broadcast(ka), "hv", "left_semi")
+        .join(F.broadcast(kb), "hv", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("matches"))
+    )
+    # exact intersection: SF-scaled key join — no hint, AQE decides
+    ex = (
+        da.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+        .join(
+            F.broadcast(
+                db.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
+            )
+        )
+        .join(
+            F.broadcast(
+                da.join(db, "key").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("exact_inter")
+                )
+            )
+        )
+    )
+    out = (
+        ex.join(F.broadcast(ea.select(F.col("m").alias("am"), F.col("est").alias("kmv_a"))))
+        .join(F.broadcast(eb.select(F.col("est").alias("kmv_b"))))
+        .join(
+            F.broadcast(
+                eu.select(F.col("m").alias("um"), F.col("est").alias("kmv_union"))
+            )
+        )
+        .join(F.broadcast(mt))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("bigint")
+            .alias("exact_union"),
+            "kmv_a",
+            "kmv_b",
+            "kmv_union",
+            F.expr(
+                "CAST(matches AS DOUBLE) / CAST(um AS DOUBLE)"
+            ).alias("kmv_jaccard"),
+        )
+        .withColumn("kmv_inter", F.col("kmv_jaccard") * F.col("kmv_union"))
+    )
+    return out
+
+
 @register("ann_topk_quantized")  # approximate (uint8 dequantization) → rows-only; recall in pytest
 def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 over the uint8-quantized corpus
@@ -5186,7 +5335,9 @@ _ROTATE_TO_FRONT = [
     # secondary evidence). The r7 rows-only newcomers (text_bpe_train,
     # pipeline_bpe_segment, ann_topk_quantized, olap_join_size_estimate,
     # olap_nation_pagerank) get their first driver row-check in r9,
-    # after the oracled backlog clears.
+    # after the oracled backlog clears. Oracled queries added late in
+    # r7 (olap_kmv_set_overlap onward) have never been driver-hashed:
+    # they join the 10 stale ones at the FRONT of the r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",

@@ -165,6 +165,66 @@ def test_hll_duplicate_keys_do_not_move_registers(spark):
     assert a == b
 
 
+def test_kmv_merge_of_halves_equals_sketch_of_union(spark):
+    """bottom-k(bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B) — the
+    composability that makes KMV sketches mergeable per partition /
+    per batch without ever rescanning the sets."""
+    both = _keys(spark, 3000)
+    a = both.where(F.expr("CAST(substr(key, 2) AS INT) % 2 = 0"))
+    b = both.where(F.expr("CAST(substr(key, 2) AS INT) % 3 = 0"))  # overlaps a
+    union = a.union(b)
+    whole = [r.hv for r in sk.kmv_sketch(union, k=64).collect()]
+    merged = [
+        r.hv
+        for r in sk.kmv_merge(
+            sk.kmv_sketch(a, k=64), sk.kmv_sketch(b, k=64), k=64
+        ).collect()
+    ]
+    assert sorted(merged) == sorted(whole)
+    assert len(set(whole)) == 64
+
+
+def test_kmv_estimate_within_band_and_exact_below_k(spark):
+    """Relative standard error ≈ 1/√(k−2); a 4σ band must hold across
+    cardinalities. Below k distinct keys the sketch holds ALL hashes
+    and the estimate is exactly the distinct count."""
+    for n in (1000, 8000):
+        est = sk.kmv_estimate(sk.kmv_sketch(_keys(spark, n), k=256), k=256).collect()[0]
+        assert est.m == 256
+        assert abs(est.est - n) / n < 4.0 / (254 ** 0.5), f"n={n}: {est.est:.0f}"
+    small = sk.kmv_estimate(sk.kmv_sketch(_keys(spark, 100), k=256), k=256).collect()[0]
+    assert small.m == 100 and small.est == 100.0
+
+
+def test_kmv_duplicate_keys_do_not_move_the_sketch(spark):
+    ks = _keys(spark, 500)
+    dup = ks.union(ks).union(ks)
+    a = sorted(r.hv for r in sk.kmv_sketch(ks, k=64).collect())
+    b = sorted(r.hv for r in sk.kmv_sketch(dup, k=64).collect())
+    assert a == b
+
+
+def test_kmv_jaccard_estimate_on_known_overlap(spark):
+    """Sets with |A|=|B|=2000, |A∩B|=1000 ⇒ J=1/3: the union-sketch
+    membership estimator (|L ∩ S_A ∩ S_B| / |L|) lands within the
+    binomial band, and the derived intersection estimate tracks 1000."""
+    a = _keys(spark, 2000)  # k0..k1999
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(1000, 3000)], "key string"
+    )
+    k = 256
+    ka, kb = sk.kmv_sketch(a, k=k), sk.kmv_sketch(b, k=k)
+    lu = sk.kmv_merge(ka, kb, k=k)
+    matches = (
+        lu.join(ka, "hv", "left_semi").join(kb, "hv", "left_semi").count()
+    )
+    j = matches / k
+    assert abs(j - 1 / 3) < 4.0 * ((1 / 3) * (2 / 3) / k) ** 0.5
+    u_est = sk.kmv_estimate(lu, k=k).collect()[0].est
+    inter_est = j * u_est
+    assert abs(inter_est - 1000) / 1000 < 0.25
+
+
 def test_hll_grouped_registers_estimate_per_group(spark):
     """GROUP BY form: per-group register tables match per-group builds,
     group-union merge (per-register MAX across groups) estimates the
