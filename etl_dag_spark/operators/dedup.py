@@ -305,6 +305,30 @@ def suppress_boilerplate_lines(
     return reassemble_kept_lines(flagged)
 
 
+def dedup_intradoc_lines(lines: DataFrame) -> DataFrame:
+    """WITHIN-document repeated-line removal — the intra-doc twin of
+    :func:`suppress_boilerplate_lines` (Lee et al. 2022 note repeated
+    paragraphs inside a single page are their own duplication class:
+    templated lists, scraper stutter, chat transcripts echoing):
+    keep only the FIRST occurrence of each distinct line inside a
+    document, preserve order, reassemble.
+
+    Scale shape: zero corpus-wide state — the keep flag is a
+    row_number window over (doc_id, line) and the reassembly groups by
+    doc_id, and BOTH distributions are satisfied by the line frame's
+    existing hash(doc_id) partitioning (Spark's subset rule: a
+    hash(doc_id) partitioning clusters any (doc_id, …) key), so the
+    whole operator adds NO Exchange after the line split — pinned in
+    tests/test_corpus_ops.py. → (doc_id, clean_text, n_lines_kept,
+    n_lines_dropped).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "line").orderBy("line_id")
+    flagged = lines.withColumn("__keep", F.row_number().over(w) == 1)
+    return reassemble_kept_lines(flagged)
+
+
 def reassemble_kept_lines(flagged: DataFrame) -> DataFrame:
     """(doc_id, line_id, line, __keep) → (doc_id, clean_text,
     n_lines_kept, n_lines_dropped): counts and the ordered text concat

@@ -2795,6 +2795,50 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.suppress_boilerplate_lines(lines, rel_df_denominator=100, corpus=d)
 
 
+@register(
+    "text_intradoc_dedup",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+lines AS (
+  SELECT doc_id, u.line_id, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(tk) + 2) // 3),
+                  i -> {{'line_id': i,
+                         'line': array_to_string(list_slice(tk, i*3+1, i*3+3), ' ')}})) AS u
+    FROM tk)
+),
+flagged AS (
+  SELECT doc_id, line_id, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY line_id) = 1 AS keep
+  FROM lines
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_id), '') AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+FROM flagged GROUP BY doc_id
+""",
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal
+    (operators/dedup.py::dedup_intradoc_lines) — the intra-doc
+    duplication class corpus-level line dedup (`text_line_dedup`)
+    cannot touch: templated lists, scraper stutter, echoed chat turns
+    repeating VERBATIM inside one page. Keeps the first occurrence of
+    each distinct line per doc, preserves order, reassembles.
+
+    Scale shape — the reason it's a separate operator, not a variant:
+    there is NO corpus-wide state at all. The keep flag and the
+    reassembly both run under the line frame's existing hash(doc_id)
+    partitioning (subset rule), so the operator adds zero Exchanges
+    after the line split — it composes with `text_line_dedup` at scan
+    cost. Same pseudo-line convention as text_line_dedup
+    (3-token chunks; a real crawl uses split_lines)."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = chunk_token_lines(d, n=3)
+    return dd.dedup_intradoc_lines(lines)
+
+
 # =====================================================================
 # 2c-ext (round 5): Q7/Q14/Q18-class OLAP breadth
 # =====================================================================
@@ -3969,6 +4013,108 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common") / F.col("n_ev")).alias("containment"),
         )
         .where(F.col("containment") >= 0.5)
+    )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({shingles_sql("text", 4)}) AS s FROM documents
+),
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s FROM sh_all
+  JOIN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 50) ok USING (s)
+),
+tr AS (SELECT doc_id AS train_doc_id, s FROM sh WHERE doc_id % 20 != 0),
+ev AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 20 = 0),
+esz AS (SELECT eval_doc_id, count(*) AS n_ev FROM ev GROUP BY 1),
+pairs AS (
+  SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM tr JOIN ev USING (s) GROUP BY 1, 2
+),
+ng AS (
+  SELECT train_doc_id, CAST(count(*) AS BIGINT) AS ngram_hits
+  FROM pairs WHERE n_common >= 2 GROUP BY 1
+),
+ct AS (
+  SELECT train_doc_id, CAST(count(*) AS BIGINT) AS containment_hits
+  FROM pairs JOIN esz USING (eval_doc_id)
+  WHERE n_common / n_ev >= CAST(0.5 AS DOUBLE) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(ng.ngram_hits, 0) AS BIGINT) AS ngram_hits,
+       CAST(coalesce(ct.containment_hits, 0) AS BIGINT) AS containment_hits,
+       (coalesce(ng.ngram_hits, 0) + coalesce(ct.containment_hits, 0)) > 0 AS dropped
+FROM documents d
+LEFT JOIN ng ON ng.train_doc_id = d.doc_id
+LEFT JOIN ct ON ct.train_doc_id = d.doc_id
+WHERE d.doc_id % 20 != 0
+""",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a REMOVAL pipeline, not just a detector: every
+    train-split document gets a verdict from the union of both
+    contamination metrics — the symmetric ≥2-common-grams flag
+    (``dedup_contamination``) and the asymmetric containment ratio
+    |A∩B|/|B| ≥ 0.5 (``dedup_containment``) — and ``dropped`` marks
+    what a real ingest would quarantine before training. Per-doc hit
+    counts make the verdict auditable (the observability lesson of
+    ``pipeline_filter_report``).
+
+    Composition shape: the df-capped shingle frame and the candidate
+    pair aggregate are each computed ONCE and feed both detectors
+    (stage-cached — the multi-consumer corpus-stream policy of SURVEY
+    §6b-12); the final verdict is two LEFT joins of the train corpus
+    against detector-survivor frames (order-statistic-sized →
+    unhinted, AQE decides). Candidate volume stays bounded by
+    eval-shingles × df-cap, never train×eval."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=4, distinct=True)
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 50)
+    sh = sh.join(hot.select("s"), "s").localCheckpoint(eager=False)
+    train = sh.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    ev = sh.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    esz = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    pairs = (
+        train.join(ev, "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .localCheckpoint(eager=False)  # feeds both detector flags
+    )
+    ng = (
+        pairs.where(F.col("n_common") >= 2)
+        .groupBy("train_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ngram_hits"))
+    )
+    ct = (
+        pairs.join(esz, "eval_doc_id")
+        .where((F.col("n_common") / F.col("n_ev")) >= 0.5)
+        .groupBy("train_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("containment_hits"))
+    )
+    docs = d.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    return (
+        docs.join(ng.withColumnRenamed("train_doc_id", "doc_id"), "doc_id", "left")
+        .join(ct.withColumnRenamed("train_doc_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ngram_hits", F.lit(0)).cast("bigint").alias("ngram_hits"),
+            F.coalesce("containment_hits", F.lit(0))
+            .cast("bigint")
+            .alias("containment_hits"),
+            (
+                F.coalesce("ngram_hits", F.lit(0))
+                + F.coalesce("containment_hits", F.lit(0))
+                > 0
+            ).alias("dropped"),
+        )
     )
 
 

@@ -222,6 +222,52 @@ def test_line_dedup_relative_threshold_scales_with_corpus(spark):
     assert out[10].n_lines_dropped == 1
 
 
+def test_intradoc_dedup_keeps_first_occurrence_in_order(spark):
+    """dedup_intradoc_lines: a line repeated inside ONE doc keeps only
+    its first occurrence (order preserved); the same line in a
+    DIFFERENT doc is untouched (no corpus-wide state); and the keep
+    flag + reassembly add no Exchange beyond the line split's."""
+    from etl_dag_spark.functions.text import split_lines
+    from etl_dag_spark.operators.dedup import dedup_intradoc_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (2, "alpha\ndelta"),  # 'alpha' repeats only across docs → kept
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    frame = dedup_intradoc_lines(split_lines(docs))
+    out = {r.doc_id: r for r in frame.collect()}
+    assert out[1].clean_text == "alpha beta gamma"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (3, 2)
+    assert out[2].clean_text == "alpha delta" and out[2].n_lines_dropped == 0
+    assert out[3].clean_text == "solo"
+    # On a doc_id-partitioned line frame (the chunk_token_lines path —
+    # its window shuffles on doc_id), the keep window and the
+    # reassembly both reuse that partitioning (subset rule): exactly
+    # ONE Exchange in the whole plan. (split_lines has no upstream
+    # window, so that path pays its own (doc_id, line) shuffle.)
+    from etl_dag_spark.functions.text import chunk_token_lines
+
+    docs2 = spark.createDataFrame(
+        [(1, "a b c a b c d e f"), (2, "x y z")], "doc_id long, text string"
+    )
+    f2 = dedup_intradoc_lines(chunk_token_lines(docs2, n=3))
+    assert {r.doc_id: r.clean_text for r in f2.collect()} == {
+        1: "a b c d e f",
+        2: "x y z",
+    }
+    plan = (
+        f2._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_chunk_documents_tiles_exactly(spark):
     """Context-window chunking invariants at sf0.001: chunk_ids are
     contiguous from 0; every chunk's token count matches its text; and
