@@ -1829,6 +1829,100 @@ def etl_country_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_entity_resolution",
+    oracle="""
+WITH RECURSIVE c AS (
+  SELECT c_custkey AS k, c_name,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+recs AS (
+  SELECT CAST(k * 2 AS BIGINT) AS record_id, c_name AS name, cents FROM c
+  UNION ALL
+  SELECT CAST(k * 2 + 1 AS BIGINT),
+         substr(c_name, 1, (10 + k % 8) - 1) || substr(c_name, (10 + k % 8) + 1, 100),
+         cents
+  FROM c WHERE k % 3 = 0
+),
+keys AS (
+  SELECT record_id, name, cents,
+         CASE WHEN i = 0 THEN name
+              ELSE substr(name, 1, i - 1) || substr(name, i + 1, 100) END AS kk
+  FROM recs, unnest(range(0, length(name) + 1)) AS t(i)
+),
+ok AS (SELECT kk FROM keys GROUP BY kk HAVING count(*) <= 100),
+kf AS (SELECT keys.* FROM keys JOIN ok USING (kk)),
+cand AS (
+  SELECT DISTINCT a.record_id AS ra, b.record_id AS rb,
+         a.name AS na, b.name AS nb, a.cents AS ca, b.cents AS cb
+  FROM kf a JOIN kf b ON a.kk = b.kk AND a.record_id < b.record_id
+),
+edges0 AS (
+  SELECT ra AS u, rb AS v FROM cand
+  WHERE levenshtein(na, nb) <= 1 AND ca = cb
+),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach(node, r) AS (
+  SELECT record_id, record_id FROM recs
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+canon AS (SELECT node, CAST(min(r) AS BIGINT) AS entity_id FROM reach GROUP BY node),
+sizes AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members FROM canon GROUP BY 1)
+SELECT c2.node AS record_id, c2.entity_id,
+       (c2.node = c2.entity_id) AS is_canonical, s.n_members
+FROM canon c2 JOIN sizes s USING (entity_id)
+""",
+)
+def etl_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage
+    (operators/entity.py::resolve_entities): customer records plus a
+    deterministically dirtied copy of every third one (one character
+    dropped from the name's digit zone — a typo'd re-entry of the same
+    account) are linked back to one entity each. Candidates come from
+    SymSpell-style deletion-neighborhood blocking — recall for name
+    edits ≤ 1 is STRUCTURAL (any distance-1 pair shares a deletion
+    key), fan-out bounded by name length, never all-pairs; the match
+    rule verified per candidate is name Levenshtein ≤ 1 AND exact
+    account-balance-cents agreement (the multi-field discipline that
+    keeps near-miss names from different entities apart); transitive
+    closure + min-id survivorship ride the existing components
+    fixpoint (dedup.py::cluster_pairs). Generalizes the reference's
+    dictionary fuzzy match (ETL_DAG.py:144-151) to record-vs-record
+    linkage; the DuckDB oracle replays blocking, rule, and reachability
+    verbatim."""
+    from etl_dag_spark.operators.entity import resolve_entities
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    clean = c.select(
+        (F.col("k") * 2).cast("bigint").alias("record_id"),
+        F.col("c_name").alias("name"),
+        "cents",
+    )
+    dirty = c.where(F.col("k") % 3 == 0).select(
+        (F.col("k") * 2 + 1).cast("bigint").alias("record_id"),
+        F.expr(
+            "concat(substring(c_name, 1, (10 + k % 8) - 1),"
+            " substring(c_name, (10 + k % 8) + 1, 100))"
+        ).alias("name"),
+        "cents",
+    )
+    recs = clean.unionByName(dirty)
+    return resolve_entities(
+        recs,
+        id_col="record_id",
+        name_col="name",
+        exact_cols=("cents",),
+        max_name_dist=1,
+        max_block=100,
+    )
+
+
+@register(
     "olap_rolling_7d",
     oracle="""
 WITH e AS (
