@@ -2002,6 +2002,52 @@ def olap_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_equidepth_histogram",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+t AS (
+  SELECT cents,
+         CAST(ntile(16) OVER (ORDER BY cents, o_orderkey) AS INT) AS bucket
+  FROM c
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi
+FROM t GROUP BY 1
+""",
+)
+def olap_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket equi-depth histogram of order totals — the
+    selectivity statistic an optimizer keeps per column (ANALYZE's
+    histogram): bucket boundaries carry equal row mass, so a range
+    predicate's selectivity reads off as (buckets covered)/16 with
+    bounded error, where an equi-WIDTH histogram (etl_value_histogram)
+    is distorted by skew. Completes the optimizer-statistics toolkit:
+    CMS inner product prices a join (olap_join_size_estimate), HLL/KMV
+    count distincts, the equi-depth histogram prices a filter.
+
+    Distributed shape: bucket assignment is
+    :func:`windows.exact_ntile` (range-partitioned local ranks +
+    broadcast offsets — NO global sort window, same machinery as
+    olap_ntile_quartiles), then a 16-group aggregate; ties broken by
+    (cents, orderkey) so both engines bucket identically. Money stays
+    integer cents until the final /100.0."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", star.cents("o_totalprice").alias("cents")
+    )
+    tiled = win.exact_ntile(
+        o, 16, [F.col("cents"), F.col("o_orderkey")], out_col="bucket"
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.min("cents") / 100.0).alias("lo"),
+        (F.max("cents") / 100.0).alias("hi"),
+    )
+
+
+@register(
     "stream_json_props",
     oracle="""
 SELECT event_type,
@@ -5576,8 +5622,10 @@ _ROTATE_TO_FRONT = [
     # pipeline_bpe_segment, ann_topk_quantized, olap_join_size_estimate,
     # olap_nation_pagerank) get their first driver row-check in r9,
     # after the oracled backlog clears. Oracled queries added late in
-    # r7 (olap_kmv_set_overlap onward) have never been driver-hashed:
-    # they join the 10 stale ones at the FRONT of the r8 window.
+    # r7 (olap_kmv_set_overlap, pipeline_decontaminate,
+    # text_intradoc_dedup, etl_entity_resolution,
+    # olap_equidepth_histogram) have never been driver-hashed: they
+    # join the 10 stale ones at the FRONT of the r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",

@@ -275,3 +275,44 @@ def read_hll_store(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("register")
         .agg(F.max("max_rho").alias("max_rho"))
     )
+
+
+def stream_kmv(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    k: int = 128,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Cumulative KMV (bottom-k) sketch over a streaming corpus's
+    distinct tokens (operators/sketch.py::kmv_sketch) — the streaming
+    twin that keeps SET-ALGEBRA estimates (|A∪B|, |A∩B|/Jaccard
+    against any other KMV store) live during ingest, which the HLL
+    store cannot provide.
+
+    Per micro-batch the batch's ≤k-row sketch APPENDS; the fold
+    (:func:`read_kmv_store` — bottom-k of the union) is the sketch
+    merge, and like the HLL's MAX it is IDEMPOTENT over replayed
+    batches (re-unioning the same hashes changes nothing), so the
+    store needs no exactly-once sink. State on disk ≤ k rows per
+    batch — a constant of the operator."""
+    from etl_dag_spark.functions.text import tokens_column
+    from etl_dag_spark.operators.sketch import kmv_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys = batch_df.select(F.explode(tokens_column("text")).alias("key"))
+        kmv_sketch(keys, k=k).write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_store(spark: SparkSession, store_path: str, k: int = 128) -> DataFrame:
+    """Fold a :func:`stream_kmv` delta store to the current sketch:
+    bottom-k of the distinct union == kmv_merge over every batch."""
+    return spark.read.parquet(store_path).distinct().orderBy("hv").limit(k)

@@ -369,6 +369,51 @@ def test_stream_hll_equals_one_shot_batch_registers(spark, doc_stream_src, tmp_p
     assert replayed == whole
 
 
+def test_stream_kmv_equals_one_shot_batch_sketch(spark, doc_stream_src, tmp_path):
+    """The streaming KMV (per-batch bottom-k appends) folds to EXACTLY
+    the one-shot sketch of the whole corpus, and replaying the stream
+    into the same store changes nothing (bottom-k-of-union fold is
+    idempotent, like the HLL's MAX and unlike the CMS's addition)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.functions.text import tokens_column
+    from etl_dag_spark.operators.sketch import kmv_sketch
+    from etl_dag_spark.streaming.corpus import (
+        read_document_stream,
+        read_kmv_store,
+        stream_kmv,
+    )
+
+    store = str(tmp_path / "kmv_store")
+    q = stream_kmv(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_kmv"),
+        k=64,
+    )
+    q.awaitTermination(120)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    whole = sorted(
+        r.hv
+        for r in kmv_sketch(
+            docs.select(F.explode(tokens_column("text")).alias("key")), k=64
+        ).collect()
+    )
+    streamed = sorted(r.hv for r in read_kmv_store(spark, store, k=64).collect())
+    assert streamed == whole
+
+    q2 = stream_kmv(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_kmv2"),
+        k=64,
+    )
+    q2.awaitTermination(120)
+    replayed = sorted(r.hv for r in read_kmv_store(spark, store, k=64).collect())
+    assert replayed == whole
+
+
 def test_stream_index_vectors_equals_union_build(spark, tmp_path):
     """Streaming ANN-index maintenance: vectors streamed file-by-file
     into a persisted IVF index answer queries exactly like a one-shot
