@@ -137,6 +137,43 @@ def shingle_rows_pos(
     )
 
 
+def token_rows_with_shingle(
+    documents, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Every token position plus the shingle STARTING there:
+    (doc_id, pos, tok, s) with ``s`` NULL for the last n−1 positions
+    (no full shingle starts there). The input shape for span REMOVAL —
+    a consumer needs the token to rebuild text and the shingle-start
+    flag to decide coverage. Same single posexplode + lead() window as
+    :func:`shingle_rows_pos`."""
+    from pyspark.sql import Window
+
+    tk = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_column(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return tk.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "tok",
+        F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)).alias("s"),
+    )
+
+
+def token_rows_with_shingle_sql(n: int = 3) -> str:
+    """DuckDB twin of :func:`token_rows_with_shingle` as a FROM-able
+    fragment over a CTE exposing (doc_id, tk): yields
+    (doc_id, pos, tok, s)."""
+    return (
+        f"SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok, "
+        f"CASE WHEN i + {n - 1} <= len(tk) "
+        f"THEN array_to_string(list_slice(tk, i, i + {n - 1}), ' ') END AS s "
+        f"FROM tk, unnest(range(1, len(tk) + 1)) AS u(i)"
+    )
+
+
 def shingle_rows_pos_sql(text_expr: str, n: int = 3) -> str:
     """DuckDB twin of :func:`shingle_rows_pos` as a FROM-able fragment
     over a CTE exposing (doc_id, tk): yields (doc_id, pos, s)."""

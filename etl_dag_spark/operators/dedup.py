@@ -350,6 +350,57 @@ def reassemble_kept_lines(flagged: DataFrame) -> DataFrame:
     )
 
 
+def remove_duplicated_spans(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Exact-substring dedup actually APPLIED (Lee et al. 2022): delete
+    every token covered by a corpus-duplicated ``n``-token shingle
+    (occurring ≥2 times anywhere — cross- or within-doc) and rebuild
+    each document from the survivors. The removal twin of the
+    dup-span STATS operator (queries.py::text_dup_span_stats): stats
+    inform a keep/drop policy; this one excises the copied spans while
+    keeping the unique remainder — what production substring dedup does
+    to boilerplate-wrapped pages.
+
+    Coverage semantics: token at position t is removed iff SOME
+    duplicated shingle starts in [t−n+1, t] — computed as a doc-
+    partitioned MAX over an n-row window on the per-token frame (every
+    position has a row, so ROWS BETWEEN is exact).
+
+    Scale shape: one posexplode+lead window builds tokens AND shingle
+    starts together (functions/text.py::token_rows_with_shingle); the
+    occurrence count is a map-side-combined groupBy to shingle
+    vocabulary; its join-back is UNHINTED (Heaps' law); the coverage
+    window and the reassembly group by doc_id. → (doc_id, clean_text,
+    n_tokens_kept, n_tokens_removed).
+    """
+    from etl_dag_spark.functions.text import token_rows_with_shingle
+
+    toks = token_rows_with_shingle(documents, n=n).localCheckpoint(eager=False)
+    occ = (
+        toks.where(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__occ"))
+    )
+    fl = toks.join(occ, "s", "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.col("__occ") >= 2, F.lit(False)).cast("int").alias("__dup"),
+    )
+    wcov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    covered = fl.select(
+        "doc_id", "pos", "tok", (F.max("__dup").over(wcov) == 1).alias("__cov")
+    )
+    return covered.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN NOT __cov THEN struct(pos, tok) END)), "
+            "x -> x.tok), ' ')"
+        ).alias("clean_text"),
+        F.sum((~F.col("__cov")).cast("bigint")).alias("n_tokens_kept"),
+        F.sum(F.col("__cov").cast("bigint")).alias("n_tokens_removed"),
+    )
+
+
 # --------------------------------------------------- contamination check
 
 

@@ -37,6 +37,7 @@ from etl_dag_spark.functions.text import (
     stopword_count_sql,
     token_count_column,
     token_count_sql,
+    token_rows_with_shingle_sql,
     tokens_column,
     tokens_sql,
 )
@@ -4935,6 +4936,51 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_remove_dup_spans",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+toks AS ({token_rows_with_shingle_sql(_SPAN_K)}),
+occ AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM toks WHERE s IS NOT NULL GROUP BY 1),
+fl AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         CASE WHEN o.c >= 2 THEN 1 ELSE 0 END AS dup
+  FROM toks t LEFT JOIN occ o ON t.s = o.s
+),
+cov AS (
+  SELECT doc_id, pos, tok,
+         max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {_SPAN_K - 1} PRECEDING AND CURRENT ROW) = 1
+           AS covered
+  FROM fl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos), '') AS clean_text,
+       CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT) AS n_tokens_kept,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_removed
+FROM cov GROUP BY doc_id
+""",
+)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED
+    (operators/dedup.py::remove_duplicated_spans, Lee et al. 2022):
+    every token covered by a corpus-duplicated {_SPAN_K}-token shingle
+    is excised and the document rebuilt from the unique remainder —
+    the removal twin of `text_dup_span_stats` (which only measures).
+    Near-dup docs keep their unique sentences and lose the copied
+    block, which is what substring-level dedup buys over doc-level
+    dedup (doc-level either keeps the whole near-dup or drops unique
+    content with it).
+
+    Scale shape: ONE posexplode+lead window yields tokens and shingle
+    starts together; occurrence counts are a map-side-combined groupBy
+    to shingle vocabulary with an UNHINTED join-back (Heaps' law); the
+    n-row coverage window and the single-pass reassembly (NULL-skipping
+    collect_list, the line-dedup idiom) are doc_id-partitioned."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.remove_duplicated_spans(d, n=_SPAN_K)
+
+
+@register(
     "text_bigram_novelty",
     oracle=f"""
 WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
@@ -5325,9 +5371,14 @@ def olap_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    ka = sk.kmv_sketch(da, "key", k=_KMV_K).localCheckpoint(eager=False)
-    kb = sk.kmv_sketch(db, "key", k=_KMV_K).localCheckpoint(eager=False)
-    lu = sk.kmv_merge(ka, kb, k=_KMV_K).localCheckpoint(eager=False)
+    # the sketches are NOT checkpointed: each re-runs only a k-heap
+    # over the materialized distinct frames, and keeping the Limit in
+    # their logical plans is what lets the hint audit certify the
+    # broadcasts below as structurally bounded (a checkpoint barrier
+    # would erase the lineage into an unprovable LogicalRDD)
+    ka = sk.kmv_sketch(da, "key", k=_KMV_K)
+    kb = sk.kmv_sketch(db, "key", k=_KMV_K)
+    lu = sk.kmv_merge(ka, kb, k=_KMV_K)
     ea = sk.kmv_estimate(ka, k=_KMV_K)
     eb = sk.kmv_estimate(kb, k=_KMV_K)
     eu = sk.kmv_estimate(lu, k=_KMV_K)

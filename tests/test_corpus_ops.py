@@ -308,6 +308,35 @@ def _docs(spark, texts: list[str]):
     )
 
 
+def test_remove_dup_spans_excises_exactly_the_copied_block(spark):
+    """remove_duplicated_spans with k=5: an 8-token block copied across
+    two docs is excised EXACTLY (tokens p..p+7 — covered iff a dup
+    shingle starts within the trailing k-window), unique context on
+    both sides survives contiguously, untouched docs lose nothing, and
+    a doc that is one block repeated twice is covered entirely."""
+    from etl_dag_spark.operators.dedup import remove_duplicated_spans
+
+    block = "c1 c2 c3 c4 c5 c6 c7 c8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 u4 u5 {block} v1 v2 v3 v4 v5"),
+            (2, f"w1 w2 w3 {block} x1 x2 x3"),
+            (3, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),  # no dup anywhere
+            (4, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6"),  # self-repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=5).collect()}
+    assert out[1].clean_text == "u1 u2 u3 u4 u5 v1 v2 v3 v4 v5"
+    assert (out[1].n_tokens_kept, out[1].n_tokens_removed) == (10, 8)
+    assert out[2].clean_text == "w1 w2 w3 x1 x2 x3"
+    assert out[2].n_tokens_removed == 8
+    assert out[3].n_tokens_removed == 0 and out[3].clean_text.startswith("a1 ")
+    # the 6-token period makes every position sit within k of a
+    # duplicated shingle start: the whole doc is excised
+    assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
+
+
 def test_winnowing_guarantee_shared_long_run_collides(spark):
     """The winnowing theorem: two documents sharing a token run of
     length ≥ w+k−1 share at least one selected fingerprint — for every
