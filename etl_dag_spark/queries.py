@@ -4836,6 +4836,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPAN_K = 5
+_DAY_US = 86_400_000_000
 
 
 @register(
@@ -4932,6 +4933,58 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ratio"),
             F.coalesce("max_run", F.lit(0)).cast("bigint").alias("max_dup_run"),
         )
+    )
+
+
+@register(
+    "olap_sliding_distinct",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(count(DISTINCT b.user_id) AS BIGINT) AS active_users_7d
+FROM days d JOIN du b ON b.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+""",
+)
+def olap_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT(DISTINCT): per day, the distinct users
+    active in the trailing 7 days — the rolling-MAU/WAU metric, and the
+    classically NON-decomposable window (distinct counts of
+    overlapping windows don't subtract, and SQL engines reject
+    COUNT(DISTINCT) OVER a frame outright). The rewrite: dedup to the
+    (day, user) grain first — ONE corpus-sized shuffle — then a
+    calendar-bounded band self-join fans each user-day into the ≤7
+    windows it serves, and the per-window distinct runs over that
+    bounded fan-out (the olap_event_anomalies band-join shape, never a
+    global sort window).
+
+    At 100 TB the same grain table also feeds the sketch alternative:
+    per-day HLL registers (olap_hll_registers_by_type's GROUP BY form)
+    merge across any trailing window by per-register MAX with NO
+    rescan — exact here because the driver gate hashes values; the
+    approximate twin is one fold away. Day index is integer µs DIV per
+    the event-time invariant."""
+    e = load_events(spark, sf_dir)
+    du = (
+        e.select(
+            F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the day list AND the band join
+    )
+    days = du.select("day").distinct()
+    b = du.select(F.col("day").alias("bday"), F.col("user_id"))
+    return (
+        days.join(
+            b,
+            (F.col("bday") >= F.col("day") - 6) & (F.col("bday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(F.col("day").cast("bigint").alias("day"), "active_users_7d")
     )
 
 
@@ -5190,7 +5243,6 @@ def olap_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DAY_US = 86_400_000_000
 _ANOM_W = 7  # trailing window, in days
 
 
@@ -5675,7 +5727,8 @@ _ROTATE_TO_FRONT = [
     # after the oracled backlog clears. Oracled queries added late in
     # r7 (olap_kmv_set_overlap, pipeline_decontaminate,
     # text_intradoc_dedup, etl_entity_resolution,
-    # olap_equidepth_histogram) have never been driver-hashed: they
+    # olap_equidepth_histogram, text_remove_dup_spans,
+    # olap_sliding_distinct) have never been driver-hashed: they
     # join the 10 stale ones at the FRONT of the r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
