@@ -4937,6 +4937,65 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_cooccurring_parts",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT part_a, part_b, support FROM p
+  ORDER BY support DESC, part_a, part_b LIMIT 20
+)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       support,
+       CAST(row_number() OVER (ORDER BY support DESC, part_a, part_b) AS INT)
+         AS top_rank
+FROM top
+""",
+)
+def olap_cooccurring_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part PAIRS bought
+    together in one order — the A-priori 2-itemset support count
+    behind "frequently bought together" recommendations. The pair
+    fan-out is a self-join co-partitioned on orderkey whose volume is
+    Σ C(basket, 2) — bounded by the per-order line cap (a constant of
+    the schema), never corpus-quadratic; support counts are map-side
+    combined; top-20 rides TakeOrderedAndProject with a FULL
+    lexicographic tiebreak (support desc, part_a, part_b) because the
+    support-1 plateau holds a million tied pairs at sf0.1 — a
+    ties-included rank would return the plateau, row_number over the
+    ordered 20-row survivor frame returns a stable report."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    order = [F.col("support").desc(), F.col("part_a"), F.col("part_b")]
+    surv = pairs.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)  # 20-row limit frame: bounded window
+    return surv.select(
+        F.col("part_a").cast("bigint").alias("part_a"),
+        F.col("part_b").cast("bigint").alias("part_b"),
+        "support",
+        F.row_number().over(w).cast("int").alias("top_rank"),
+    )
+
+
+@register(
     "olap_sliding_distinct",
     oracle=f"""
 WITH du AS (
@@ -5728,8 +5787,9 @@ _ROTATE_TO_FRONT = [
     # r7 (olap_kmv_set_overlap, pipeline_decontaminate,
     # text_intradoc_dedup, etl_entity_resolution,
     # olap_equidepth_histogram, text_remove_dup_spans,
-    # olap_sliding_distinct) have never been driver-hashed: they
-    # join the 10 stale ones at the FRONT of the r8 window.
+    # olap_sliding_distinct, olap_cooccurring_parts) have never been
+    # driver-hashed: they join the 10 stale ones at the FRONT of the
+    # r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
