@@ -1460,6 +1460,96 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_survivorship",
+    oracle=f"""
+WITH RECURSIVE sh_all AS (
+  SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+),
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s FROM sh_all
+  JOIN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 50) ok USING (s)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_id_a
+  JOIN sizes nb ON nb.doc_id = doc_id_b
+  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+canon AS (SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node),
+nt AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT c.node AS doc_id, c.cluster_id, nt.n_tokens
+  FROM canon c JOIN nt ON nt.doc_id = c.node
+),
+best AS (SELECT cluster_id, max(n_tokens) AS best_n FROM m GROUP BY 1),
+surv AS (
+  SELECT m.cluster_id, CAST(min(m.doc_id) AS BIGINT) AS survivor_id
+  FROM m JOIN best ON m.cluster_id = best.cluster_id AND m.n_tokens = best.best_n
+  GROUP BY 1
+)
+SELECT m.doc_id, m.cluster_id, m.n_tokens,
+       (m.doc_id = s.survivor_id) AS is_survivor
+FROM m JOIN surv s ON m.cluster_id = s.cluster_id
+""",
+)
+def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with a QUALITY survivorship policy: the
+    canonical doc per cluster is the LONGEST member (max token count,
+    min-doc_id tiebreak) instead of the arbitrary min id — what
+    production dedup actually keeps, since near-dup clusters usually
+    contain one full page plus truncated/boilerplate-stripped copies
+    and min-id keeps a random one. The argmax is decorrelated (per-
+    cluster max + join-back + min-id tiebreak — the
+    olap_min_cost_supplier pattern, deterministic under ties in both
+    engines, unlike max_by); the cluster step reuses the components
+    fixpoint; both survivor frames are cluster-cardinality-sized
+    (SF-scaled) → unhinted, AQE decides."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_shingle_freq=50)
+    comp = dd.cluster_pairs(pairs, docs)
+    nt = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(tokens_column("text")).cast("bigint").alias("n_tokens"),
+    )
+    m = comp.select("doc_id", "cluster_id").join(nt, "doc_id")
+    m = m.localCheckpoint(eager=False)  # feeds best, surv, and the output
+    best = m.groupBy("cluster_id").agg(F.max("n_tokens").alias("best_n"))
+    surv = (
+        m.join(best, "cluster_id")
+        .where(F.col("n_tokens") == F.col("best_n"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").cast("bigint").alias("survivor_id"))
+    )
+    return m.join(surv, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+    )
+
+
+@register(
     "pipeline_corpus_clean",
     oracle=f"""
 WITH RECURSIVE scored AS (
@@ -4334,6 +4424,96 @@ def etl_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_embedding_confusion",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, label, u.dim,
+         CAST(floor(CAST(u.val AS DOUBLE) * 1000000) AS BIGINT) AS xu
+  FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'dim': i, 'val': embedding[i]})) AS u
+    FROM embeddings)
+),
+c AS (
+  SELECT label AS clabel, dim,
+         CAST(floor(CAST(sum(xu) AS DOUBLE) / count(*)) AS BIGINT) AS cu
+  FROM x GROUP BY 1, 2
+),
+d AS (
+  SELECT x.vec_id, x.label, c.clabel,
+         CAST(sum((xu - cu) * (xu - cu)) AS BIGINT) AS dist_sq
+  FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2, 3
+),
+mn AS (SELECT vec_id, min(dist_sq) AS best FROM d GROUP BY 1),
+pred AS (
+  SELECT d.vec_id, d.label, CAST(min(d.clabel) AS INT) AS predicted
+  FROM d JOIN mn ON d.vec_id = mn.vec_id AND d.dist_sq = mn.best
+  GROUP BY 1, 2
+)
+SELECT CAST(label AS INT) AS label, predicted,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM pred GROUP BY 1, 2
+""",
+)
+def etl_embedding_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix — the embedding-space probe
+    that scores label quality before training: every vector is
+    assigned to its nearest label centroid and the (true label,
+    predicted label) counts expose which classes bleed into each other
+    (the diagonal mass is nearest-centroid accuracy). Same
+    integer-exact geometry as etl_embedding_outliers: floor(x·10⁶)
+    coordinates, floor(Σ/n) centroids, Σ(x−c)² BIGINT distances —
+    order-independent where float means would hash-drift; the argmin
+    is decorrelated (per-vector min + join-back + min-label tiebreak).
+
+    Scale shape: centroids are labels×dims rows — label cardinality
+    unknown, so the dim join is UNHINTED (AQE broadcasts at runtime);
+    the assignment fan-out is vectors × labels, grouped map-side; the
+    output is a labels² matrix."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = (
+        e.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("val").cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias("xu"),
+        )
+        .localCheckpoint(eager=False)  # feeds the centroid AND the assignment
+    )
+    c = x.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.floor(F.sum("xu") / F.count(F.lit(1))).cast("bigint").alias("cu")
+    )
+    d = (
+        x.join(c, "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu")))
+            .cast("bigint")
+            .alias("dist_sq")
+        )
+        .localCheckpoint(eager=False)  # feeds the min AND the join-back
+    )
+    mn = d.groupBy("vec_id").agg(F.min("dist_sq").alias("best"))
+    pred = (
+        d.join(mn, "vec_id")
+        .where(F.col("dist_sq") == F.col("best"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("clabel").cast("int").alias("predicted"))
+    )
+    return pred.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+
+
+@register(
     "text_bigram_lm",
     oracle=f"""
 WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
@@ -5787,9 +5967,10 @@ _ROTATE_TO_FRONT = [
     # r7 (olap_kmv_set_overlap, pipeline_decontaminate,
     # text_intradoc_dedup, etl_entity_resolution,
     # olap_equidepth_histogram, text_remove_dup_spans,
-    # olap_sliding_distinct, olap_cooccurring_parts) have never been
-    # driver-hashed: they join the 10 stale ones at the FRONT of the
-    # r8 window.
+    # olap_sliding_distinct, olap_cooccurring_parts,
+    # dedup_cluster_survivorship, etl_embedding_confusion) have never
+    # been driver-hashed: they join the 10 stale ones at the FRONT of
+    # the r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
