@@ -5117,6 +5117,142 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 != 0
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 13 != 0
+),
+d AS (
+  SELECT CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.cents != n.cents THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+FROM d GROUP BY 1
+""",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit every truncate-and-load refresh
+    (ETL_DAG.py:206-229) should emit: old-vs-new load compared on the
+    business key into added / removed / changed / unchanged counts,
+    the reconciliation report that catches a silently shrunken source
+    or a value drift before the overwrite is accepted. Stand-in
+    snapshots are deterministic slices of orders (old misses
+    key%10==0, new drops key%13==0 and perturbs key%7==0 by one cent)
+    so both engines replay identical loads and all four verdicts
+    occur.
+
+    Scale shape: ONE full-outer join co-partitioned on the key (both
+    sides SF-scaled → no hints, the sort-merge join Catalyst picks is
+    the right plan at any size) feeding a 4-group map-side-combined
+    aggregate; values compared in exact integer cents."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), star.cents("o_totalprice").alias("cents")
+    )
+    old = o.where(F.col("k") % 10 != 0)
+    new = o.where(F.col("k") % 13 != 0).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    d = old.select(F.col("k").alias("ok"), F.col("cents").alias("oc")).join(
+        new.select(F.col("k").alias("nk"), F.col("cents").alias("nc")),
+        F.col("ok") == F.col("nk"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("ok").isNull(), "added")
+        .when(F.col("nk").isNull(), "removed")
+        .when(F.col("oc") != F.col("nc"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+@register(
+    "olap_daily_correlation",
+    oracle=f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily
+)
+SELECT n AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM m
+""",
+)
+def olap_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate series statistics: Pearson correlation (and the OLS
+    slope) between daily view volume and daily purchase volume — the
+    engagement-vs-conversion coupling metric. The BIVARIATE extension
+    of olap_value_moments' portability rule: native corr() accumulates
+    floats in engine-specific order, so instead every moment (Σx, Σy,
+    Σxy, Σx², Σy², n) is an exact BIGINT from one scan, and the
+    r/slope formulas are the IDENTICAL float expression tree over
+    those integers in both engines — each op correctly rounded over
+    identical inputs. One day-keyed aggregate (map-side combined,
+    calendar-bounded) + one scalar fold; day = integer µs DIV."""
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.select(
+            F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("xv"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("yv"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("xv").cast("bigint").alias("x"),
+            F.sum("yv").cast("bigint").alias("y"),
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").alias("n_days"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr"),
+        (num / dx).alias("slope"),
+    )
+
+
+@register(
     "olap_cooccurring_parts",
     oracle="""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -5968,9 +6104,10 @@ _ROTATE_TO_FRONT = [
     # text_intradoc_dedup, etl_entity_resolution,
     # olap_equidepth_histogram, text_remove_dup_spans,
     # olap_sliding_distinct, olap_cooccurring_parts,
-    # dedup_cluster_survivorship, etl_embedding_confusion) have never
-    # been driver-hashed: they join the 10 stale ones at the FRONT of
-    # the r8 window.
+    # dedup_cluster_survivorship, etl_embedding_confusion,
+    # etl_snapshot_diff, olap_daily_correlation) have never been
+    # driver-hashed: they join the 10 stale ones at the FRONT of the
+    # r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
