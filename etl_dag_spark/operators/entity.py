@@ -29,10 +29,10 @@ transitive closure over verified pairs is the existing
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_dag_spark.operators.dedup import cluster_pairs
+from etl_dag_spark.operators.dedup import _ensure_bucketed_store, cluster_pairs
 
 
 def deletion_neighborhood_keys(
@@ -135,3 +135,186 @@ def resolve_entities(
             "n_members",
         )
     )
+
+
+# ------------------------------------------- incremental ER w/ store
+
+
+def incremental_resolve(
+    new_records: DataFrame,
+    store_table: str,
+    max_name_dist: int = 1,
+    max_block: int = 100,
+    n_store_buckets: int = 16,
+    append: bool = True,
+    path: str | None = None,
+) -> DataFrame:
+    """Resolve a NEW batch of (record_id, name, cents) records against
+    a persisted entity store — the production ingest shape for record
+    linkage (the ER twin of ``dedup.incremental_minhash_dedup``):
+    records arrive in batches forever, and re-resolving the full
+    history per batch is not an option at 100 TB.
+
+    The store is a bucketed parquet table of the stored records'
+    deletion-neighborhood KEY rows (kk, record_id, name, cents,
+    entity_id), ``bucketBy(n_store_buckets, kk)`` — so the batch-vs-
+    store candidate join reads the store WITHOUT an Exchange on the
+    store side; only the new batch shuffles to the bucket layout. Both
+    sides are df-capped per key (batch: emitted keys; store: keys
+    whose accumulated row count exceeds the cap are skipped this
+    batch) — the hot-name discipline at ingest scale.
+
+    Semantics are ARRIVAL-ORDER (like streaming/corpus.py's line
+    store): each batch component gets
+    ``entity = least(min matched store entity, min batch record id)``;
+    when one component bridges SEVERAL store entities — the case that
+    forces one-shot ER to merge — the store rows are NOT rewritten;
+    instead (from_entity → into_entity) rows append to the
+    ``{store_table}_merges`` ledger, and :func:`read_resolved_entities`
+    folds the ledger at read time (components over the bounded merge
+    graph). For id-ordered batches the folded view equals one-shot
+    :func:`resolve_entities` cluster-for-cluster (pinned in
+    tests/test_entity.py).
+
+    → (record_id, entity_id, matched_store) — matched_store marks
+    components linked to at least one stored entity.
+    """
+    spark = new_records.sparkSession
+    recs = new_records.select("record_id", "name", "cents")
+    keys = deletion_neighborhood_keys(
+        recs, name_col="name", max_block=max_block
+    ).localCheckpoint(eager=False)
+
+    _ensure_bucketed_store(
+        spark,
+        store_table,
+        "kk STRING, record_id BIGINT, name STRING, cents BIGINT, entity_id BIGINT",
+        ["kk"],
+        n_store_buckets,
+        path,
+    )
+    store = spark.table(store_table)
+    # store-side hot-key cap: key cardinalities grow with the corpus
+    # (vocabulary-sized frame → unhinted join-back)
+    store_ok = (
+        store.groupBy("kk")
+        .agg(F.count(F.lit(1)).alias("__sdf"))
+        .where(F.col("__sdf") <= max_block)
+        .select("kk")
+    )
+    s = store.join(store_ok, "kk").select(
+        F.col("kk").alias("__k"),
+        F.col("name").alias("__sn"),
+        F.col("cents").alias("__sc"),
+        F.col("entity_id").alias("__se"),
+    )
+    rm = (
+        keys.join(s, "__k")
+        .where(
+            (F.levenshtein(F.col("name"), F.col("__sn")) <= max_name_dist)
+            & (F.col("cents") == F.col("__sc"))
+        )
+        .select(F.col("record_id"), F.col("__se").alias("ment"))
+        .distinct()
+    )
+
+    a = keys.select(
+        "__k",
+        F.col("record_id").alias("doc_id_a"),
+        F.col("name").alias("__na"),
+        F.col("cents").alias("__ca"),
+    )
+    b = keys.select(
+        "__k",
+        F.col("record_id").alias("doc_id_b"),
+        F.col("name").alias("__nb"),
+        F.col("cents").alias("__cb"),
+    )
+    batch_pairs = (
+        a.join(b, "__k")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .drop("__k")
+        .distinct()
+        .where(
+            (F.levenshtein(F.col("__na"), F.col("__nb")) <= max_name_dist)
+            & (F.col("__ca") == F.col("__cb"))
+        )
+        .select("doc_id_a", "doc_id_b")
+    )
+    comp = cluster_pairs(batch_pairs, recs.select("record_id"), id_col="record_id")
+
+    cm = comp.select("doc_id", "cluster_id").join(
+        rm.withColumnRenamed("record_id", "doc_id"), "doc_id", "left"
+    )
+    ce = cm.groupBy("cluster_id").agg(F.min("ment").alias("__mse"))
+    ent = ce.select(
+        "cluster_id",
+        F.least(F.col("cluster_id"), F.coalesce(F.col("__mse"), F.col("cluster_id")))
+        .cast("bigint")
+        .alias("entity_id"),
+        F.col("__mse").isNotNull().alias("matched_store"),
+    )
+    assignment = (
+        comp.select("doc_id", "cluster_id")
+        .join(ent, "cluster_id")
+        .select(
+            F.col("doc_id").alias("record_id"), "entity_id", "matched_store"
+        )
+    )
+    ledger = (
+        cm.join(ent, "cluster_id")
+        .where(F.col("ment").isNotNull() & (F.col("ment") != F.col("entity_id")))
+        .select(
+            F.col("ment").alias("from_entity"),
+            F.col("entity_id").alias("into_entity"),
+        )
+        .distinct()
+    )
+
+    if append:
+        # materialize BEFORE appending: both plans read the store table
+        assignment = assignment.localCheckpoint(eager=True)
+        ledger = ledger.localCheckpoint(eager=True)
+        new_rows = keys.join(
+            assignment.select("record_id", "entity_id"), "record_id"
+        ).select(
+            F.col("__k").alias("kk"), "record_id", "name", "cents", "entity_id"
+        )
+        new_rows.write.mode("append").bucketBy(
+            n_store_buckets, "kk"
+        ).format("parquet").saveAsTable(store_table)
+        _ensure_bucketed_store(
+            spark,
+            f"{store_table}_merges",
+            "from_entity BIGINT, into_entity BIGINT",
+            ["from_entity"],
+            4,
+            f"{path}_merges" if path is not None else None,
+        )
+        ledger.write.mode("append").bucketBy(4, "from_entity").format(
+            "parquet"
+        ).saveAsTable(f"{store_table}_merges")
+    return assignment
+
+
+def read_resolved_entities(spark: SparkSession, store_table: str) -> DataFrame:
+    """Canonical (record_id, entity_id) view of an
+    :func:`incremental_resolve` store: fold the merge ledger onto the
+    stored assignments — entities bridged by later batches remap to
+    their component's min id via the same min-label components
+    fixpoint, run over the MERGE GRAPH only (bounded by the number of
+    merge events, not the record count)."""
+    store = spark.table(store_table).select("record_id", "entity_id").distinct()
+    merges_tbl = f"{store_table}_merges"
+    if not spark.catalog.tableExists(merges_tbl):
+        return store
+    ledger = spark.table(merges_tbl).select(
+        F.col("from_entity").alias("doc_id_a"),
+        F.col("into_entity").alias("doc_id_b"),
+    )
+    ents = store.select(F.col("entity_id")).distinct()
+    canon = cluster_pairs(ledger, ents, id_col="entity_id")
+    return store.join(
+        canon.select(F.col("doc_id").alias("entity_id"), "cluster_id"),
+        "entity_id",
+    ).select("record_id", F.col("cluster_id").alias("entity_id"))

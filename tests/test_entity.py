@@ -68,6 +68,88 @@ def test_transitive_closure_elects_min_id_survivor(spark):
     assert out[3].is_canonical and out[3].n_members == 3
 
 
+def _inc(spark, rows, store, path):
+    from etl_dag_spark.operators.entity import incremental_resolve
+
+    recs = spark.createDataFrame(rows, "record_id long, name string, cents long")
+    return {
+        r.record_id: r
+        for r in incremental_resolve(recs, store, path=path).collect()
+    }
+
+
+def test_incremental_resolve_equals_one_shot_after_ledger_fold(spark, tmp_path):
+    """The ER ingest twin: batch A creates two distance-2 entities; a
+    batch-B bridge record sits within distance 1 of BOTH — one-shot ER
+    merges them, incremental ER records the merge in the ledger and
+    read_resolved_entities' fold reproduces the one-shot partition
+    cluster-for-cluster (id-ordered batches)."""
+    import uuid
+
+    from etl_dag_spark.operators.entity import read_resolved_entities
+
+    store = f"er_{uuid.uuid4().hex[:10]}"
+    path = str(tmp_path / "er_store")
+    A = [(1, "abcdef", 7), (5, "ab00ef", 7), (3, "zzzz", 1)]
+    B = [(9, "abc0ef", 7), (11, "qqqq", 2), (13, "abcdef", 7)]
+
+    r1 = _inc(spark, A, store, path)
+    assert {k: v.entity_id for k, v in r1.items()} == {1: 1, 5: 5, 3: 3}
+    assert not any(v.matched_store for v in r1.values())
+
+    r2 = _inc(spark, B, store, path)
+    # 9 bridges store entities 1 and 5 (and links 13 in-batch); 11 is new
+    assert r2[9].entity_id == 1 and r2[13].entity_id == 1
+    assert r2[9].matched_store and r2[13].matched_store
+    assert r2[11].entity_id == 11 and not r2[11].matched_store
+
+    folded = {
+        r.record_id: r.entity_id
+        for r in read_resolved_entities(spark, store).collect()
+    }
+    recs = spark.createDataFrame(
+        A + B, "record_id long, name string, cents long"
+    )
+    one_shot = {
+        r.record_id: r.entity_id
+        for r in resolve_entities(recs, exact_cols=("cents",)).collect()
+    }
+    assert folded == one_shot  # incl. record 5 remapped 5 → 1 by the fold
+
+
+def test_incremental_resolve_ledger_chain_folds_transitively(spark, tmp_path):
+    """Merge-of-a-merged-entity: batch 3's bridge matches a STALE store
+    entity id (5, already merged into 1) plus a third entity (9); the
+    ledger then holds the chain (5→1, 9→5) and the read-time components
+    fold canonicalizes all of {1, 5, 9, …} to 1 — equal to one-shot."""
+    import uuid
+
+    from etl_dag_spark.operators.entity import read_resolved_entities
+
+    store = f"er_{uuid.uuid4().hex[:10]}"
+    path = str(tmp_path / "er_chain")
+    _inc(spark, [(1, "aaaa1", 1), (5, "aa001", 1), (9, "00001", 1)], store, path)
+    r2 = _inc(spark, [(13, "aaa01", 1)], store, path)  # bridges 1 and 5
+    assert r2[13].entity_id == 1
+    r3 = _inc(spark, [(21, "a0001", 1)], store, path)  # bridges (stale) 5 and 9
+    assert r3[21].entity_id == 5  # arrival-order: least stale match
+    folded = {
+        r.record_id: r.entity_id
+        for r in read_resolved_entities(spark, store).collect()
+    }
+    assert folded == {1: 1, 5: 1, 9: 1, 13: 1, 21: 1}
+    recs = spark.createDataFrame(
+        [(1, "aaaa1", 1), (5, "aa001", 1), (9, "00001", 1),
+         (13, "aaa01", 1), (21, "a0001", 1)],
+        "record_id long, name string, cents long",
+    )
+    one_shot = {
+        r.record_id: r.entity_id
+        for r in resolve_entities(recs, exact_cols=("cents",)).collect()
+    }
+    assert folded == one_shot
+
+
 def test_hot_block_cap_drops_boilerplate_keys(spark):
     """A name repeated beyond max_block floods its candidate keys; the
     df cap suppresses those keys entirely (the stop-phrase discipline),
