@@ -20,6 +20,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Multi-source BFS hop distances over a directed edge list —
+    cycle-safe (every node is discovered exactly once, at its minimum
+    hop count) → (node, dist INT); nodes unreachable from ``sources``
+    are absent.
+
+    Level-synchronous frontier expansion: per level, one join of the
+    frontier against the edge list (shuffle sized to the frontier's
+    out-edges) and one anti-join against the visited set; the frontier
+    and visited frames follow the checkpoint discipline (visited is
+    referenced twice per level — dedupe + union — so its plan is
+    truncated each level like PageRank's ranks). Driver state is one
+    emptiness scalar per level; iteration count is O(graph diameter).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    visited = (
+        sources.select(F.col(sources.columns[0]).cast("string").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node").localCheckpoint()
+    for level in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(level))
+        ).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(f"BFS did not exhaust in {max_iter} levels")
+    e.unpersist()
+    return visited.select("node", F.col("dist").cast("int").alias("dist"))
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -5117,6 +5117,64 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_longest_streak",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day
+  FROM events WHERE event_type = 'purchase'
+),
+isl AS (
+  SELECT user_id,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM du
+),
+st AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM st GROUP BY 1
+""",
+)
+def olap_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day purchase streak per user — the
+    retention/engagement metric behind habit analysis, and the
+    canonical GAPS-AND-ISLANDS rewrite: distinct (user, day) grain,
+    then ``day − row_number()`` is constant exactly within a
+    consecutive run (the islands trick of text_dup_span_stats, on the
+    calendar instead of token positions), so streaks fall out of two
+    ordinary aggregates. Every window and groupBy partitions by
+    user_id — one corpus shuffle, then all stages reuse it (subset
+    rule); no global sort anywhere. Day = integer µs DIV per the
+    event-time invariant; row_number ties are impossible (days are
+    distinct per user)."""
+    e = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    du = e.select(
+        "user_id", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = du.select(
+        "user_id", (F.col("day") - F.row_number().over(w)).alias("grp")
+    )
+    st = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return st.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_active_days",
+        "longest_streak",
+        "n_streaks",
+    )
+
+
+@register(
     "etl_snapshot_diff",
     oracle="""
 WITH old AS (
@@ -5987,6 +6045,101 @@ def etl_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-class cross-nation trade digraph: (src, dst, w) with w the
+    exact revenue cents of supplier-nation → customer-nation trade.
+    Shared by the PageRank and BFS-reach graph queries."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", star.revenue_cents().alias("rc")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        joins.join_dim(
+            joins.join_dim(
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
+                s, F.col("l_suppkey") == F.col("s_suppkey"), bounded=False,
+            ),
+            c, F.col("o_custkey") == F.col("c_custkey"), bounded=False,
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst")
+        )
+        .agg(F.sum("rc").alias("w"))
+    )
+
+
+@register(
+    "olap_trade_reach",
+    oracle=f"""
+WITH RECURSIVE ed AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst,
+         CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS w
+  FROM supplier
+  JOIN lineitem ON l_suppkey = s_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM ed
+  ) WHERE rn <= 3
+),
+s0 AS (SELECT min(src) AS node FROM top),
+reach(node, d) AS (
+  SELECT node, 0 FROM s0
+  UNION
+  SELECT t.dst, reach.d + 1 FROM reach JOIN top t ON reach.node = t.src
+  WHERE reach.d < 30
+)
+SELECT node AS nation, CAST(min(d) AS INT) AS dist
+FROM reach GROUP BY 1
+""",
+)
+def olap_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability: BFS hop distances from the
+    alphabetically-first trading nation over the SPARSIFIED trade
+    digraph (each nation keeps only its top-3 partners by revenue
+    cents, deterministic name tiebreak — the full Q7 graph is
+    near-complete, so sparsification is what makes distances
+    non-trivial). The second iterative-graph operator family:
+    components (dedup), rank propagation (PageRank), and now
+    level-synchronous traversal (operators/graph.py::bfs_distances —
+    cycle-safe, one frontier⋈edges shuffle per level, scalar-only
+    driver state). Hop counts are integers, so unlike PageRank this
+    iterative op has a FULL value-exact oracle (DuckDB recursive CTE
+    with a depth bound ≥ diameter; min over discovered depths = BFS
+    distance). The top-3 rank window partitions by src (25 bounded
+    groups)."""
+    from etl_dag_spark.operators.graph import bfs_distances
+
+    edges = _nation_trade_edges(spark, sf_dir)
+    wtop = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    top = (
+        edges.withColumn("__rn", F.row_number().over(wtop))
+        .where(F.col("__rn") <= 3)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # feeds the source min AND the BFS loop
+    )
+    src0 = top.agg(F.min("src").alias("node"))
+    return bfs_distances(top, src0).select(
+        F.col("node").alias("nation"), "dist"
+    )
+
+
 @register("olap_nation_pagerank")  # float power iterations → rows-only; numpy reference in pytest
 def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the cross-nation trade digraph (edges =
@@ -6004,31 +6157,7 @@ def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash at fixed partitioning."""
     from etl_dag_spark.operators.graph import pagerank
 
-    n = load_table(spark, sf_dir, "nation")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", star.revenue_cents().alias("rc")
-    )
-    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    edges = (
-        joins.join_dim(
-            joins.join_dim(
-                li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
-                s, F.col("l_suppkey") == F.col("s_suppkey"), bounded=False,
-            ),
-            c, F.col("o_custkey") == F.col("c_custkey"), bounded=False,
-        )
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
-        .where(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            F.col("supp_nation").alias("src"), F.col("cust_nation").alias("dst")
-        )
-        .agg(F.sum("rc").alias("w"))
-    )
+    edges = _nation_trade_edges(spark, sf_dir)
     pr = pagerank(edges, damping=0.85, n_iter=10, weight_col="w")
     return pr.select(
         F.col("node").alias("nation"), F.round("rank", 9).alias("rank")
@@ -6105,9 +6234,9 @@ _ROTATE_TO_FRONT = [
     # olap_equidepth_histogram, text_remove_dup_spans,
     # olap_sliding_distinct, olap_cooccurring_parts,
     # dedup_cluster_survivorship, etl_embedding_confusion,
-    # etl_snapshot_diff, olap_daily_correlation) have never been
-    # driver-hashed: they join the 10 stale ones at the FRONT of the
-    # r8 window.
+    # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
+    # olap_trade_reach) have never been driver-hashed: they join the
+    # 10 stale ones at the FRONT of the r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",

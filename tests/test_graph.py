@@ -84,3 +84,36 @@ def test_nation_pagerank_invariants(spark):
     assert total == pytest.approx(1.0, abs=1e-6)  # 9dp rounding slack
     floor = (1.0 - 0.85) / 25
     assert all(r.rank >= floor - 1e-9 for r in rows)
+
+
+def test_bfs_distances_cycle_safe_min_hops(spark):
+    """bfs_distances on a digraph with a cycle, a diamond (two routes —
+    min hop wins), and an unreachable node: distances are exact BFS
+    levels, the cycle terminates, and the unreachable node is absent."""
+    from etl_dag_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a"), ("s", "b"),           # level 1
+            ("a", "c"), ("b", "c"),           # diamond → c at 2
+            ("c", "s"),                       # cycle back to the source
+            ("c", "d"), ("d", "e"),           # chain → 3, 4
+            ("x", "y"),                       # disconnected component
+        ],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(edges, sources).collect()}
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_distances_multi_source(spark):
+    """Multi-source BFS: distance is the min over sources."""
+    from etl_dag_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("p", "m"), ("m", "n"), ("q", "n")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("p",), ("q",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(edges, sources).collect()}
+    assert got == {"p": 0, "q": 0, "m": 1, "n": 1}
