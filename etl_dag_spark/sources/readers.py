@@ -48,3 +48,56 @@ def read_source(
             raise ValueError(f"rename refers to missing columns: {sorted(missing)}")
         df = df.withColumnsRenamed(dict(rename))
     return df
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType | str,
+    rename: Mapping[str, str] | None = None,
+    defaults: Mapping[str, object] | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Schema-drift-tolerant reader: reconcile files written under
+    EVOLVING schemas to one target schema — the capability a long-lived
+    ingest needs once upstream adds, renames, or retypes columns
+    mid-corpus (the reference pipeline hard-fails on drift,
+    ETL_DAG.py:126-128; at 100 TB you cannot rewrite history to fix
+    old files).
+
+    Reconciliation, in order: ``mergeSchema`` unions every field seen
+    across file footers (a metadata-plane union — row groups are still
+    pruned to requested columns); legacy names map through ``rename``
+    — when BOTH generations occur on disk the two columns are the same
+    logical field and COALESCE (new wins; rows from old files carry
+    the legacy value), when only the legacy name occurs it renames,
+    and entries never seen on disk are ignored (unlike
+    :func:`read_source`, absence here is the expected case); target
+    fields still missing materialize as ``defaults`` or typed NULLs;
+    every column is cast to its target type (safe widenings);
+    legacy-only fields are dropped by the final projection, which also
+    fixes column order.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(target_schema, str):
+        target_schema = _parse_datatype_string(target_schema)
+    df = spark.read.format(fmt).option("mergeSchema", "true").load(path)
+    for old, new in (rename or {}).items():
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(
+                new, F.coalesce(F.col(new), F.col(old))
+            ).drop(old)
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    defaults = dict(defaults or {})
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(
+                F.lit(defaults.get(field.name)).cast(field.dataType).alias(field.name)
+            )
+    return df.select(*cols)

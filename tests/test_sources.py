@@ -223,3 +223,40 @@ def test_overwrite_jdbc_without_truncate_drops_and_recreates():
     overwrite_jdbc(_FakeDF(w), url="jdbc:h2:mem:t", table="t", truncate=False)
     assert w.saved and w.options["truncate"] == "false"
     assert "numPartitions" not in w.options
+
+
+def test_read_evolved_reconciles_schema_drift(spark, tmp_path):
+    """read_evolved over three schema generations: v1 (id, amt INT),
+    v2 (id, amount DOUBLE — renamed + widened, new col region), v3
+    (id, amount, region, legacy junk col). Target (id, amount DOUBLE,
+    region, loaded INT default 1): old files fill missing columns with
+    the default/NULL, the rename maps v1's amt, the junk column drops,
+    and every column lands at the target type."""
+    from etl_dag_spark.sources.readers import read_evolved
+
+    src = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10)], "id long, amt int").write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(
+        [(2, 20.5, "EU")], "id long, amount double, region string"
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, 30.0, "NA", "junk")],
+        "id long, amount double, region string, legacy string",
+    ).write.mode("append").parquet(src)
+
+    out = read_evolved(
+        spark,
+        src,
+        "id bigint, amount double, region string, loaded int",
+        rename={"amt": "amount"},
+        defaults={"loaded": 1},
+    )
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "id:bigint", "amount:double", "region:string", "loaded:int"
+    ]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].amount == 10.0 and rows[1].region is None and rows[1].loaded == 1
+    assert rows[2].amount == 20.5 and rows[2].region == "EU"
+    assert rows[3].region == "NA" and not hasattr(rows[3], "legacy")
