@@ -48,15 +48,38 @@ class DAG:
             raise ValueError(f"duplicate task {task.name!r}")
         self.tasks[task.name] = task
 
-    def run(self, context: dict | None = None) -> dict:
+    def run(self, context: dict | None = None, resume_dir: str | None = None) -> dict:
         """Execute tasks in dependency order; each task's return value is
         stored in the context under its name. Raises on cycle or missing
         dependency (graphlib) and re-raises the task error after retries
-        are exhausted — matching Airflow's fail-the-run semantics."""
+        are exhausted — matching Airflow's fail-the-run semantics.
+
+        ``resume_dir`` enables resume-from-failure across PROCESS
+        restarts (Airflow's retry-from-failed-task): each task that
+        succeeds writes an atomic ``<name>.done`` sentinel there, and a
+        rerun skips any task whose sentinel exists — only the
+        unfinished suffix re-executes. Skipped tasks contribute nothing
+        to the in-memory context, so resumable pipelines must follow
+        the idempotent-durable-output discipline this repo's sinks
+        already enforce (truncate-and-load / dynamic partition
+        overwrite): downstream tasks re-read predecessors' DURABLE
+        outputs rather than in-memory handles. Delete the directory to
+        force a full rerun.
+        """
+        import os
+
         context = context if context is not None else {}
+        if resume_dir is not None:
+            os.makedirs(resume_dir, exist_ok=True)
         graph = {name: set(t.deps) for name, t in self.tasks.items()}
         for name in TopologicalSorter(graph).static_order():
             task = self.tasks[name]
+            marker = (
+                os.path.join(resume_dir, f"{name}.done") if resume_dir else None
+            )
+            if marker and os.path.exists(marker):
+                logger.info("dag=%s task=%s skipped (done marker)", self.name, name)
+                continue
             attempt = 0
             while True:
                 try:
@@ -69,4 +92,9 @@ class DAG:
                         logger.exception("dag=%s task=%s failed", self.name, name)
                         raise
                     time.sleep(task.retry_delay_s)
+            if marker:
+                tmp = f"{marker}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write("ok")
+                os.replace(tmp, marker)  # atomic: no half-written sentinel
         return context

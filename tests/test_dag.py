@@ -71,3 +71,43 @@ def test_duplicate_task_rejected():
     dag.add(Task("t", lambda ctx: None))
     with pytest.raises(ValueError, match="duplicate"):
         dag.add(Task("t", lambda ctx: None))
+
+
+def test_resume_dir_skips_completed_prefix(tmp_path):
+    """A run that fails mid-DAG leaves done-markers for the completed
+    prefix; the rerun with the same resume_dir re-executes ONLY the
+    failed task and its successors (Airflow retry-from-failed-task),
+    and a third run is a full no-op."""
+    from etl_dag_spark.plans.dag import DAG
+
+    calls = {"a": 0, "b": 0, "c": 0}
+    fail_b = {"flag": True}
+    dag = DAG("resumable")
+
+    @dag.task("a")
+    def a(ctx):
+        calls["a"] += 1
+
+    @dag.task("b", deps=("a",))
+    def b(ctx):
+        calls["b"] += 1
+        if fail_b["flag"]:
+            raise RuntimeError("transient")
+
+    @dag.task("c", deps=("b",))
+    def c(ctx):
+        calls["c"] += 1
+
+    rd = str(tmp_path / "run1")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        dag.run(resume_dir=rd)
+    assert calls == {"a": 1, "b": 1, "c": 0}
+
+    fail_b["flag"] = False
+    dag.run(resume_dir=rd)
+    assert calls == {"a": 1, "b": 2, "c": 1}  # a skipped via marker
+
+    dag.run(resume_dir=rd)
+    assert calls == {"a": 1, "b": 2, "c": 1}  # everything skipped
