@@ -2093,6 +2093,82 @@ def olap_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bi_rfm_segments",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(o_custkey AS BIGINT) AS customer_id,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT customer_id, last_order_day, n_orders, cents,
+         CAST(ntile(4) OVER (ORDER BY last_order_day DESC, customer_id) AS INT) AS r,
+         CAST(ntile(4) OVER (ORDER BY n_orders DESC, customer_id) AS INT) AS f,
+         CAST(ntile(4) OVER (ORDER BY cents DESC, customer_id) AS INT) AS m
+  FROM agg
+)
+SELECT customer_id, last_order_day, n_orders, cents / 100.0 AS monetary,
+       r, f, m,
+       CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
+            WHEN r >= 3 AND m <= 2 THEN 'at_risk_high_value'
+            WHEN r >= 3 THEN 'hibernating'
+            WHEN f = 1 OR m = 1 THEN 'loyal'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+)
+def bi_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic BI lifecycle analysis
+    the reference's top-customers ranking grows into: quartile scores
+    for Recency (last order day), Frequency (order count), and
+    Monetary (exact-cents spend), folded into named segments
+    (champion / at-risk-high-value / hibernating / loyal / regular).
+
+    All three quartile assignments ride
+    :func:`windows.exact_ntile` — three range-partitioned passes over
+    the CUSTOMER-AGGREGATE frame (never the fact table), no global
+    sort window anywhere; each orders by (measure, customer_id) so
+    ties are engine-deterministic. Recency compares ISO day STRINGS
+    (strftime ↔ date_format, lexicographic == chronological), money
+    stays integer cents until the final /100.0, and the segment CASE
+    is the identical expression tree in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").cast("bigint").alias("customer_id")).agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(star.cents("o_totalprice")).cast("bigint").alias("cents"),
+    )
+    t = win.exact_ntile(
+        agg, 4, [F.col("last_order_day").desc(), F.col("customer_id")], out_col="r"
+    )
+    t = win.exact_ntile(
+        t, 4, [F.col("n_orders").desc(), F.col("customer_id")], out_col="f"
+    )
+    t = win.exact_ntile(
+        t, 4, [F.col("cents").desc(), F.col("customer_id")], out_col="m"
+    )
+    seg = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1), "champion")
+        .when((F.col("r") >= 3) & (F.col("m") <= 2), "at_risk_high_value")
+        .when(F.col("r") >= 3, "hibernating")
+        .when((F.col("f") == 1) | (F.col("m") == 1), "loyal")
+        .otherwise("regular")
+    )
+    return t.select(
+        "customer_id",
+        "last_order_day",
+        "n_orders",
+        (F.col("cents") / 100.0).alias("monetary"),
+        "r",
+        "f",
+        "m",
+        seg.alias("segment"),
+    )
+
+
+@register(
     "olap_equidepth_histogram",
     oracle="""
 WITH c AS (
@@ -6235,8 +6311,8 @@ _ROTATE_TO_FRONT = [
     # olap_sliding_distinct, olap_cooccurring_parts,
     # dedup_cluster_survivorship, etl_embedding_confusion,
     # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
-    # olap_trade_reach) have never been driver-hashed: they join the
-    # 10 stale ones at the FRONT of the r8 window.
+    # olap_trade_reach, bi_rfm_segments) have never been driver-hashed:
+    # they join the 10 stale ones at the FRONT of the r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
