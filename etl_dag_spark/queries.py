@@ -5497,6 +5497,153 @@ def olap_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRC_K = 64
+
+
+@register(
+    "dedup_source_overlap",
+    oracle=f"""
+WITH ss AS (
+  SELECT DISTINCT source, s FROM (
+    SELECT source, unnest({shingles_sql("text", 3)}) AS s FROM documents)
+),
+hv AS (
+  SELECT DISTINCT source,
+         (('0x' || substr(md5('kmv:' || s), 1, 8))::BIGINT) AS hv
+  FROM ss
+),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM hv) WHERE rn <= {_SRC_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+u AS (
+  SELECT src_a, src_b, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.src_a, p.src_b, k.hv, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk k ON k.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, k.hv, 0, 1
+    FROM pairs p JOIN sk k ON k.source = p.src_b
+  ) GROUP BY 1, 2, 3
+),
+lu AS (
+  SELECT * FROM (
+    SELECT u.*, row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn
+    FROM u) WHERE rn <= {_SRC_K}
+),
+est AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(in_a * in_b) AS BIGINT) AS matches
+  FROM lu GROUP BY 1, 2
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS ni
+  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       CAST(coalesce(i.ni, 0) AS DOUBLE)
+         / CAST(sa.n + sb.n - coalesce(i.ni, 0) AS DOUBLE) AS exact_jaccard,
+       CAST(e.matches AS DOUBLE) / CAST(e.m AS DOUBLE) AS kmv_jaccard,
+       e.matches, e.m
+FROM pairs p
+JOIN est e USING (src_a, src_b)
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+LEFT JOIN inter i USING (src_a, src_b)
+""",
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dump overlap matrix: estimated Jaccard between every
+    source PAIR's shingle sets from per-source KMV sketches (the
+    grouped form of #124), next to the exact values — the planning
+    measurement before cross-dump dedup: which crawl snapshots /
+    vendor dumps overlap enough to be worth a full cross-dedup pass.
+
+    Scale shape: the per-source bottom-k rides the salted exact top-k
+    (windows.py::per_group_top_k — a hot dump never serializes one
+    reducer); all pair algebra then runs on sketches (sources × k
+    rows), replacing the quadratic cross-source shingle join the exact
+    twin performs. The source LIST is bounded by contract (dumps
+    number in the tens — the ANN queries-are-few argument), so its
+    driver collect for pair enumeration is a bounded materialization;
+    pair windows partition by (src_a, src_b). Selection is
+    deterministic bottom-k over DISTINCT portable hashes → DuckDB
+    replays every sketch row bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    ss = (
+        shingle_rows(d, n=3, distinct=True)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the sketch, sizes, and inter
+    )
+    hvf = ss.select("source", sk.kmv_hash("s").alias("hv")).distinct()
+    skf = win.per_group_top_k(
+        hvf, "source", [F.col("hv")], _SRC_K, rank_col="__rn"
+    ).select("source", "hv").localCheckpoint(eager=False)  # both pair sides
+    # bounded-by-contract source list → bounded driver materialization
+    srcs = sorted(r.source for r in d.select("source").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]],
+        "src_a string, src_b string",
+    )
+    ra = pairs.join(
+        skf.withColumnRenamed("source", "src_a"), "src_a"
+    ).select("src_a", "src_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    rb = pairs.join(
+        skf.withColumnRenamed("source", "src_b"), "src_b"
+    ).select("src_a", "src_b", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        ra.unionByName(rb)
+        .groupBy("src_a", "src_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    lu = u.withColumn("__rn", F.row_number().over(wp)).where(
+        F.col("__rn") <= _SRC_K
+    )
+    est = lu.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("matches"),
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        ss.select(F.col("source").alias("src_a"), "s")
+        .join(ss.select(F.col("source").alias("src_b"), "s"), "s")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    return (
+        pairs.join(est, ["src_a", "src_b"])
+        .join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na"), "src_a")
+        .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb"), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.coalesce("ni", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("ni", F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("exact_jaccard"),
+            (F.col("matches").cast("double") / F.col("m").cast("double")).alias(
+                "kmv_jaccard"
+            ),
+            "matches",
+            "m",
+        )
+    )
+
+
 @register(
     "text_remove_dup_spans",
     oracle=f"""
@@ -6311,8 +6458,9 @@ _ROTATE_TO_FRONT = [
     # olap_sliding_distinct, olap_cooccurring_parts,
     # dedup_cluster_survivorship, etl_embedding_confusion,
     # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
-    # olap_trade_reach, bi_rfm_segments) have never been driver-hashed:
-    # they join the 10 stale ones at the FRONT of the r8 window.
+    # olap_trade_reach, bi_rfm_segments, dedup_source_overlap) have
+    # never been driver-hashed: they join the 10 stale ones at the
+    # FRONT of the r8 window.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
