@@ -369,6 +369,42 @@ def test_stream_hll_equals_one_shot_batch_registers(spark, doc_stream_src, tmp_p
     assert replayed == whole
 
 
+def test_stream_dq_monitor_folds_to_one_shot_report(spark, doc_stream_src, tmp_path):
+    """Streaming DQ monitor: per-batch count deltas fold (per-rule SUM)
+    to exactly the one-shot report over the whole corpus — NULL
+    predicate results count as violations, matching the batch rule
+    engine's IS NOT TRUE semantics."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.streaming.corpus import read_document_stream
+    from etl_dag_spark.streaming.quality import read_dq_store, stream_dq_monitor
+
+    rules = [
+        ("min_length", "length(text) >= 120"),
+        ("known_lang", "lang IN ('en', 'es', 'fr', 'de')"),
+        ("chars_consistent", "n_chars = length(text)"),
+    ]
+    store = str(tmp_path / "dq_store")
+    q = stream_dq_monitor(
+        read_document_stream(spark, doc_stream_src),
+        rules,
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_dq"),
+    )
+    q.awaitTermination(120)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    got = {r.rule_name: r for r in read_dq_store(spark, store).collect()}
+    assert set(got) == {name for name, _ in rules}
+    for name, pred in rules:
+        want = docs.where(F.expr(f"({pred}) IS NOT TRUE")).count()
+        assert got[name].violations == want, name
+        assert got[name].total_rows == total
+    # the corpus genuinely exercises both sides of at least one rule
+    assert 0 < got["min_length"].violations < total
+
+
 def test_stream_kmv_equals_one_shot_batch_sketch(spark, doc_stream_src, tmp_path):
     """The streaming KMV (per-batch bottom-k appends) folds to EXACTLY
     the one-shot sketch of the whole corpus, and replaying the stream
