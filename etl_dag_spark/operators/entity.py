@@ -38,17 +38,23 @@ from etl_dag_spark.operators.dedup import _ensure_bucketed_store, cluster_pairs
 def deletion_neighborhood_keys(
     records: DataFrame,
     name_col: str = "name",
-    max_block: int = 100,
+    max_block: int | None = 100,
 ) -> DataFrame:
     """records → one row per (record, candidate key): the name itself
-    plus each of its 1-character deletions, df-capped.
+    plus each of its 1-character deletions, df-capped (pass
+    ``max_block=None`` for the raw, uncapped key set — used when the
+    keys are PERSISTED rather than joined, where completeness matters
+    and hot keys are re-capped at read time). NULL names normalize to
+    '' so every record emits at least its identity key.
 
     Scale shape: the explode fans out length(name)+1 rows per record —
     bounded by the schema's name length; the df table is
     key-vocabulary-sized and grows with the data, so its join back is
     UNHINTED (the text_rarity_score lesson)."""
+    nm = F.coalesce(F.col(name_col), F.lit(""))
     keys = (
-        records.select(
+        records.withColumn(name_col, nm)
+        .select(
             "*", F.explode(F.sequence(F.lit(0), F.length(name_col))).alias("__i")
         )
         .select(
@@ -64,6 +70,8 @@ def deletion_neighborhood_keys(
         )
         .drop("__i")
     )
+    if max_block is None:
+        return keys
     ok = (
         keys.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -162,7 +170,10 @@ def incremental_resolve(
     store side; only the new batch shuffles to the bucket layout. Both
     sides are df-capped per key (batch: emitted keys; store: keys
     whose accumulated row count exceeds the cap are skipped this
-    batch) — the hot-name discipline at ingest scale.
+    batch) — the hot-name discipline at ingest scale. The cap governs
+    MATCHING only: persistence writes each record's UNCAPPED key set,
+    so boilerplate-named records still reach the store (and the
+    canonical read view) as unlinked entities rather than vanishing.
 
     Semantics are ARRIVAL-ORDER (like streaming/corpus.py's line
     store): each batch component gets
@@ -181,9 +192,20 @@ def incremental_resolve(
     """
     spark = new_records.sparkSession
     recs = new_records.select("record_id", "name", "cents")
-    keys = deletion_neighborhood_keys(
-        recs, name_col="name", max_block=max_block
+    # the UNCAPPED key set is what persists (completeness: every record
+    # must reach the store even when its name is boilerplate — hot keys
+    # are re-capped at read time by store_ok below); the capped subset
+    # drives this batch's candidate matching
+    keys_all = deletion_neighborhood_keys(
+        recs, name_col="name", max_block=None
     ).localCheckpoint(eager=False)
+    ok = (
+        keys_all.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_block)
+        .select("__k")
+    )
+    keys = keys_all.join(ok, "__k")
 
     _ensure_bucketed_store(
         spark,
@@ -275,7 +297,7 @@ def incremental_resolve(
         # materialize BEFORE appending: both plans read the store table
         assignment = assignment.localCheckpoint(eager=True)
         ledger = ledger.localCheckpoint(eager=True)
-        new_rows = keys.join(
+        new_rows = keys_all.join(
             assignment.select("record_id", "entity_id"), "record_id"
         ).select(
             F.col("__k").alias("kk"), "record_id", "name", "cents", "entity_id"

@@ -39,34 +39,42 @@ def bfs_distances(
     referenced twice per level — dedupe + union — so its plan is
     truncated each level like PageRank's ranks). Driver state is one
     emptiness scalar per level; iteration count is O(graph diameter).
+
+    Node ids compare (and return) as STRINGS: sources and both edge
+    endpoints are cast identically, so numeric ids never fall into
+    Spark's string-vs-number DOUBLE coercion (which collapses distinct
+    ids above 2^53).
     """
     e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
     ).distinct().persist()
-    visited = (
-        sources.select(F.col(sources.columns[0]).cast("string").alias("node"))
-        .distinct()
-        .withColumn("dist", F.lit(0))
-        .localCheckpoint()
-    )
-    frontier = visited.select("node").localCheckpoint()
-    for level in range(1, max_iter + 1):
-        nxt = (
-            frontier.join(e, frontier.node == e.src)
-            .select(F.col("dst").alias("node"))
+    try:
+        visited = (
+            sources.select(F.col(sources.columns[0]).cast("string").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(0))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(
-            nxt.withColumn("dist", F.lit(level))
-        ).localCheckpoint()
-        frontier = nxt
-    else:
-        raise RuntimeError(f"BFS did not exhaust in {max_iter} levels")
-    e.unpersist()
+        frontier = visited.select("node").localCheckpoint()
+        for level in range(1, max_iter + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(
+                nxt.withColumn("dist", F.lit(level))
+            ).localCheckpoint()
+            frontier = nxt
+        else:
+            raise RuntimeError(f"BFS did not exhaust in {max_iter} levels")
+    finally:
+        e.unpersist()
     return visited.select("node", F.col("dist").cast("int").alias("dist"))
 
 

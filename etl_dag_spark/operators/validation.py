@@ -51,30 +51,46 @@ def require_columns(df: DataFrame, required: list[str]) -> None:
         raise ValueError(f"missing required columns: {sorted(missing)}")
 
 
+def rule_counts(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """(rule_name, violations, total_rows) for ad-hoc (name, predicate)
+    rules over ONE frame — a single wide aggregate scan however many
+    rules there are, unpivoted via explode-of-structs so rule names are
+    DATA, never parsed as SQL identifiers (a name like ``min-length``
+    is safe). Shared by :func:`dq_report` and the streaming monitor
+    (streaming/quality.py)."""
+    aggs = [
+        F.sum(F.when(F.expr(f"({pred}) IS NOT TRUE"), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__r{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule_name"), F.col(f"__r{i}").alias("violations")
+        )
+        for i, (name, _) in enumerate(rules)
+    ]
+    return wide.select(
+        F.explode(F.array(*structs)).alias("__x"),
+        F.col("__total").alias("total_rows"),
+    ).select("__x.rule_name", "__x.violations", "total_rows")
+
+
 def dq_report(tables: dict[str, DataFrame], rules: tuple[Rule, ...] = DEFAULT_RULES) -> DataFrame:
     """One row per rule: (table_name, rule_name, violations, total_rows).
 
-    One aggregate scan per table regardless of how many rules it has.
+    One aggregate scan per table regardless of how many rules it has
+    (:func:`rule_counts` per table).
     """
     out: DataFrame | None = None
     by_table: dict[str, list[Rule]] = {}
     for rule in rules:
         by_table.setdefault(rule.table, []).append(rule)
     for table, table_rules in by_table.items():
-        df = tables[table]
-        aggs = [
-            F.sum(F.when(F.expr(f"({r.predicate}) IS NOT TRUE"), 1).otherwise(0))
-            .cast("bigint")
-            .alias(r.name)
-            for r in table_rules
-        ]
-        aggs.append(F.count(F.lit(1)).alias("__total"))
-        wide = df.agg(*aggs)
-        # unpivot to long form: one output row per rule
-        stack_args = ", ".join(f"'{r.name}', {r.name}" for r in table_rules)
-        long = wide.selectExpr(
-            f"stack({len(table_rules)}, {stack_args}) AS (rule_name, violations)",
-            "__total AS total_rows",
+        long = rule_counts(
+            tables[table], [(r.name, r.predicate) for r in table_rules]
         ).select(
             F.lit(table).alias("table_name"),
             "rule_name",

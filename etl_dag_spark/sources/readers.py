@@ -60,10 +60,15 @@ def read_evolved(
 ) -> DataFrame:
     """Schema-drift-tolerant reader: reconcile files written under
     EVOLVING schemas to one target schema — the capability a long-lived
-    ingest needs once upstream adds, renames, or retypes columns
+    ingest needs once upstream adds, renames, or widens columns
     mid-corpus (the reference pipeline hard-fails on drift,
     ETL_DAG.py:126-128; at 100 TB you cannot rewrite history to fix
-    old files).
+    old files). Scope: handles added / dropped / renamed columns and
+    parquet-MERGEABLE type changes (widenings like int→long); an
+    incompatible in-place retype of one name (int→string) fails in
+    mergeSchema's footer union itself — those generations must be read
+    separately and reconciled post-load (rename the legacy generation
+    on write, then the rename-coalesce path here applies).
 
     Reconciliation, in order: ``mergeSchema`` unions every field seen
     across file footers (a metadata-plane union — row groups are still

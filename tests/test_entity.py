@@ -162,3 +162,32 @@ def test_hot_block_cap_drops_boilerplate_keys(spark):
     out = _resolve(spark, rows, max_block=10)
     assert all(out[i].entity_id == i for i in range(40))  # capped → unlinked
     assert out[101].entity_id == 100  # small blocks still link
+
+
+def test_incremental_resolve_persists_capped_records(spark, tmp_path):
+    """Records whose every candidate key is df-capped (boilerplate
+    names) must still reach the store: matching degrades (no links this
+    batch), but the canonical read view contains EVERY ingested record
+    as its own entity — persistence is never silently lossy."""
+    import uuid
+
+    from etl_dag_spark.operators.entity import read_resolved_entities
+
+    store = f"er_{uuid.uuid4().hex[:10]}"
+    rows = [(i, "same name", 1) for i in range(40)] + [(100, "unique one", 2)]
+    recs = spark.createDataFrame(rows, "record_id long, name string, cents long")
+    from etl_dag_spark.operators.entity import incremental_resolve
+
+    out = {
+        r.record_id: r
+        for r in incremental_resolve(
+            recs, store, max_block=10, path=str(tmp_path / "er_cap")
+        ).collect()
+    }
+    assert sorted(out) == sorted(i for i, _, _ in rows)
+    folded = {
+        r.record_id: r.entity_id
+        for r in read_resolved_entities(spark, store).collect()
+    }
+    assert sorted(folded) == sorted(i for i, _, _ in rows)  # nobody vanished
+    assert all(folded[i] == i for i in range(40))  # capped → unlinked singletons

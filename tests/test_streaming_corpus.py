@@ -404,6 +404,22 @@ def test_stream_dq_monitor_folds_to_one_shot_report(spark, doc_stream_src, tmp_p
     # the corpus genuinely exercises both sides of at least one rule
     assert 0 < got["min_length"].violations < total
 
+    # replay safety: re-running the whole stream into the SAME store
+    # (fresh checkpoint → every batch re-delivers with the same
+    # batch_ids) must not inflate the additive counts — the
+    # (batch_id, rule) MAX collapse absorbs duplicate deliveries
+    q2 = stream_dq_monitor(
+        read_document_stream(spark, doc_stream_src),
+        rules,
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_dq2"),
+    )
+    q2.awaitTermination(120)
+    replayed = {r.rule_name: r for r in read_dq_store(spark, store).collect()}
+    for name, _ in rules:
+        assert replayed[name].violations == got[name].violations
+        assert replayed[name].total_rows == total
+
 
 def test_stream_kmv_equals_one_shot_batch_sketch(spark, doc_stream_src, tmp_path):
     """The streaming KMV (per-batch bottom-k appends) folds to EXACTLY
