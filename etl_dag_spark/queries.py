@@ -6395,7 +6395,7 @@ def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (89 oracled as of round 7), so each round the oracled
+# window holds (121 oracled as of late round 7), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in r6). Re-keying
@@ -6442,25 +6442,25 @@ _ROTATE_TO_FRONT = [
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
     "olap_funnel_stages",
     # first out-of-window (position 51+): rotate to front in r8.
-    # Concrete r8 plan (so next round is mechanical): the oracled
-    # complement of this window is 56 queries — these 10 r5-stale ones
-    # FIRST, then the 46 r6-evidence queries, minus 6 designated
-    # carry-overs to r9 (etl_dates_dim, olap_cube_sales, olap_set_ops,
-    # etl_value_histogram, bi_yoy_growth, olap_order_id_list — pinned
-    # single-scan/aggregate plans whose per-round pytest parity is the
-    # secondary evidence). The r7 rows-only newcomers (text_bpe_train,
-    # pipeline_bpe_segment, ann_topk_quantized, olap_join_size_estimate,
-    # olap_nation_pagerank) get their first driver row-check in r9,
-    # after the oracled backlog clears. Oracled queries added late in
-    # r7 (olap_kmv_set_overlap, pipeline_decontaminate,
+    # Concrete r8 plan (so next round is mechanical; registry now holds
+    # 121 oracled + 21 rows-only, window = 50): r8's window takes, in
+    # order, (a) the 16 late-r7 oracled queries that have NEVER been
+    # driver-hashed — olap_kmv_set_overlap, pipeline_decontaminate,
     # text_intradoc_dedup, etl_entity_resolution,
     # olap_equidepth_histogram, text_remove_dup_spans,
     # olap_sliding_distinct, olap_cooccurring_parts,
     # dedup_cluster_survivorship, etl_embedding_confusion,
     # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
-    # olap_trade_reach, bi_rfm_segments, dedup_source_overlap) have
-    # never been driver-hashed: they join the 10 stale ones at the
-    # FRONT of the r8 window.
+    # olap_trade_reach, bi_rfm_segments, dedup_source_overlap — then
+    # (b) these 10 r5-stale ones directly below, then (c) fill the
+    # remaining ~24 slots from the r6-evidence group (oldest first).
+    # With 121 oracles the window now cycles in ~2.5 rounds: accept
+    # evidence ≤3 rounds old as the standing freshness bar, with the
+    # per-round 636-test pytest parity run (every oracle at sf0.001)
+    # as the continuous secondary gate. The r7 rows-only newcomers
+    # (text_bpe_train, pipeline_bpe_segment, ann_topk_quantized,
+    # olap_join_size_estimate, olap_nation_pagerank) get their first
+    # driver row-check in r9, after the oracled backlog clears.
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
