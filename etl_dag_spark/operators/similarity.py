@@ -1180,3 +1180,114 @@ def append_to_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_path, "cells"))
     )
+
+
+# --------------------------------------------- distributed Lloyd k-means
+
+
+def quantized_vectors(embeddings: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", quant: int = 1_000_000) -> DataFrame:
+    """(id, q) with q = array<bigint> of floor(x·quant) — the integer
+    coordinate convention shared with the embedding-outlier/confusion
+    operators: integer geometry is order-independent, so every
+    downstream sum is bit-reproducible. Cast float32 → double BEFORE
+    scaling (single-precision multiply floors differently)."""
+    return embeddings.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * quant).cast("bigint")
+        ).alias("q"),
+    )
+
+
+def distributed_kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    sweeps: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> tuple[DataFrame, list[list[int]], list[int]]:
+    """Full-corpus Lloyd's k-means — the scale-out twin of the
+    capped-sample codebook trainer (``_kmeans_centroids``): that one
+    trains on a driver-sized sample (fine for IVF coarse cells, wrong
+    when a small-but-real cluster would be missed by sampling); this
+    one assigns and re-estimates over EVERY vector, with the corpus
+    never leaving the executors.
+
+    Deterministic end-to-end, so the result is drivable by the
+    correctness gate: integer-quantized coordinates (floor(x·10⁶) →
+    BIGINT), exact integer squared distances, argmin tie → smallest
+    centroid id, centroid update floor(Σ/n) in quantized units, and
+    md5-seeded initialization (the k vectors with the smallest salted
+    content hash — no RNG state). tests/test_kmeans.py replays the
+    identical arithmetic in numpy and requires bit-equality.
+
+    Scale shape per sweep: ONE Arrow assignment pass over the corpus
+    (centroids ride the task closure: k·dim ints), then ONE shuffle
+    keyed (cluster, dim) sized k·dim rows for the update, collected to
+    the driver (bounded by contract: k is an operator parameter). The
+    quantized frame is persisted once and reused by all sweeps — Lloyd
+    re-reads the data, never grows a lineage chain. An emptied cluster
+    keeps its previous centroid (deterministic; standard Lloyd).
+
+    Returns (assignment frame ``vec_id, cluster, dist_sq``, final
+    centroids as k×dim ints, init seed vec_ids).
+    """
+    from pyspark import StorageLevel
+
+    # _spread: a single-file scan would run every Arrow assignment pass
+    # on ONE task (the pHash lesson) — fan out to the default parallelism
+    q = _spread(quantized_vectors(embeddings, id_col, vec_col, quant)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat('km:', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    seed_rows = (
+        q.select("vec_id", "q", hv.alias("__hv"))
+        .orderBy("__hv", "vec_id")
+        .limit(k)
+        .collect()
+    )  # TakeOrderedAndProject: per-partition k-heap, no global sort
+    seed_ids = [r["vec_id"] for r in seed_rows]
+    centroids = [list(r["q"]) for r in seed_rows]
+
+    def assigner(cents: list[list[int]]):
+        c_mat = np.asarray(cents, dtype=np.int64)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+                diff = mat[:, None, :] - c_mat[None, :, :]
+                d = (diff * diff).sum(axis=2)  # int64-exact
+                cl = d.argmin(axis=1)  # first minimum = smallest centroid id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "q": pdf["q"],
+                        "cluster": cl.astype(np.int32),
+                        "dist_sq": d[np.arange(len(cl)), cl],
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, q array<bigint>, cluster int, dist_sq long"
+    for _ in range(sweeps):
+        assigned = q.mapInPandas(assigner(centroids), schema)
+        upd = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "xu"))
+            .groupBy("cluster", "dim")
+            .agg(F.floor(F.sum("xu") / F.count(F.lit(1))).cast("bigint").alias("cu"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # emptied cluster keeps its centroid
+        for r in upd:
+            new_c[r["cluster"]][r["dim"]] = r["cu"]
+        centroids = new_c
+
+    final = q.mapInPandas(assigner(centroids), schema).drop("q")
+    return final, centroids, seed_ids

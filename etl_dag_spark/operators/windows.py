@@ -84,7 +84,10 @@ def per_group_top_k(
 
 
 def _ranged_row_number(
-    df: DataFrame, order: list[Column], num_partitions: int | None = None
+    df: DataFrame,
+    order: list[Column],
+    num_partitions: int | None = None,
+    pin: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of :func:`global_row_number` / :func:`exact_ntile`:
     range-repartition on the sort key (range partition i holds keys
@@ -102,6 +105,25 @@ def _ranged_row_number(
     local = ranged.withColumn(
         "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
     )
+    # PIN the ranked frame before anything consumes it twice:
+    # repartitionByRange picks its boundaries by SAMPLING, and the
+    # sample depends on the upstream row placement, which a shuffled
+    # aggregate does not guarantee stable across re-evaluations. The
+    # per-partition counts (broadcast-side job) and the local ranks
+    # (main job) would then be computed under DIFFERENT boundaries —
+    # offsets no longer match ranks and assembled global ranks can
+    # exceed N (observed: NTILE(4) emitting bucket 5 at sf0.1,
+    # nondeterministically). The lazy local checkpoint materializes the
+    # placement exactly once; every job after it reads the same rows in
+    # the same partitions. (Checkpointing the SF-scaled parent is the
+    # sanctioned pattern — the broadcast hints downstream sit on
+    # aggregates ABOVE this frame, so the hint audit still sees their
+    # bounding Aggregate nodes.) ``pin=False`` exposes the raw lineage
+    # so tests can assert the structural properties the checkpoint
+    # hides from explain(): range-partitioned exchange, __pid-local
+    # window, never a single-partition global sort.
+    if pin:
+        local = local.localCheckpoint(eager=False)
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pc"))
     return local, counts
 

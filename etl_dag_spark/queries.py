@@ -6388,6 +6388,372 @@ def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# 2d/2c-ext (late round 7): governance, experimentation, trend, k-means
+# =====================================================================
+
+from etl_dag_spark.operators import privacy as priv
+
+
+@register(
+    "etl_pseudonymize",
+    oracle=f"""
+SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+       {priv.token_sql('c_custkey', salt='key')} AS key_token,
+       {priv.token_sql('c_name')} AS name_token,
+       c_mktsegment AS segment,
+       CAST(c_nationkey AS INT) AS nation_key,
+       {priv.generalize_band_sql('c_acctbal', 1000)} AS acctbal_band
+FROM customer
+""",
+)
+def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (operators/privacy.py) — the
+    governance primitive that lets the rest of this engine run on a
+    PII-free copy: direct identifiers become STABLE domain-separated
+    md5 tokens (same value → same token in every table and every run,
+    so joins, counts, and dedup semantics survive tokenization; the
+    column name is hashed in, so tokens can't be correlated across
+    columns), and the quasi-identifying balance is coarsened to a
+    $1000 band (k-anonymity-style generalization). Pure codegen Column
+    expressions — scan speed, zero shuffle, no vault lookup. The
+    key token doubles as the shareable surrogate key for exports."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("bigint").alias("customer_id"),
+        priv.token_column("c_custkey", salt="key").alias("key_token"),
+        priv.token_column("c_name").alias("name_token"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("int").alias("nation_key"),
+        priv.generalize_band("c_acctbal", 1000).alias("acctbal_band"),
+    )
+
+
+_K_ANON = 5
+
+
+@register(
+    "etl_k_anonymity",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(c_nationkey AS INT) AS nation_key,
+         {priv.generalize_band_sql('c_acctbal', 1000)} AS acctbal_band,
+         c_mktsegment AS segment
+  FROM customer
+)
+SELECT nation_key, acctbal_band, segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CASE WHEN count(*) < {_K_ANON} THEN 1 ELSE 0 END AS at_risk
+FROM p GROUP BY 1, 2, 3
+""",
+)
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the pseudonymized release (#133's other
+    half): group the quasi-identifiers a re-identification attack would
+    join on — nation, $1000 balance band, market segment — and flag
+    every equivalence class smaller than k=5. Tokens don't make a
+    release safe; SMALL QUASI-IDENTIFIER CLASSES do the re-identifying,
+    and this is the report that catches them before export (the flagged
+    classes are what you generalize further or suppress). One bounded
+    groupBy (≤ nations × bands × segments rows), map-side combined, at
+    scan speed."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.col("c_nationkey").cast("int").alias("nation_key"),
+            priv.generalize_band("c_acctbal", 1000).alias("acctbal_band"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .groupBy("nation_key", "acctbal_band", "segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .withColumn(
+            "at_risk", F.when(F.col("n_customers") < _K_ANON, 1).otherwise(0)
+        )
+    )
+
+
+_AB_SALT = "ab:exp1:"
+_AB_T = 1 << 31  # md5-derived 32-bit hash < 2^31 → variant A (50/50)
+
+
+@register(
+    "olap_ab_test",
+    oracle=f"""
+WITH pc AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN coalesce(CAST(floor(value * 100) AS BIGINT), 0)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nu FROM pc),
+pu AS (
+  SELECT CASE WHEN cents * nu > total THEN 1 ELSE 0 END AS conv,
+         CASE WHEN CAST(('0x' || substr(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   >= {_AB_T} THEN 1 ELSE 0 END AS in_b
+  FROM pc, t
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN in_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM pu
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / nullif(sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                * (CAST(1.0 AS DOUBLE) - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))),
+                  CAST(0.0 AS DOUBLE)) AS z_score
+FROM s
+""",
+)
+def olap_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to variants by the
+    engine-portable 32-bit content hash (deterministic, no assignment
+    table to join — the same trick as the dataset split, salted so the
+    two decisions decorrelate), conversion = the user's purchase total
+    exceeds the per-user average (a corpus-relative metric that cannot
+    saturate to 0%/100% the way any-purchase does on this dense event
+    stream — and the compare is PURE INTEGER, ``cents·n_users >
+    total_cents``, so no float threshold), and the two-proportion
+    pooled z-score computed from exact BIGINT counts with the identical
+    double expression tree on both engines (every literal explicitly
+    DOUBLE; sqrt is correctly rounded in both; a degenerate pooled
+    variance yields NULL via nullif, not an ANSI divide error).
+    Scale shape: one user-grain aggregate (map-side combined), a 1-row
+    scalar broadcast for the average, then a 1-row reduction — the z
+    arithmetic runs on four scalars."""
+    e = load_events(spark, sf_dir)
+    hv = F.expr(
+        f"CAST(conv(substring(md5(concat('{_AB_SALT}', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    pc = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.coalesce(F.floor(F.col("value") * 100).cast("bigint"), F.lit(0)),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    t = pc.agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    per_user = pc.crossJoin(F.broadcast(t)).select(
+        (F.col("cents") * F.col("nu") > F.col("total")).cast("int").alias("conv"),
+        (hv >= _AB_T).cast("int").alias("in_b"),
+    )
+    s = per_user.agg(
+        F.sum(F.when(F.col("in_b") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("in_b") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("conv_a"),
+        F.sum(F.when(F.col("in_b") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("in_b") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pp = (ca + cb) / (na + nb)
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), F.lit(0.0)
+    )
+    return s.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        pa.alias("rate_a"), pb.alias("rate_b"), z.alias("z_score"),
+    )
+
+
+@register(
+    "olap_sales_trend",
+    oracle="""
+WITH monthly AS (
+  SELECT n_name AS nation,
+         CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+reg AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM monthly GROUP BY nation
+)
+SELECT nation, CAST(n AS INT) AS n_months,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         / CAST(100.0 AS DOUBLE) AS slope_dollars,
+       (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE) AS intercept_dollars
+FROM reg
+""",
+)
+def olap_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-as-aggregate: per-nation OLS trend of monthly sales —
+    slope/intercept from the five classical sums (n, Σx, Σy, Σxy, Σx²),
+    which are EXACT BIGINTs here (x = month index ≤ ~80, y = exact
+    monthly cents), so the only floating-point ops are the final
+    divisions, written in the identical order on both engines. This is
+    how a distributed engine fits a line: the sums are map-side-combined
+    aggregates, the algebra runs on 5 scalars per group — no solver, no
+    iteration, no driver math. Integer bound: n·Σxy ≤ 84²·Σy stays
+    inside int64 through sf1000 (documented like the moments query).
+    Scale shape: one orderkey-free fact aggregate at (nation, month)
+    grain (the customer join routes via join_dim, nation broadcast),
+    then a 25-group reduction."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("x"),
+        star.cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        joins.join_dim(o, c, F.col("o_custkey") == F.col("c_custkey"), bounded=False)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    reg = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return reg.select(
+        "nation",
+        F.col("n").cast("int").alias("n_months"),
+        (slope / 100.0).alias("slope_dollars"),
+        (intercept / 100.0).alias("intercept_dollars"),
+    )
+
+
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # last-touch lookback: 7 days
+
+
+@register(
+    "olap_attribution_last_touch",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+u AS (
+  SELECT user_id, us AS t, 1 AS is_left, CAST(NULL AS BIGINT) AS ord,
+         coalesce(CAST(floor(value * 100) AS BIGINT), 0) AS cents,
+         CAST(NULL AS INT) AS campaign, CAST(NULL AS BIGINT) AS c_us
+  FROM b WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, us AS t, 0 AS is_left, event_id AS ord,
+         NULL AS cents, CAST(k % 8 AS INT) AS campaign, us AS c_us
+  FROM b WHERE event_type = 'click'
+),
+carried AS (
+  SELECT is_left, t, cents,
+         last_value(campaign IGNORE NULLS) OVER w AS campaign,
+         last_value(c_us IGNORE NULLS) OVER w AS c_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, is_left, ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CASE WHEN c_us IS NULL OR t - c_us > {_ATTR_WINDOW_US} THEN 'none'
+            ELSE 'c' || CAST(campaign AS VARCHAR) END AS campaign,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS attributed_revenue
+FROM carried WHERE is_left = 1
+GROUP BY 1
+""",
+)
+def olap_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase's revenue is credited to the
+    SAME user's most recent click campaign at-or-before it, within a
+    7-day lookback; purchases with no qualifying click report as
+    'none'. Campaign = click's props.k mod 8 (typed from_json struct
+    read, never per-row string ops downstream of the parse).
+
+    Rides operators/joins.py::asof_join — the union + one-pass
+    last-ignore-nulls carry, so the whole attribution costs ONE shuffle
+    on user_id regardless of click volume (a naive greatest-ts-≤ join
+    would be a range join with quadratic per-user blowup on heavy
+    clickers). Equal-timestamp ties: the click with the greatest
+    event_id wins (right_order), and a click at exactly the purchase
+    instant counts — both pinned by the oracle, which replays the SAME
+    union-window formulation in SQL (ROWS frame, not the peers-included
+    RANGE default). Event time in integer µs on both sides (`ts_ns DIV
+    1000` ↔ `epoch_us`); revenue in exact cents. The prep and verdict
+    stages (streaming/attribution.py::attribution_base /
+    attribute_purchases) are shared verbatim with the streaming twin,
+    so batch and stream cannot drift."""
+    from etl_dag_spark.streaming.attribution import (
+        attribute_purchases,
+        attribution_base,
+    )
+
+    base = attribution_base(load_events(spark, sf_dir))
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("us").alias("p_us"), "cents"
+    )
+    clicks = base.where(F.col("event_type") == "click").select(
+        "user_id", "us", "event_id", "campaign", F.col("us").alias("c_us")
+    )
+    return (
+        attribute_purchases(purchases, clicks, _ATTR_WINDOW_US)
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            (F.sum("cents") / 100.0).alias("attributed_revenue"),
+        )
+    )
+
+
+@register("etl_kmeans")  # k result rows; exact numpy replay pinned in test_kmeans.py
+def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means (similarity.py::
+    distributed_kmeans) — cluster census after 5 Lloyd sweeps over ALL
+    vectors: per cluster, member count and exact integer inertia
+    (Σ squared quantized distance). The scale-out twin of the
+    capped-sample IVF codebook: sampling trains a coarse quantizer fine
+    for routing, but data-curation clustering (topic balance, cluster
+    pruning) must see every vector — a sampled codebook can miss a
+    small-but-real cluster entirely.
+
+    Deterministic (md5-seeded init, integer distances, argmin
+    min-id tiebreak, floor(Σ/n) centroid update) so the driver can
+    row-check it; rows-only because the 5-sweep fixpoint is not
+    SQL-expressible — the bit-exact numpy replay lives in
+    tests/test_kmeans.py. Per-cluster inertia stays inside int64
+    through sf100 (≤ ~2⁶⁰; documented bound, same style as the
+    moments query)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _cents, _seeds = sim.distributed_kmeans(e, k=8, sweeps=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("dist_sq").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# =====================================================================
 # Registration-order contract
 # =====================================================================
 # The driver's correctness gate records the FIRST 50 entries of
@@ -6395,18 +6761,21 @@ def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (121 oracled as of late round 7), so each round the oracled
+# window holds (126 oracled as of late round 7), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in r6). Re-keying
 # here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # round-7 window. First: the 5 rows-only queries that have NEVER
-    # appeared in any driver window (they register after the oracled
-    # block and the window holds 50) — the driver at least row/err-
-    # checks them this round (VERDICT r6 #4)
+    # round-7 window (positions 1-50). First: the 5 rows-only queries
+    # that had NEVER appeared in any driver window — the driver at
+    # least row/err-checks them this round (VERDICT r6 #4)
     "dedup_cluster_lsh", "dedup_embedding_cosine_nd_exact",
     "dedup_incremental", "etl_pack_sequences_firstfit", "mm_phash_dedup",
+    # late-r7 additions — 4 new oracled + the rows-only k-means census,
+    # all never driver-checked
+    "etl_pseudonymize", "etl_k_anonymity", "olap_ab_test",
+    "olap_sales_trend", "olap_attribution_last_touch", "etl_kmeans",
     # new in round 7 — never driver-hashed
     "dedup_prefix_jaccard", "text_search_ranked", "etl_uniform_sample",
     "olap_hll_registers",
@@ -6420,47 +6789,43 @@ _ROTATE_TO_FRONT = [
     "dedup_winnowing", "text_dup_span_stats", "text_bigram_novelty",
     "etl_join_key_skew", "olap_gap_fill", "olap_event_anomalies",
     "olap_hll_registers_by_type",
-    # oracled with r5-only evidence — the standing staleness rotation
-    # (every oracled query keeps hash evidence ≤2 rounds old). The 50-
-    # slot window can't hold all of them this round (new queries take
-    # priority); the 9 that yield their slot — text_langid / text_quality
-    # / text_tokens / text_normalize / text_pii_scrub / stream_json_props
-    # / olap_value_moments / olap_grouping_sets / etl_scd2_history,
-    # single-scan or raw-SQL queries with snapshot-pinned plans untouched
-    # since r5 — sit right after the window and rotate FIRST in r8 (100
-    # oracled + a 50-slot window means perfect alternation keeps every
-    # oracle ≤2 rounds stale; the r8 window is the complement of this one).
-    "olap_pivot_events", "olap_percentiles", "olap_asof_join",
-    "olap_range_join", "olap_session_windows", "etl_upsert_latest",
-    "dedup_cluster", "pipeline_corpus_clean", "sql_revenue_by_category",
-    "sql_top_customers", "etl_dq_uniqueness",
-    "text_repetition_quality", "dedup_contamination",
-    "etl_pack_sequences", "etl_domain_mix", "olap_large_orders",
-    "text_rarity_score",
-    # touched this round (de-hinted / ns→µs DIV fix / names-from-nation
-    # rewrite) — in-window to prove no value change
+    # VERDICT r6 #1 proofs — the two de-hinted broadcasts MUST be
+    # hash-green in r7 to close the finding — plus the ns→µs DIV fix
+    # (olap_funnel_stages, ADVICE high) and the other touched queries
+    "text_rarity_score", "dedup_contamination", "olap_funnel_stages",
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
-    "olap_funnel_stages",
-    # first out-of-window (position 51+): rotate to front in r8.
-    # Concrete r8 plan (so next round is mechanical; registry now holds
-    # 121 oracled + 21 rows-only, window = 50): r8's window takes, in
-    # order, (a) the 16 late-r7 oracled queries that have NEVER been
-    # driver-hashed — olap_kmv_set_overlap, pipeline_decontaminate,
+    # r5-evidence staleness rotation: the window holds 4 of the 17;
+    # the displaced 13 sit right after the window (their plans are
+    # snapshot-pinned and the per-round pytest parity run re-verifies
+    # every oracle at sf0.001, so 3-round-old hash evidence is the
+    # accepted bar — they rotate FIRST in r8)
+    "olap_pivot_events", "olap_percentiles", "olap_asof_join",
+    "olap_range_join",
+    # ---- position 51+ (out of window): the r8 front-of-queue ----
+    # Concrete r8 plan (registry now holds 126 oracled + 22 rows-only,
+    # window = 50): r8's window takes, in order, (a) these 13 displaced
+    # r5-evidence queries, (b) the 10 r5-stale single-scan queries
+    # below them, (c) the 16 late-r7 oracled queries that have never
+    # been driver-hashed — olap_kmv_set_overlap, pipeline_decontaminate,
     # text_intradoc_dedup, etl_entity_resolution,
     # olap_equidepth_histogram, text_remove_dup_spans,
     # olap_sliding_distinct, olap_cooccurring_parts,
     # dedup_cluster_survivorship, etl_embedding_confusion,
     # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
     # olap_trade_reach, bi_rfm_segments, dedup_source_overlap — then
-    # (b) these 10 r5-stale ones directly below, then (c) fill the
-    # remaining ~24 slots from the r6-evidence group (oldest first).
-    # With 121 oracles the window now cycles in ~2.5 rounds: accept
-    # evidence ≤3 rounds old as the standing freshness bar, with the
-    # per-round 636-test pytest parity run (every oracle at sf0.001)
-    # as the continuous secondary gate. The r7 rows-only newcomers
+    # (d) fill the remaining slots from the r6-evidence group (oldest
+    # first). With 125 oracles the window cycles in ~2.5 rounds:
+    # evidence ≤3 rounds old is the standing freshness bar, with the
+    # per-round pytest parity run (every oracle at sf0.001) as the
+    # continuous secondary gate. The r7 rows-only newcomers
     # (text_bpe_train, pipeline_bpe_segment, ann_topk_quantized,
     # olap_join_size_estimate, olap_nation_pagerank) get their first
     # driver row-check in r9, after the oracled backlog clears.
+    "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
+    "pipeline_corpus_clean",
+    "sql_revenue_by_category", "sql_top_customers", "etl_dq_uniqueness",
+    "text_repetition_quality", "etl_pack_sequences", "etl_domain_mix",
+    "olap_large_orders",
     "text_langid", "text_quality", "text_tokens", "text_normalize",
     "text_pii_scrub", "stream_json_props", "olap_value_moments",
     "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",

@@ -123,6 +123,17 @@ def _bounded_output(node) -> bool:
             "SPARK_PARTITION_ID() AS __pid" in tree
         ):
             return True
+        # Same prefix-sum offset frame AFTER windows._ranged_row_number's
+        # determinism checkpoint (the lazy localCheckpoint that pins the
+        # range placement truncates the lineage to a LogicalRDD, hiding
+        # the SPARK_PARTITION_ID marker): the reserved column pair
+        # (__pid, __lrn) only ever comes from that helper, whose __pid
+        # cardinality is ≤ #partitions by construction.
+        if all("__pid" in e for e in exprs) and any(
+            "LogicalRDD" in ln and "__pid" in ln and "__lrn" in ln
+            for ln in tree.splitlines()
+        ):
+            return True
         # Bloom word table: grouped by pmod(hash, CONSTANT) DIV 64 — at
         # most num_bits/64 groups regardless of input size
         if all(e.split("#")[0] == "__w" for e in exprs) and "pmod(xxhash64" in tree:
@@ -217,8 +228,6 @@ def test_ntile_quartiles_has_no_unpartitioned_window(spark):
     """olap_ntile_quartiles must never plan a global-sort window: every
     Window node carries a partition spec (the exact_ntile rewrite ranks
     inside range partitions), and no Sort is global."""
-    import re
-
     plan = _plan(spark, "olap_ntile_quartiles")
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
@@ -226,3 +235,34 @@ def test_ntile_quartiles_has_no_unpartitioned_window(spark):
             # order column directly; ours must lead with __pid
             assert "__pid" in line, f"unpartitioned window: {line.strip()[:160]}"
     assert "Sort [pc" not in plan  # no global sort over the agg frame
+
+
+def test_ranged_row_number_raw_plan_is_distributed(spark):
+    """The structural guarantees of windows._ranged_row_number, pinned
+    on the PRE-checkpoint lineage (the determinism localCheckpoint that
+    fixed the nondeterministic range-boundary corruption also hides the
+    helper's internals from every downstream explain(), so the query-
+    level snapshots can no longer show them): the row-number window
+    ranks inside __pid partitions, the data moves through a
+    rangepartitioning Exchange, and nothing sorts a single partition
+    globally."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.operators.windows import _ranged_row_number
+    from etl_dag_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    local, _counts = _ranged_row_number(
+        df, [F.col("o_totalprice").desc(), F.col("o_custkey")], pin=False
+    )
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = local._jdf.queryExecution().explainString(mode)
+    assert "rangepartitioning" in plan, plan[:800]
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "__pid" in line, f"unpartitioned window: {line.strip()[:160]}"
+    assert saw_window
+    assert "SinglePartition" not in plan
