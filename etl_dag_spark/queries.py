@@ -6723,6 +6723,110 @@ def olap_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_attribution_linear",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, us AS p_us,
+         coalesce(CAST(floor(value * 100) AS BIGINT), 0) AS cents
+  FROM b WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id AS c_user, us AS c_us, event_id AS click_id,
+         CAST(k % 8 AS INT) AS campaign
+  FROM b WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.event_id, p.cents, c.c_us, c.click_id, c.campaign
+  FROM p LEFT JOIN c
+    ON c.c_user = p.user_id
+   AND c.c_us >= p.p_us - {_ATTR_WINDOW_US}
+   AND c.c_us < p.p_us + 1
+),
+m AS (
+  SELECT event_id, cents, click_id, campaign,
+         count(click_id) OVER (PARTITION BY event_id) AS n,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY c_us DESC, click_id DESC) AS rn
+  FROM j
+),
+cr AS (
+  SELECT CASE WHEN click_id IS NULL THEN 'none'
+              ELSE 'c' || CAST(campaign AS VARCHAR) END AS campaign,
+         CASE WHEN click_id IS NULL THEN cents
+              ELSE cents // n
+                   + CASE WHEN rn = 1 THEN cents % n ELSE 0 END END AS credit
+  FROM m
+)
+SELECT campaign, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(credit) AS BIGINT) / 100.0 AS credited_revenue
+FROM cr GROUP BY 1
+""",
+)
+def olap_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the fairness counterpart of
+    last-touch: EVERY click in the 7-day window before a purchase
+    shares the credit. The split is INTEGER-EXACT and conserving:
+    n−1 touches get cents DIV n, the most recent touch gets the
+    remainder on top (deterministic tiebreak by click event_id), so
+    per-purchase credits always sum back to the purchase's exact cents
+    — no float shares to drift between engines.
+
+    Scale shape: a per-user range join (operators/joins.py::range_join)
+    whose fan-out is clicks-per-user-per-window — bounded by the event
+    rate, never corpus-quadratic; the share computation is two
+    purchase-partitioned window functions (count + row_number), riding
+    the join's user_id shuffle grain. Unattributed purchases keep full
+    credit under 'none'."""
+    from etl_dag_spark.streaming.attribution import attribution_base
+
+    base = attribution_base(load_events(spark, sf_dir))
+    p = base.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("us").alias("p_us"), "cents"
+    )
+    c = base.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("us").alias("c_us"),
+        F.col("event_id").alias("click_id"),
+        "campaign",
+    )
+    j = joins.range_join(
+        p, c, "user_id", "c_user", "c_us",
+        lower=F.col("p_us") - _ATTR_WINDOW_US,
+        upper=F.col("p_us") + 1,
+        how="left",
+    ).select("event_id", "cents", "c_us", "click_id", "campaign")
+    wp = Window.partitionBy("event_id")
+    wr = Window.partitionBy("event_id").orderBy(
+        F.col("c_us").desc(), F.col("click_id").desc()
+    )
+    m = j.select(
+        "cents", "click_id", "campaign",
+        F.count("click_id").over(wp).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    credit = F.when(F.col("click_id").isNull(), F.col("cents")).otherwise(
+        F.expr("cents DIV n")
+        + F.when(F.col("rn") == 1, F.col("cents") % F.col("n")).otherwise(0)
+    )
+    label = F.when(F.col("click_id").isNull(), F.lit("none")).otherwise(
+        F.concat(F.lit("c"), F.col("campaign").cast("string"))
+    )
+    return (
+        m.select(label.alias("campaign"), credit.alias("credit"))
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            (F.sum("credit").cast("bigint") / 100.0).alias("credited_revenue"),
+        )
+    )
+
+
 @register("etl_kmeans")  # k result rows; exact numpy replay pinned in test_kmeans.py
 def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus distributed k-means (similarity.py::
@@ -6761,7 +6865,7 @@ def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (126 oracled as of late round 7), so each round the oracled
+# window holds (127 oracled as of late round 7), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in r6). Re-keying
@@ -6775,7 +6879,8 @@ _ROTATE_TO_FRONT = [
     # late-r7 additions — 4 new oracled + the rows-only k-means census,
     # all never driver-checked
     "etl_pseudonymize", "etl_k_anonymity", "olap_ab_test",
-    "olap_sales_trend", "olap_attribution_last_touch", "etl_kmeans",
+    "olap_sales_trend", "olap_attribution_last_touch",
+    "olap_attribution_linear", "etl_kmeans",
     # new in round 7 — never driver-hashed
     "dedup_prefix_jaccard", "text_search_ranked", "etl_uniform_sample",
     "olap_hll_registers",
@@ -6794,16 +6899,15 @@ _ROTATE_TO_FRONT = [
     # (olap_funnel_stages, ADVICE high) and the other touched queries
     "text_rarity_score", "dedup_contamination", "olap_funnel_stages",
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
-    # r5-evidence staleness rotation: the window holds 4 of the 17;
-    # the displaced 13 sit right after the window (their plans are
+    # r5-evidence staleness rotation: the window holds 3 of the 17;
+    # the displaced 14 sit right after the window (their plans are
     # snapshot-pinned and the per-round pytest parity run re-verifies
     # every oracle at sf0.001, so 3-round-old hash evidence is the
     # accepted bar — they rotate FIRST in r8)
     "olap_pivot_events", "olap_percentiles", "olap_asof_join",
-    "olap_range_join",
     # ---- position 51+ (out of window): the r8 front-of-queue ----
-    # Concrete r8 plan (registry now holds 126 oracled + 22 rows-only,
-    # window = 50): r8's window takes, in order, (a) these 13 displaced
+    # Concrete r8 plan (registry now holds 127 oracled + 22 rows-only,
+    # window = 50): r8's window takes, in order, (a) these 14 displaced
     # r5-evidence queries, (b) the 10 r5-stale single-scan queries
     # below them, (c) the 16 late-r7 oracled queries that have never
     # been driver-hashed — olap_kmv_set_overlap, pipeline_decontaminate,
@@ -6821,7 +6925,7 @@ _ROTATE_TO_FRONT = [
     # (text_bpe_train, pipeline_bpe_segment, ann_topk_quantized,
     # olap_join_size_estimate, olap_nation_pagerank) get their first
     # driver row-check in r9, after the oracled backlog clears.
-    "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
+    "olap_range_join", "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
     "pipeline_corpus_clean",
     "sql_revenue_by_category", "sql_top_customers", "etl_dq_uniqueness",
     "text_repetition_quality", "etl_pack_sequences", "etl_domain_mix",
