@@ -55,6 +55,12 @@ SNAPSHOT_QUERIES = [
     "dedup_winnowing",
     "text_countmin_hitters",
     "text_tfidf_keywords",
+    # late r7: last-touch attribution must stay ONE user_id shuffle
+    # (union + window carry — a regression to a range join would
+    # explode on heavy clickers), and pseudonymization must stay a
+    # zero-shuffle scan-speed projection
+    "olap_attribution_last_touch",
+    "etl_pseudonymize",
 ]
 
 # Node headers worth pinning: strategy-bearing operators. Detail
