@@ -6827,6 +6827,83 @@ def olap_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_trending_parts",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', l_shipdate) AS day,
+         l_partkey, sum({_REV_CENTS_SQL}) AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+win AS (
+  SELECT w.day AS window_day, d.l_partkey, CAST(sum(d.cents) AS BIGINT) AS cents
+  FROM days w JOIN daily d ON d.day BETWEEN w.day - 6 AND w.day
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_day, l_partkey, cents,
+         row_number() OVER (PARTITION BY window_day
+                            ORDER BY cents DESC, l_partkey) AS rnk
+  FROM win
+)
+SELECT CAST(window_day AS INT) AS window_day,
+       CAST(l_partkey AS BIGINT) AS part_id,
+       cents / 100.0 AS revenue_7d,
+       CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+""",
+)
+def olap_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: for every active day, the top-5 parts by
+    TRAILING-7-day revenue — the dashboard query behind every
+    'top sellers this week' panel, and the sliding-window-top-k shape
+    the repo's window family lacked (sliding distinct exists, sliding
+    rank did not).
+
+    Scale shape: the fact collapses to (day, part) grain FIRST (one
+    map-side-combined aggregate — the explode fans out the compact
+    daily table, never raw lineitem); each daily row then fans into its
+    ≤7 windows via `explode(sequence(...))` (the #127 band rewrite —
+    no RANGE window frame, which SQL engines serialize per partition),
+    a semi-join restricts windows to days that exist (matching the
+    oracle's band self-join), and the per-window rank rides the salted
+    two-phase exact top-k so a hot window-day never serializes one
+    reducer. Day arithmetic is integer day indexes from a fixed epoch
+    (datediff ↔ date_diff, tz-free on NTZ timestamps)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.expr("datediff(l_shipdate, DATE'1995-01-01')").alias("day"),
+            "l_partkey",
+            star.revenue_cents().alias("rc"),
+        )
+        .groupBy("day", "l_partkey")
+        .agg(F.sum("rc").alias("cents"))
+    )
+    days = daily.select("day").distinct()
+    w7 = (
+        daily.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("window_day"),
+            "l_partkey",
+            "cents",
+        )
+        .join(days.withColumnRenamed("day", "window_day"), "window_day", "semi")
+        .groupBy("window_day", "l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    ranked = win.per_group_top_k(
+        w7, "window_day", [F.col("cents").desc(), F.col("l_partkey")], 5,
+        rank_col="rank",
+    )
+    return ranked.select(
+        F.col("window_day").cast("int").alias("window_day"),
+        F.col("l_partkey").cast("bigint").alias("part_id"),
+        (F.col("cents") / 100.0).alias("revenue_7d"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register("etl_kmeans")  # k result rows; exact numpy replay pinned in test_kmeans.py
 def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus distributed k-means (similarity.py::
@@ -6865,7 +6942,7 @@ def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (127 oracled as of late round 7), so each round the oracled
+# window holds (128 oracled as of late round 7), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in r6). Re-keying
@@ -6880,7 +6957,7 @@ _ROTATE_TO_FRONT = [
     # all never driver-checked
     "etl_pseudonymize", "etl_k_anonymity", "olap_ab_test",
     "olap_sales_trend", "olap_attribution_last_touch",
-    "olap_attribution_linear", "etl_kmeans",
+    "olap_attribution_linear", "olap_trending_parts", "etl_kmeans",
     # new in round 7 — never driver-hashed
     "dedup_prefix_jaccard", "text_search_ranked", "etl_uniform_sample",
     "olap_hll_registers",
@@ -6899,15 +6976,15 @@ _ROTATE_TO_FRONT = [
     # (olap_funnel_stages, ADVICE high) and the other touched queries
     "text_rarity_score", "dedup_contamination", "olap_funnel_stages",
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
-    # r5-evidence staleness rotation: the window holds 3 of the 17;
-    # the displaced 14 sit right after the window (their plans are
+    # r5-evidence staleness rotation: the window holds 2 of the 17;
+    # the displaced 15 sit right after the window (their plans are
     # snapshot-pinned and the per-round pytest parity run re-verifies
     # every oracle at sf0.001, so 3-round-old hash evidence is the
     # accepted bar — they rotate FIRST in r8)
-    "olap_pivot_events", "olap_percentiles", "olap_asof_join",
+    "olap_pivot_events", "olap_percentiles",
     # ---- position 51+ (out of window): the r8 front-of-queue ----
-    # Concrete r8 plan (registry now holds 127 oracled + 22 rows-only,
-    # window = 50): r8's window takes, in order, (a) these 14 displaced
+    # Concrete r8 plan (registry now holds 128 oracled + 22 rows-only,
+    # window = 50): r8's window takes, in order, (a) these 15 displaced
     # r5-evidence queries, (b) the 10 r5-stale single-scan queries
     # below them, (c) the 16 late-r7 oracled queries that have never
     # been driver-hashed — olap_kmv_set_overlap, pipeline_decontaminate,
@@ -6925,7 +7002,8 @@ _ROTATE_TO_FRONT = [
     # (text_bpe_train, pipeline_bpe_segment, ann_topk_quantized,
     # olap_join_size_estimate, olap_nation_pagerank) get their first
     # driver row-check in r9, after the oracled backlog clears.
-    "olap_range_join", "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
+    "olap_asof_join", "olap_range_join", "olap_session_windows",
+    "etl_upsert_latest", "dedup_cluster",
     "pipeline_corpus_clean",
     "sql_revenue_by_category", "sql_top_customers", "etl_dq_uniqueness",
     "text_repetition_quality", "etl_pack_sequences", "etl_domain_mix",
