@@ -6904,6 +6904,61 @@ def olap_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_sample_keys(
+    df: DataFrame, weight: Column, salt: str = "wsamp", id_col: str = "doc_id"
+) -> Column:
+    """Efraimidis–Spirakis A-Res key: ``-ln(u)/w`` with ``u`` derived
+    from a salted content hash — the k SMALLEST keys are a weighted
+    random sample without replacement where inclusion probability is
+    proportional to weight. Deterministic (no RNG state): same salt,
+    same sample, and keys are content-local, so growing the corpus can
+    only evict old members, never reshuffle them (the append-stability
+    every sampler in this repo guarantees). The float ln is
+    JVM-deterministic but not engine-portable — weighted-sample
+    queries are rows-only by design."""
+    u = (
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{salt}:', CAST({id_col} AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        )
+        + 1
+    ) / F.lit(float(1 << 32))  # uniform in (0, 1]
+    return -F.log(u) / weight
+
+
+@register("etl_weighted_sample")  # ln key → rows-only; ES properties pinned in pytest
+def etl_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k WEIGHTED corpus sample (quality- or length-proportional
+    selection — the data-curation primitive behind 'sample a token
+    budget, favoring what the quality model likes'): inclusion
+    probability ∝ n_chars via Efraimidis–Spirakis keys, so long
+    documents are drawn proportionally more often, deterministically.
+    Same TakeOrderedAndProject shape as the uniform sample (per-
+    partition k-heaps, no corpus shuffle, rank over ≤k survivors);
+    tests/test_weighted_sample.py pins exact-k, determinism,
+    weight-monotone inclusion on planted heavy docs, and append-only
+    eviction."""
+    d = load_table(spark, sf_dir, "documents")
+    key = weighted_sample_keys(d, F.col("n_chars").cast("double"))
+    h = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        key.alias("__key"),
+    )
+    survivors = h.orderBy("__key", "doc_id").limit(_WEIGHTED_SAMPLE_K)
+    w = Window.orderBy("__key", "doc_id")  # ≤ k survivor rows, bounded
+    return survivors.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+    )
+
+
 @register("etl_kmeans")  # k result rows; exact numpy replay pinned in test_kmeans.py
 def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus distributed k-means (similarity.py::
@@ -6983,7 +7038,7 @@ _ROTATE_TO_FRONT = [
     # accepted bar — they rotate FIRST in r8)
     "olap_pivot_events", "olap_percentiles",
     # ---- position 51+ (out of window): the r8 front-of-queue ----
-    # Concrete r8 plan (registry now holds 128 oracled + 22 rows-only,
+    # Concrete r8 plan (registry now holds 128 oracled + 23 rows-only,
     # window = 50): r8's window takes, in order, (a) these 15 displaced
     # r5-evidence queries, (b) the 10 r5-stale single-scan queries
     # below them, (c) the 16 late-r7 oracled queries that have never
@@ -7000,8 +7055,9 @@ _ROTATE_TO_FRONT = [
     # per-round pytest parity run (every oracle at sf0.001) as the
     # continuous secondary gate. The r7 rows-only newcomers
     # (text_bpe_train, pipeline_bpe_segment, ann_topk_quantized,
-    # olap_join_size_estimate, olap_nation_pagerank) get their first
-    # driver row-check in r9, after the oracled backlog clears.
+    # olap_join_size_estimate, olap_nation_pagerank, etl_weighted_sample)
+    # get their first driver row-check in r9, after the oracled backlog
+    # clears (etl_kmeans is already in the r7 window).
     "olap_asof_join", "olap_range_join", "olap_session_windows",
     "etl_upsert_latest", "dedup_cluster",
     "pipeline_corpus_clean",
