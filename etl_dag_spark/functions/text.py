@@ -301,3 +301,17 @@ def min_shingle_md5_column(text: Column | str, n: int = 3) -> Column:
 
 def min_shingle_md5_sql(text_expr: str, n: int = 3) -> str:
     return f"list_min(list_transform({shingles_sql(text_expr, n)}, s -> md5(s)))"
+
+
+def chunk_lines_sql(n: int = 3, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`chunk_token_lines` as a FROM-able fragment
+    producing (doc_id, line_id, line) — kept in one place so every
+    pseudo-line oracle chunks identically."""
+    return f"""(
+  SELECT doc_id, u.line_id, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(tk) + {n - 1}) // {n}),
+                  i -> {{'line_id': i,
+                         'line': array_to_string(list_slice(tk, i*{n}+1, i*{n}+{n}), ' ')}})) AS u
+    FROM (SELECT doc_id, {tokens_sql(text_col)} AS tk FROM documents))
+)"""

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from etl_dag_spark.functions.country import iso3_sql_case
 from etl_dag_spark.functions.text import (
+    chunk_lines_sql,
     chunk_token_lines,
     langid_column,
     langid_sql,
@@ -6904,6 +6905,95 @@ def olap_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MASK_T = (1 << 32) * 15 // 100  # 15% of chunks masked, hash-decided
+
+
+@register(
+    "etl_span_corruption",
+    oracle=f"""
+WITH lines AS (SELECT * FROM {chunk_lines_sql(3)}),
+flg AS (
+  SELECT doc_id, line_id, line,
+         CAST(('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR) || ':'
+                || CAST(line_id AS VARCHAR)), 1, 8)) AS BIGINT) < {_MASK_T} AS m
+  FROM lines
+),
+o AS (
+  SELECT doc_id, line_id, line, m,
+         sum(CASE WHEN m THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY line_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ord
+  FROM flg
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(
+         CASE WHEN m THEN '<X_' || CAST(ord AS VARCHAR) || '>' ELSE line END,
+         ' ' ORDER BY line_id), '') AS input_text,
+       coalesce(string_agg(
+         CASE WHEN m THEN '<X_' || CAST(ord AS VARCHAR) || '> ' || line END,
+         ' ' ORDER BY line_id), '') AS target_text,
+       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(count(*) AS BIGINT) AS n_chunks
+FROM o GROUP BY doc_id
+""",
+)
+def etl_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption preprocessing: mask a hash-decided 15%
+    of each document's 3-token chunks, emit the INPUT (masked chunks
+    replaced by numbered sentinels ``<X_i>``) and the TARGET (each
+    sentinel followed by the text it hides) — the denoising-objective
+    pair a seq2seq pretraining loader consumes. Chunk-granular masking
+    (the chunk_token_lines grain) keeps the span decision a pure
+    per-row hash — no sequential span-growing state — which is what
+    makes the whole operator SQL-expressible and hence fully
+    oracle-checked, sentinel numbering included.
+
+    Scale shape: chunks ride the posexplode+lead window's doc_id
+    partitioning, the sentinel ordinal is a doc-partitioned running
+    sum over that same grain (no new Exchange), and both texts
+    reassemble in ONE per-doc aggregate (the NULL-skipping
+    collect_list trick from the line-dedup family). Zero joins, zero
+    corpus-wide state — scan-speed preprocessing at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = chunk_token_lines(d, n=3)
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat('mask:', CAST(doc_id AS STRING), ':',"
+        " CAST(line_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = lines.select(
+        "doc_id", "line_id", "line", (hv < _MASK_T).alias("m")
+    ).withColumn("ord", F.sum(F.col("m").cast("bigint")).over(wc))
+    ip = F.when(
+        F.col("m"),
+        F.concat(F.lit("<X_"), F.col("ord").cast("string"), F.lit(">")),
+    ).otherwise(F.col("line"))
+    tp = F.when(
+        F.col("m"),
+        F.concat(F.lit("<X_"), F.col("ord").cast("string"), F.lit("> "), F.col("line")),
+    )
+    return (
+        flagged.select("doc_id", "line_id", "m", ip.alias("ip"), tp.alias("tp"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(line_id, ip))), x -> x.ip), ' ')"
+            ).alias("input_text"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN m THEN struct(line_id, tp) END)), x -> x.tp), ' ')"
+            ).alias("target_text"),
+            F.sum(F.col("m").cast("bigint")).alias("n_masked"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        )
+    )
+
+
 _WEIGHTED_SAMPLE_K = 50
 
 
@@ -6997,7 +7087,7 @@ def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (128 oracled as of late round 7), so each round the oracled
+# window holds (129 oracled as of late round 7), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in r6). Re-keying
@@ -7012,7 +7102,8 @@ _ROTATE_TO_FRONT = [
     # all never driver-checked
     "etl_pseudonymize", "etl_k_anonymity", "olap_ab_test",
     "olap_sales_trend", "olap_attribution_last_touch",
-    "olap_attribution_linear", "olap_trending_parts", "etl_kmeans",
+    "olap_attribution_linear", "olap_trending_parts",
+    "etl_span_corruption", "etl_kmeans",
     # new in round 7 — never driver-hashed
     "dedup_prefix_jaccard", "text_search_ranked", "etl_uniform_sample",
     "olap_hll_registers",
@@ -7031,15 +7122,15 @@ _ROTATE_TO_FRONT = [
     # (olap_funnel_stages, ADVICE high) and the other touched queries
     "text_rarity_score", "dedup_contamination", "olap_funnel_stages",
     "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
-    # r5-evidence staleness rotation: the window holds 2 of the 17;
-    # the displaced 15 sit right after the window (their plans are
+    # r5-evidence staleness rotation: the window holds 1 of the 17;
+    # the displaced 16 sit right after the window (their plans are
     # snapshot-pinned and the per-round pytest parity run re-verifies
     # every oracle at sf0.001, so 3-round-old hash evidence is the
     # accepted bar — they rotate FIRST in r8)
-    "olap_pivot_events", "olap_percentiles",
+    "olap_pivot_events",
     # ---- position 51+ (out of window): the r8 front-of-queue ----
-    # Concrete r8 plan (registry now holds 128 oracled + 23 rows-only,
-    # window = 50): r8's window takes, in order, (a) these 15 displaced
+    # Concrete r8 plan (registry now holds 129 oracled + 23 rows-only,
+    # window = 50): r8's window takes, in order, (a) these 16 displaced
     # r5-evidence queries, (b) the 10 r5-stale single-scan queries
     # below them, (c) the 16 late-r7 oracled queries that have never
     # been driver-hashed — olap_kmv_set_overlap, pipeline_decontaminate,
@@ -7058,7 +7149,8 @@ _ROTATE_TO_FRONT = [
     # olap_join_size_estimate, olap_nation_pagerank, etl_weighted_sample)
     # get their first driver row-check in r9, after the oracled backlog
     # clears (etl_kmeans is already in the r7 window).
-    "olap_asof_join", "olap_range_join", "olap_session_windows",
+    "olap_percentiles", "olap_asof_join", "olap_range_join",
+    "olap_session_windows",
     "etl_upsert_latest", "dedup_cluster",
     "pipeline_corpus_clean",
     "sql_revenue_by_category", "sql_top_customers", "etl_dq_uniqueness",
