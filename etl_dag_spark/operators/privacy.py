@@ -133,7 +133,23 @@ def forget_keys(
         ]
         if not touched:
             return 0
-        target = target.where(F.col(partition_col).isin(touched))
+        # Doomed rows can live in the NULL partition
+        # (__HIVE_DEFAULT_PARTITION__). isin() evaluates NULL IN (...)
+        # to NULL — it NEVER matches NULL rows — so the filter must OR
+        # in isNull() explicitly, or the erasure silently skips those
+        # rows while reporting success.
+        null_touched = any(v is None for v in touched)
+        non_null = [v for v in touched if v is not None]
+        cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if null_touched:
+            cond = cond | F.col(partition_col).isNull()
+        target = target.where(cond)
+    else:
+        # Cheap existence probe (take(1) short-circuits) before
+        # committing to a full-table rewrite: an erasure batch that
+        # matches nothing must not rewrite 100 TB for a no-op.
+        if target.join(F.broadcast(doomed), key_col, "semi").isEmpty():
+            return 0
 
     survivors = target.join(F.broadcast(doomed), key_col, "anti")
     staging = target_path.rstrip("/") + "__staging"
@@ -167,9 +183,11 @@ def forget_keys(
         # all. A partition whose every row was doomed stages NO dir and
         # must be dropped from the live store: identify those by
         # Hive-unescaping the live dir name (%XX → char, the escaping
-        # merge.py warns about) and matching the touched values. NULL
-        # partitions are never touched (isin() never matches NULL).
-        values = {str(v) for v in touched}
+        # merge.py warns about) and matching the touched values. A
+        # touched NULL partition writes as __HIVE_DEFAULT_PARTITION__.
+        values = {str(v) for v in touched if v is not None}
+        if null_touched:
+            values.add("__HIVE_DEFAULT_PARTITION__")
         n = 0
         for part in sorted(staged):
             src = os.path.join(staging, part)

@@ -1323,5 +1323,16 @@ def distributed_kmeans(
 
     schema = "vec_id long, q array<bigint>, cluster int, dist_sq long"
 
-    final = q.mapInPandas(assigner(centroids), schema).drop("q")
+    # Materialize the final assignment, then RELEASE the corpus cache:
+    # q is persisted per invocation, and leaving it pinned leaks one
+    # cached copy of the embeddings table per call (repeated runs in a
+    # long-lived session degrade under eviction pressure). The eager
+    # local checkpoint is final-sized (q dropped), and its RDD is
+    # GC-cleaned with the returned frame — no caller-managed release.
+    final = (
+        q.mapInPandas(assigner(centroids), schema)
+        .drop("q")
+        .localCheckpoint(eager=True)
+    )
+    q.unpersist()
     return final, centroids, seed_ids

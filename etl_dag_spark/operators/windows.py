@@ -88,23 +88,36 @@ def _ranged_row_number(
     order: list[Column],
     num_partitions: int | None = None,
     pin: bool = True,
+    value_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared core of :func:`global_row_number` / :func:`exact_ntile`:
-    range-repartition on the sort key (range partition i holds keys
-    strictly below partition i+1's, so partition id IS the coarse rank)
-    and rank locally within each partition. Returns the locally-ranked
-    frame (``__pid``, ``__lrn``) plus the per-partition row counts —
-    every piece a later step needs to assemble exact global ranks
-    without ever sorting the data through one task.
+    """Shared core of :func:`global_row_number` / :func:`exact_ntile` /
+    :func:`global_running_sum`: range-repartition on the sort key
+    (range partition i holds keys strictly below partition i+1's, so
+    partition id IS the coarse rank) and rank locally within each
+    partition. Returns the locally-ranked frame (``__pid``, ``__lrn``)
+    plus the per-partition statistics — every piece a later step needs
+    to assemble exact global ranks without ever sorting the data
+    through one task.
+
+    With ``value_col``, additionally computes the local inclusive
+    running sum ``__lcs`` in the SAME window pass (CollapseWindow
+    merges the two expressions — one sort), and the returned stats
+    frame carries ``__pc`` = per-partition SUM(value_col) instead of
+    the row count, so :func:`global_running_sum` rides this pinned
+    placement rather than duplicating an unpinned copy of it.
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
-    local = ranged.withColumn(
-        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
-    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    local = ranged.withColumn("__lrn", F.row_number().over(w))
+    if value_col is not None:
+        local = local.withColumn(
+            "__lcs",
+            F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     # PIN the ranked frame before anything consumes it twice:
     # repartitionByRange picks its boundaries by SAMPLING, and the
     # sample depends on the upstream row placement, which a shuffled
@@ -124,7 +137,8 @@ def _ranged_row_number(
     # window, never a single-partition global sort.
     if pin:
         local = local.localCheckpoint(eager=False)
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pc"))
+    stat = F.count(F.lit(1)) if value_col is None else F.sum(value_col)
+    counts = local.groupBy("__pid").agg(stat.alias("__pc"))
     return local, counts
 
 
@@ -177,27 +191,19 @@ def global_running_sum(
     of :func:`global_row_number`: range-partition on the order key, sum
     locally, and add the broadcast exclusive prefix-sum of per-partition
     value totals. ``order`` must be a total order for determinism.
+    Rides the PINNED :func:`_ranged_row_number` core (value_col mode):
+    the ranged frame is consumed by two jobs (partition totals for the
+    broadcast offsets, plus the main read), and an unpinned
+    repartitionByRange can sample DIFFERENT boundaries per job —
+    offsets added to cumsums computed under other boundaries corrupt
+    the running totals nondeterministically (the exact_ntile bucket-5
+    bug class; see the pin comment in the core).
     """
-    spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *order).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    local = ranged.withColumn(
-        "__lcs",
-        F.sum(value_col).over(
-            Window.partitionBy("__pid")
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    # _partition_offsets is generic over the per-partition statistic:
-    # here __pc is the partition's value total, not its row count
-    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__pc"))
+    local, totals = _ranged_row_number(df, order, num_partitions, value_col=value_col)
     return (
         local.join(F.broadcast(_partition_offsets(totals)), "__pid")
         .withColumn(out_col, (F.col("__off") + F.col("__lcs")).cast("bigint"))
-        .drop("__pid", "__lcs", "__off")
+        .drop("__pid", "__lrn", "__lcs", "__off")
     )
 
 

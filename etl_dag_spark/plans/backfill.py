@@ -7,13 +7,18 @@ range whose inputs changed. The reference does it by truncate-and-load
 only viable form is *detect which partitions' inputs actually changed
 and recompute exactly those*.
 
-Change detection is a per-partition FINGERPRINT computed in ONE scan of
-the source: row count + bit_xor of a full-row hash. XOR is commutative,
-associative, and overflow-free, so the fingerprint is independent of
-row order and partitioning (a repartitioned but identical source maps
-to the identical manifest) and aggregates map-side. The count catches
-the one blind spot of pure XOR (a row inserted an even number of
-times). The manifest is partition-count-sized — metadata, not data.
+Change detection is a per-partition FINGERPRINT computed in one scan of
+the source: row count + bit_xor over the distinct (row_hash,
+multiplicity) pairs. XOR is commutative, associative, and
+overflow-free, so the fingerprint is independent of row order and
+partitioning (a repartitioned but identical source maps to the
+identical manifest) and aggregates map-side. Folding the multiplicity
+INTO the hashed pair (rather than xor-ing raw row hashes) makes the
+fingerprint multiset-exact: pure XOR cancels even multiplicities (two
+copies of y replaced by two copies of x is invisible — count AND xor
+both unchanged), while hash(row_hash, count) changes whenever any
+row's multiplicity changes. The manifest is partition-count-sized —
+metadata, not data.
 
 A backfill run then:
 - recomputes ONLY partitions whose fingerprint changed or appeared,
@@ -39,14 +44,23 @@ from etl_dag_spark.sources.merge import _recover_trash, _swap_dir
 def partition_fingerprints(
     df: DataFrame, part_col: str, hash_cols: list[str] | None = None
 ) -> DataFrame:
-    """(part, n_rows, content_hash) in one map-side-combined scan.
-    ``content_hash`` = bit_xor(xxhash64(row)) — order- and
-    partitioning-independent, no overflow (unlike a SUM of hashes,
-    which trips ANSI arithmetic at scale)."""
+    """(part, n_rows, content_hash) — multiset-exact and order/
+    partitioning-independent. Two-level aggregate: collapse to
+    (part, row_hash) → multiplicity first (map-side combine eats
+    in-partition duplicates; the shuffled record is 24 bytes/distinct
+    row), then xor xxhash64(row_hash, multiplicity) per partition.
+    Hashing the multiplicity in closes pure-XOR's blind spot (paired
+    rows cancel: y,y → x,x changes neither count nor xor of raw row
+    hashes) with no overflow anywhere (a wrapped SUM of hashes would
+    trip ANSI arithmetic at scale)."""
     cols = hash_cols or [c for c in df.columns if c != part_col]
-    return df.groupBy(F.col(part_col).alias("part")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("content_hash"),
+    per_row = df.groupBy(
+        F.col(part_col).alias("part"),
+        F.xxhash64(*[F.col(c) for c in cols]).alias("__rh"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    return per_row.groupBy("part").agg(
+        F.sum("__m").cast("bigint").alias("n_rows"),
+        F.bit_xor(F.xxhash64("__rh", "__m")).alias("content_hash"),
     )
 
 

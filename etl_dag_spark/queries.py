@@ -6587,10 +6587,10 @@ reg AS (
   FROM monthly GROUP BY nation
 )
 SELECT nation, CAST(n AS INT) AS n_months,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       CAST(n * sxy - sx * sy AS DOUBLE) / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
          / CAST(100.0 AS DOUBLE) AS slope_dollars,
        (CAST(sy AS DOUBLE)
-          - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE) / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
             * CAST(sx AS DOUBLE))
          / CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE) AS intercept_dollars
 FROM reg
@@ -6632,7 +6632,14 @@ def olap_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # nullif guard: a nation whose orders all land in ONE month gives a
+    # degenerate den = 0 — Spark's double divide yields NULL but
+    # DuckDB's IEEE divide yields Infinity, a data-dependent hash
+    # mismatch. NULL slope on both engines (same guard as olap_ab_test).
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
     slope = num / den
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
@@ -7008,7 +7015,13 @@ def weighted_sample_keys(
     only evict old members, never reshuffle them (the append-stability
     every sampler in this repo guarantees). The float ln is
     JVM-deterministic but not engine-portable — weighted-sample
-    queries are rows-only by design."""
+    queries are rows-only by design.
+
+    Zero/negative weights get +Infinity keys, not NULL: inclusion
+    probability ∝ w means w ≤ 0 must never be drawn, but Spark's
+    non-ANSI double divide turns -ln(u)/0.0 into NULL, and an
+    ascending orderBy puts NULLS FIRST — one empty document would
+    otherwise be deterministically included at rank 1."""
     u = (
         F.expr(
             f"CAST(conv(substring(md5(concat('{salt}:', CAST({id_col} AS STRING))),"
@@ -7016,7 +7029,9 @@ def weighted_sample_keys(
         )
         + 1
     ) / F.lit(float(1 << 32))  # uniform in (0, 1]
-    return -F.log(u) / weight
+    return F.when(weight > 0, -F.log(u) / weight).otherwise(
+        F.lit(float("inf"))
+    )
 
 
 @register("etl_weighted_sample")  # ln key → rows-only; ES properties pinned in pytest
@@ -7098,7 +7113,7 @@ _ROTATE_TO_FRONT = [
     # least row/err-checks them this round (VERDICT r6 #4)
     "dedup_cluster_lsh", "dedup_embedding_cosine_nd_exact",
     "dedup_incremental", "etl_pack_sequences_firstfit", "mm_phash_dedup",
-    # late-r7 additions — 4 new oracled + the rows-only k-means census,
+    # late-r7 additions — 8 new oracled + the rows-only k-means census,
     # all never driver-checked
     "etl_pseudonymize", "etl_k_anonymity", "olap_ab_test",
     "olap_sales_trend", "olap_attribution_last_touch",
@@ -7141,7 +7156,7 @@ _ROTATE_TO_FRONT = [
     # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
     # olap_trade_reach, bi_rfm_segments, dedup_source_overlap — then
     # (d) fill the remaining slots from the r6-evidence group (oldest
-    # first). With 125 oracles the window cycles in ~2.5 rounds:
+    # first). With 129 oracles the window cycles in ~2.6 rounds:
     # evidence ≤3 rounds old is the standing freshness bar, with the
     # per-round pytest parity run (every oracle at sf0.001) as the
     # continuous secondary gate. The r7 rows-only newcomers

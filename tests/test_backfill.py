@@ -159,3 +159,33 @@ def test_fingerprint_detects_single_row_change(spark):
     b = {r["part"]: r["content_hash"] for r in partition_fingerprints(tweaked, "month").collect()}
     diffs = {p for p in a if a[p] != b.get(p)}
     assert len(diffs) == 1
+
+
+def test_fingerprint_sees_even_multiplicity_swaps(spark):
+    """Pure XOR of row hashes cancels paired rows: replacing two copies
+    of y with two copies of x keeps count AND xor unchanged, silently
+    leaving the view stale. The (row_hash, multiplicity) fingerprint
+    must distinguish them."""
+    a = spark.createDataFrame(
+        [("2024-01", 5, "y"), ("2024-01", 5, "y")], "month string, v int, s string"
+    )
+    b = spark.createDataFrame(
+        [("2024-01", 7, "x"), ("2024-01", 7, "x")], "month string, v int, s string"
+    )
+    fa = partition_fingerprints(a, "month").collect()[0]
+    fb = partition_fingerprints(b, "month").collect()[0]
+    assert fa["n_rows"] == fb["n_rows"] == 2
+    assert fa["content_hash"] != fb["content_hash"]
+
+
+def test_fingerprint_sees_multiplicity_change_of_same_row(spark):
+    """1 copy vs 3 copies of the same row: count differs here, but the
+    hash alone must also differ (2 vs 4 copies would share the xor)."""
+    one = spark.createDataFrame([("2024-01", 1)], "month string, v int")
+    two = spark.createDataFrame([("2024-01", 1)] * 2, "month string, v int")
+    four = spark.createDataFrame([("2024-01", 1)] * 4, "month string, v int")
+    h2 = partition_fingerprints(two, "month").collect()[0]["content_hash"]
+    h4 = partition_fingerprints(four, "month").collect()[0]["content_hash"]
+    h1 = partition_fingerprints(one, "month").collect()[0]["content_hash"]
+    assert h2 != h4  # raw-xor fingerprint had h2 == h4 == 0
+    assert h1 != h2

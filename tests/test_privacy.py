@@ -145,3 +145,59 @@ def test_forget_keys_erasure_is_complete_and_minimal(spark, tmp_path):
     expect = {(r["uid"], r["name"], r["day"]) for r in df.collect() if r["uid"] not in (7, 8)}
     got = {(r["uid"], r["name"], r["day"]) for r in back.collect()}
     assert got == expect
+
+
+def test_forget_keys_erases_null_partition_rows(spark, tmp_path):
+    """Doomed rows under partition_col = NULL (__HIVE_DEFAULT_PARTITION__)
+    MUST be erased — isin() never matches NULL, so a naive touched-list
+    filter silently reports success while PII stays on disk."""
+    path = str(tmp_path / "store")
+    rows = [(i, f"u{i}", i % 3 if i % 5 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "uid long, name string, day int")
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+    # uid 0,5,10,... live in the NULL partition; doom two of them plus
+    # one day=1 row so both branches (null + non-null) exercise
+    doomed = spark.createDataFrame([(0,), (5,), (1,)], "uid long")
+    n = privacy.forget_keys(spark, path, doomed, "uid", partition_col="day")
+    assert n == 2  # NULL partition + day=1 rewritten
+    back = spark.read.parquet(path)
+    assert back.count() == 27
+    assert back.where(F.col("uid").isin(0, 5, 1)).count() == 0
+    # surviving NULL-partition rows intact
+    assert back.where(F.col("day").isNull()).count() == 4
+
+
+def test_forget_keys_drops_fully_erased_null_partition(spark, tmp_path):
+    path = str(tmp_path / "store")
+    rows = [(i, f"u{i}", None if i < 3 else 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "uid long, name string, day int")
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+    doomed = spark.createDataFrame([(0,), (1,), (2,)], "uid long")
+    n = privacy.forget_keys(spark, path, doomed, "uid", partition_col="day")
+    assert n == 1
+    assert not os.path.isdir(os.path.join(path, "day=__HIVE_DEFAULT_PARTITION__"))
+    back = spark.read.parquet(path)
+    assert back.count() == 7
+    assert back.where(F.col("day").isNull()).count() == 0
+
+
+def test_forget_keys_unpartitioned_no_match_is_a_noop(spark, tmp_path):
+    """An erasure batch matching nothing must NOT rewrite the store."""
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(10)], "uid long, name string")
+    df.write.mode("overwrite").parquet(path)
+    before = sorted(
+        (f, os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n = privacy.forget_keys(
+        spark, path, spark.createDataFrame([(999,)], "uid long"), "uid"
+    )
+    assert n == 0
+    after = sorted(
+        (f, os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert after == before

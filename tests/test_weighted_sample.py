@@ -85,3 +85,16 @@ def test_weight_monotonicity_single_item(spark):
     k1 = _sample(spark, df1, 100, salt="m")  # full ranking
     k2 = _sample(spark, df2, 100, salt="m")
     assert k2.index(42) <= k1.index(42)
+
+
+def test_zero_weight_rows_are_never_sampled(spark):
+    """w = 0 means inclusion probability 0 — but -ln(u)/0.0 is NULL
+    under Spark's double divide and ascending orderBy sorts NULLS
+    FIRST, which would deterministically include every zero-weight row
+    at rank 1. The key must map w <= 0 to +inf instead."""
+    rows = [(i, 0.0 if i < 5 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    for salt in ("a", "b", "c"):
+        got = _sample(spark, df, 20, salt)
+        assert not set(got) & {0, 1, 2, 3, 4}
+        assert len(got) == 20
