@@ -3625,6 +3625,116 @@ def etl_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROP_SAMPLE_K = 100
+
+
+@register(
+    "etl_proportional_sample",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+base AS (
+  SELECT source, ({_PROP_SAMPLE_K} * c) // t AS b, ({_PROP_SAMPLE_K} * c) % t AS r
+  FROM cnt, tot
+),
+seats AS (
+  SELECT source, b,
+         CASE WHEN row_number() OVER (ORDER BY r DESC, source)
+                   <= {_PROP_SAMPLE_K} - (SELECT sum(b) FROM base)
+              THEN 1 ELSE 0 END AS e
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('psamp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.source,
+       CAST(k.rk AS INT) AS domain_rank,
+       CAST(s.b + s.e AS BIGINT) AS domain_quota
+FROM ranked k JOIN seats s USING (source)
+WHERE k.rk <= s.b + s.e
+""",
+)
+def etl_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sample via largest-remainder
+    (Hamilton) apportionment: draw EXACTLY K documents whose per-domain
+    counts match the corpus mixture as closely as integers allow
+    (each quota within 1 of its exact proportional share, quotas
+    summing to K by construction). The exact-quota upgrade of
+    `sampleBy(fractions)` — per-stratum Bernoulli gives only EXPECTED
+    counts, which is wrong for fixed-budget eval sets and
+    contractual train-mix manifests.
+
+    Apportionment is pure integer math (seat = K·c DIV t, remainders
+    ranked desc with source tiebreak) on a one-row-per-domain frame —
+    bounded by the curated domain taxonomy, same contract as the
+    domain-mix operators; the bounded unpartitioned remainder-rank
+    window sorts ≤|domains| rows. Within each domain the quota is
+    filled by salted-content-hash order ('psamp:' salt decorrelates
+    from the other samplers), selected with the skew-safe two-phase
+    per-group top-K (windows.per_group_top_k — no hot domain ever
+    sorts through one task), then filtered to the domain's quota:
+    any quota row is necessarily in the domain's top-K since
+    quota ≤ K. Deterministic and append-stable like every sampler
+    here; the corpus never shuffles — only (doc_id, source, hash)
+    triples move."""
+    d = load_table(spark, sf_dir, "documents")
+    k_lit = F.lit(_PROP_SAMPLE_K).cast("bigint")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("t"))  # 1 row, bounded
+    base = cnt.join(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({_PROP_SAMPLE_K} * c) DIV t").alias("b"),
+        F.expr(f"({_PROP_SAMPLE_K} * c) % t").alias("r"),
+    )
+    sb = base.agg(F.sum("b").cast("bigint").alias("sb"))  # 1 row, bounded
+    wr = Window.orderBy(F.col("r").desc(), "source")  # ≤ |domains| rows, bounded
+    seats = (
+        base.join(F.broadcast(sb))
+        .withColumn("__rn", F.row_number().over(wr))
+        .select(
+            "source",
+            (
+                F.col("b")
+                + F.when(F.col("__rn") <= k_lit - F.col("sb"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    hv = F.expr(
+        "CAST(conv(substring(md5(concat('psamp:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    h = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", hv.alias("__hv")
+    )
+    ranked = win.per_group_top_k(
+        h,
+        "source",
+        [F.col("__hv"), F.col("doc_id")],
+        k=_PROP_SAMPLE_K,
+        rank_col="domain_rank",
+    )
+    return (
+        ranked.join(seats, "source")
+        .where(F.col("domain_rank") <= F.col("q"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("domain_rank").cast("int").alias("domain_rank"),
+            F.col("q").alias("domain_quota"),
+        )
+    )
+
+
 @register(
     "olap_cumulative_new_users",
     oracle="""
@@ -7102,7 +7212,7 @@ def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (129 oracled as of late round 7), so each round the oracled
+# window holds (130 oracled as of late round 7), so each round the oracled
 # group is rotated: whatever sat outside the previous round's window
 # goes first, maximizing cumulative cross-round hash evidence
 # (everything rotated out this round is hash-green in r6). Re-keying
@@ -7144,7 +7254,7 @@ _ROTATE_TO_FRONT = [
     # accepted bar — they rotate FIRST in r8)
     "olap_pivot_events",
     # ---- position 51+ (out of window): the r8 front-of-queue ----
-    # Concrete r8 plan (registry now holds 129 oracled + 23 rows-only,
+    # Concrete r8 plan (registry now holds 130 oracled + 23 rows-only,
     # window = 50): r8's window takes, in order, (a) these 16 displaced
     # r5-evidence queries, (b) the 10 r5-stale single-scan queries
     # below them, (c) the 16 late-r7 oracled queries that have never
@@ -7154,9 +7264,10 @@ _ROTATE_TO_FRONT = [
     # olap_sliding_distinct, olap_cooccurring_parts,
     # dedup_cluster_survivorship, etl_embedding_confusion,
     # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
-    # olap_trade_reach, bi_rfm_segments, dedup_source_overlap — then
+    # olap_trade_reach, bi_rfm_segments, dedup_source_overlap,
+    # etl_proportional_sample (added after the r7 window froze) — then
     # (d) fill the remaining slots from the r6-evidence group (oldest
-    # first). With 129 oracles the window cycles in ~2.6 rounds:
+    # first). With 130 oracles the window cycles in ~2.6 rounds:
     # evidence ≤3 rounds old is the standing freshness bar, with the
     # per-round pytest parity run (every oracle at sf0.001) as the
     # continuous secondary gate. The r7 rows-only newcomers

@@ -98,3 +98,26 @@ def test_zero_weight_rows_are_never_sampled(spark):
         got = _sample(spark, df, 20, salt)
         assert not set(got) & {0, 1, 2, 3, 4}
         assert len(got) == 20
+
+
+def test_proportional_sample_hamilton_invariants(spark):
+    """Largest-remainder apportionment: quotas sum to exactly K, each
+    within 1 of its exact proportional share, per-domain selection
+    fills the quota exactly, and the draw is deterministic."""
+    out = SPARK_QUERIES["etl_proportional_sample"](spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    c = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    t = sum(c.values())
+    K = 100
+    assert len(out) == K
+    quotas = out.drop_duplicates("source").set_index("source")["domain_quota"]
+    assert quotas.sum() == K
+    for s, q in quotas.items():
+        assert abs(q - K * c[s] / t) < 1
+    # quota filled exactly: selected count per domain == quota
+    sel = out.groupby("source").size()
+    for s, n in sel.items():
+        assert n == quotas[s]
+    again = SPARK_QUERIES["etl_proportional_sample"](spark, SF_DIR).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
