@@ -68,6 +68,19 @@ def _manifest_map(rows) -> dict:
     return {str(r["part"]): (r["n_rows"], r["content_hash"]) for r in rows}
 
 
+def _rm_partition_dirs(view_path: str, part_col: str, doomed: set[str]) -> None:
+    """Delete ``view_path``'s hive partition dirs whose value is in
+    ``doomed`` (string-compared after URL-unquoting, matching the
+    manifest's str() keys)."""
+    if not doomed or not os.path.isdir(view_path):
+        return
+    for d in os.listdir(view_path):
+        full = os.path.join(view_path, d)
+        col, _, raw = d.partition("=")
+        if os.path.isdir(full) and col == part_col and unquote(raw) in doomed:
+            shutil.rmtree(full)
+
+
 def backfill(
     spark: SparkSession,
     source: DataFrame,
@@ -90,7 +103,21 @@ def backfill(
     the same metadata-plane contract as merge.py's touched-partition
     list."""
     _recover_trash(manifest_path)
-    now = _manifest_map(partition_fingerprints(source, part_col, hash_cols).collect())
+    fp_rows_now = partition_fingerprints(source, part_col, hash_cols).collect()
+    if any(r["part"] is None for r in fp_rows_now):
+        # Enforce the "sane path atoms" contract instead of silently
+        # fingerprinting NULL as str(None)=='None': the recompute
+        # filter below (`cast(string).isin(...)`) can NEVER match NULL
+        # rows (the documented isin-NULL trap), so a changed NULL
+        # partition would be marked recomputed while nothing was
+        # rewritten — and the manifest swap would hide the staleness
+        # forever.
+        raise ValueError(
+            f"backfill: NULL value in partition column {part_col!r}; "
+            "partition values must be sane path atoms (dates, months, "
+            "ints). Filter or fill NULLs upstream."
+        )
+    now = _manifest_map(fp_rows_now)
     have_manifest = os.path.isdir(manifest_path) and any(
         not f.startswith(("_", ".")) for f in os.listdir(manifest_path)
     )
@@ -106,6 +133,16 @@ def backfill(
 
     if stale:
         part_strs = set(stale)
+        # Clear the stale view partition dirs BEFORE the write: dynamic
+        # partitionOverwriteMode only rewrites partitions present in
+        # the written output, so a stale partition whose recompute now
+        # yields ZERO view rows (e.g. the filtering view_fn drops every
+        # row) would otherwise keep its old derived files on disk while
+        # the manifest advances — permanently stale. Pre-deleting is
+        # crash-safe: the manifest only swaps at the end, so a crash in
+        # the window re-marks the same partitions stale on the next run
+        # and the idempotent recompute redoes them.
+        _rm_partition_dirs(view_path, part_col, part_strs)
         stale_src = source.where(
             F.col(part_col).cast("string").isin(list(part_strs))
         )
@@ -116,13 +153,8 @@ def backfill(
             .partitionBy(part_col)
             .parquet(view_path)
         )
-    if dropped and os.path.isdir(view_path):
-        doomed = set(dropped)
-        for d in os.listdir(view_path):
-            full = os.path.join(view_path, d)
-            col, _, raw = d.partition("=")
-            if os.path.isdir(full) and col == part_col and unquote(raw) in doomed:
-                shutil.rmtree(full)
+    if dropped:
+        _rm_partition_dirs(view_path, part_col, set(dropped))
 
     # atomic manifest swap (staging + rename, shared with merge.py)
     staging = manifest_path.rstrip("/") + "__staging"

@@ -6780,7 +6780,7 @@ u AS (
   FROM b WHERE event_type = 'purchase'
   UNION ALL
   SELECT user_id, us AS t, 0 AS is_left, event_id AS ord,
-         NULL AS cents, CAST(k % 8 AS INT) AS campaign, us AS c_us
+         NULL AS cents, CAST(((k % 8) + 8) % 8 AS INT) AS campaign, us AS c_us
   FROM b WHERE event_type = 'click'
 ),
 carried AS (
@@ -6856,7 +6856,7 @@ p AS (
 ),
 c AS (
   SELECT user_id AS c_user, us AS c_us, event_id AS click_id,
-         CAST(k % 8 AS INT) AS campaign
+         CAST(((k % 8) + 8) % 8 AS INT) AS campaign
   FROM b WHERE event_type = 'click'
 ),
 j AS (

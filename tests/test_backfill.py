@@ -126,6 +126,58 @@ def test_vanished_partition_is_dropped(spark, tmp_path):
     assert spark.read.parquet(view).where(F.col("month") == target).count() == 0
 
 
+def test_stale_partition_recomputing_to_zero_rows_is_cleared(spark, tmp_path):
+    """Dynamic partitionOverwriteMode only rewrites partitions present
+    in the written output, so a stale partition whose recompute yields
+    ZERO view rows (filtering view_fn) must be cleared explicitly or
+    its old derived rows stay on disk forever while the manifest
+    advances."""
+    def _big_orders(src):
+        return src.where(F.col("o_totalprice") > F.lit(1e16)).groupBy(
+            "month"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+
+    def _thresholded(th):
+        def fn(src):
+            return src.where(F.col("o_totalprice") > th).groupBy("month").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders")
+            )
+        return fn
+
+    src_path = str(tmp_path / "src")
+    _source(spark, src_path)
+    src = spark.read.parquet(src_path)
+    view, man = str(tmp_path / "view"), str(tmp_path / "manifest")
+    # pass 1: low threshold — every month emits rows
+    backfill(spark, src, "month", _thresholded(0.0), view, man)
+    target = src.select(F.min("month")).first()[0]
+    # pass 2: perturb ONE month so it goes stale, with a view_fn whose
+    # recompute of that month emits zero rows
+    bumped = src.withColumn(
+        "o_totalprice",
+        F.when(F.col("month") == target, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    report = backfill(spark, bumped, "month", _big_orders, view, man)
+    assert target in report["recomputed"]
+    assert not os.path.isdir(os.path.join(view, f"month={target}"))
+
+
+def test_null_partition_value_is_rejected(spark, tmp_path):
+    """str(None)=='None' fingerprint keys + the isin-NULL trap would
+    mark a changed NULL partition recomputed while rewriting nothing;
+    the contract is enforced up front instead."""
+    df = spark.createDataFrame(
+        [("2024-01", 1), (None, 2)], "month string, v int"
+    )
+    with pytest.raises(ValueError, match="NULL value in partition column"):
+        backfill(
+            spark, df, "month", lambda s: s,
+            str(tmp_path / "view"), str(tmp_path / "manifest"),
+        )
+
+
 def test_fingerprints_are_order_and_layout_invariant(spark, tmp_path):
     src_path = str(tmp_path / "src")
     _source(spark, src_path)
