@@ -3,10 +3,12 @@
 Media travel as opaque ``binary`` columns next to a typed metadata
 struct. Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the one place Python is allowed, because codecs are
-Python-side. In this container the actual codec libraries are absent,
-so the decode step is STUBBED with a deterministic fake
-(`_stub_decode`) behind a clearly marked seam; the Spark-side plumbing
-(schema, batching, partitioning, UDF signature) is real and tested.
+Python-side. Uncompressed raster formats (BMP, binary PPM/PGM) decode
+FOR REAL via the pure-numpy :func:`decode_image` (no codec library
+needed); anything else falls back to a deterministic stub behind the
+same seam (`_stub_decode`), where an import-guarded PIL/libav call
+would slot in for compressed formats. The Spark-side plumbing (schema,
+batching, partitioning, UDF signature) is identical on both paths.
 
 Scale notes: binary payloads dominate size, so the pipeline (a) keeps
 them out of every shuffle (metadata-only projections until the final
@@ -39,11 +41,105 @@ def attach_binary_payload(documents: DataFrame, text_col: str = "text") -> DataF
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int]:
-    """STUB: stands in for an image/audio decode (PIL/libav not in this
-    container). Deterministic fake dimensions derived from content
-    length so tests are stable. Replace with the real codec here —
-    nothing else changes."""
+    """STUB: stands in for an opaque-format decode (PIL/libav not in
+    this container). Deterministic fake dimensions derived from content
+    length so tests are stable. Real raster formats (BMP, PPM/PGM) skip
+    this — they go through :func:`decode_image`."""
     return (len(payload) % 640) + 1, (len(payload) % 480) + 1
+
+
+def decode_image(payload: bytes):
+    """Pure-numpy decode of the uncompressed raster formats: BMP
+    (BITMAPINFOHEADER, BI_RGB, 8/24/32 bpp, bottom-up or top-down) and
+    binary PPM (P6) / PGM (P5), maxval ≤ 255. Returns a 2-D float64
+    grayscale array (ITU-R BT.601 luma for color), or ``None`` when the
+    payload is not one of these formats — callers fall back to the
+    deterministic stub, so the pipeline keeps working on opaque bytes.
+
+    No codec library involved: header parse + ``np.frombuffer`` reshape
+    only, so it runs in any executor Python. Compressed formats
+    (JPEG/PNG) would slot in here behind the same ``None``-fallback
+    seam via an import-guarded PIL call.
+    """
+    import numpy as np
+
+    try:
+        if payload[:2] == b"BM" and len(payload) >= 54:
+            off = int.from_bytes(payload[10:14], "little")
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            bpp = int.from_bytes(payload[28:30], "little")
+            compression = int.from_bytes(payload[30:34], "little")
+            if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+                return None
+            top_down, ah = h < 0, abs(h)
+            stride = ((bpp * w + 31) // 32) * 4
+            if off + stride * ah > len(payload):
+                return None
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * ah, offset=off
+            ).reshape(ah, stride)
+            ch = bpp // 8
+            px = rows[:, : w * ch].reshape(ah, w, ch).astype(np.float64)
+            if not top_down:
+                px = px[::-1]
+            if ch == 1:  # 8-bit palette index treated as grayscale
+                return px[:, :, 0]
+            # BMP channel order is B,G,R(,A)
+            return 0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+        if payload[:2] in (b"P5", b"P6"):
+            # header: magic, width, height, maxval — whitespace-separated
+            # with '#' comments; pixel data follows the single whitespace
+            # byte after maxval
+            pos, fields = 2, []
+            while len(fields) < 3 and pos < len(payload):
+                c = payload[pos : pos + 1]
+                if c == b"#":
+                    pos = payload.index(b"\n", pos) + 1
+                elif c.isspace():
+                    pos += 1
+                else:
+                    end = pos
+                    while end < len(payload) and not payload[end : end + 1].isspace():
+                        end += 1
+                    fields.append(int(payload[pos:end]))
+                    pos = end
+            pos += 1  # the single whitespace after maxval
+            w, h, maxval = fields
+            if not (0 < maxval <= 255 and w > 0 and h > 0):
+                return None
+            ch = 3 if payload[:2] == b"P6" else 1
+            if pos + w * h * ch > len(payload):
+                return None
+            px = (
+                np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+                .reshape(h, w, ch)
+                .astype(np.float64)
+                * (255.0 / maxval)
+            )
+            if ch == 1:
+                return px[:, :, 0]
+            return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+def pool_raster(img, out_h: int, out_w: int):
+    """Exact area-mean pooling of a 2-D array to (out_h, out_w): each
+    source pixel contributes to the bucket its index maps to, so any
+    input size resamples deterministically in one O(h·w) pass — the
+    resize primitive under pHash and thumbnailing (no scipy/PIL)."""
+    import numpy as np
+
+    h, w = img.shape
+    r = (np.arange(h) * out_h) // h
+    c = (np.arange(w) * out_w) // w
+    sums = np.zeros((out_h, out_w))
+    np.add.at(sums, (r[:, None], c[None, :]), img)
+    counts = np.zeros((out_h, out_w))
+    np.add.at(counts, (r[:, None], c[None, :]), 1.0)
+    return sums / np.maximum(counts, 1.0)
 
 
 def extract_media_meta(df: DataFrame) -> DataFrame:
@@ -56,9 +152,15 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def _dims(p: bytes) -> tuple[int, int]:
+            img = decode_image(p)
+            if img is not None:
+                return img.shape[1], img.shape[0]
+            return _stub_decode(p)
+
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [_stub_decode(bytes(p)) for p in payloads]
+            dims = [_dims(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -90,6 +192,15 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     cols = df.select("doc_id", "payload")
 
     def _stub_resize(payload: bytes) -> bytes:
+        import numpy as np
+
+        img = decode_image(payload)
+        if img is not None:  # real raster: area-mean grayscale thumbnail
+            return bytes(
+                np.clip(pool_raster(img, height, width), 0, 255)
+                .astype(np.uint8)
+                .tobytes()
+            )
         target = width * height
         if not payload:
             return b"\x00" * target
@@ -163,8 +274,10 @@ def phash_signatures(df: DataFrame, grid: int = 32, hash_size: int = 8) -> DataF
     and the one that avoids int64 sign-bit overflow under ANSI mode).
 
     The DCT/threshold math is the real pHash pipeline (numpy matrix
-    DCT, no codec dependency); only the raster comes from the stubbed
-    decode seam (`_stub_raster`). pHash's robustness assumes the input
+    DCT, no codec dependency). BMP/PPM/PGM payloads decode for real
+    (``decode_image`` → area-mean pool to the grid — the actual pHash
+    front end); opaque payloads fall back to the stubbed raster
+    (`_stub_raster`). pHash's robustness assumes the input
     has natural-image spectral structure (low-frequency energy ≫ the
     energy of a small local edit), so the stub integrates the payload
     bytes into a mean-centered random walk (1/f² spectrum) rather than
@@ -193,6 +306,11 @@ def phash_signatures(df: DataFrame, grid: int = 32, hash_size: int = 8) -> DataF
     dct_m *= np.sqrt(2 / grid)
 
     def _stub_raster(payload: bytes) -> "np.ndarray":
+        img = decode_image(payload)
+        if img is not None:
+            # real raster: area-mean pool to the DCT grid — the actual
+            # pHash front end (decode → grayscale → downscale)
+            return pool_raster(img, grid, grid)
         target = grid * grid
         if not payload:
             return np.zeros((grid, grid))
