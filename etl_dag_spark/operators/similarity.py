@@ -1336,3 +1336,124 @@ def distributed_kmeans(
     )
     q.unpersist()
     return final, centroids, seed_ids
+
+
+def embedding_pca(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+    extra_cols: list[str] | None = None,
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """Distributed PCA over an embedding column — the whitening /
+    dimensionality-reduction front end of embedding-quality pipelines
+    (SemDeDup-style clustering, outlier detection, and IVF codebooks
+    all behave better in decorrelated coordinates).
+
+    Scale shape: ONE Arrow pass over the corpus computes per-batch
+    moment partials in numpy (n, Σx as d rows, Σxxᵀ as the d·(d+1)/2
+    upper triangle), which shuffle as AT MOST d + d² tiny integer rows
+    per batch — the moment matrix is a constant of the operator, never
+    of the corpus (the ``distributed_kmeans`` update-shuffle shape).
+    The d×d eigendecomposition runs on the driver (d is an operator
+    parameter, bounded); the projection is a second Arrow pass with the
+    component matrix riding the task closure. Nothing corpus-sized
+    ever reaches the driver.
+
+    Determinism: coordinates are integer-quantized (floor(x·quant) →
+    int64) exactly like ``distributed_kmeans``, so the moment sums are
+    order-independent integer arithmetic and the covariance matrix is
+    bit-identical on every run; ``numpy.linalg.eigh`` on that matrix is
+    deterministic in-process, and each projected row is a fixed dot
+    product of its own quantized vector with the broadcast components.
+    Sign convention: each eigenvector is flipped so its
+    largest-magnitude coordinate is positive (eigh's sign is otherwise
+    arbitrary). tests/test_pca.py replays the identical arithmetic in
+    numpy and requires bit-equality.
+
+    int64 headroom: a batch partial is ≤ rows_per_batch · quant² per
+    cell (~1.6e10 per row at unit-norm embeddings with quant=1e6), and
+    the global sum holds to ~5e8 rows per cell before approaching 2^63;
+    beyond that scale, lower ``quant`` (the extra quantization noise is
+    ~1/quant, far below embedding noise) — the plan does not change.
+
+    Returns (projection frame ``vec_id [, extra_cols], pc array<double>``,
+    eigenvalues of the covariance in descending order (float, original
+    units), components as an (n_components, d) ndarray).
+    """
+    extra = list(extra_cols or [])
+    # quantized_vectors normalizes the id column name to ``vec_id``
+    q = _spread(quantized_vectors(embeddings, id_col, vec_col, quant))
+    if extra:
+        q = q.join(
+            embeddings.select(F.col(id_col).cast("bigint").alias("vec_id"), *extra),
+            "vec_id",
+        )
+    q = q.persist()
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            n, d = mat.shape
+            iu = np.triu_indices(d)
+            out_i = np.concatenate(([-1], np.arange(d), iu[0]))
+            out_j = np.concatenate(([-1], np.full(d, -1), iu[1]))
+            out_v = np.concatenate(
+                ([n], mat.sum(axis=0), (mat.T @ mat)[iu])
+            ).astype(np.int64)
+            yield pd.DataFrame({"i": out_i.astype(np.int32),
+                                "j": out_j.astype(np.int32), "v": out_v})
+
+    mom = (
+        q.mapInPandas(moments, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    d = dim_of(embeddings, vec_col)
+    n_total = 0
+    s = np.zeros(d, dtype=np.int64)
+    ss = np.zeros((d, d), dtype=np.int64)
+    for r in mom:
+        if r["i"] == -1:
+            n_total = int(r["v"])
+        elif r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            ss[r["i"], r["j"]] = r["v"]
+            ss[r["j"], r["i"]] = r["v"]
+    # covariance in ORIGINAL units: (Σxxᵀ/n − μμᵀ) / quant²
+    mu_q = s.astype(np.float64) / n_total
+    cov = (ss.astype(np.float64) / n_total - np.outer(mu_q, mu_q)) / (quant * quant)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = evals[order]
+    comp = evecs[:, order].T  # (n_components, d)
+    flip = np.sign(comp[np.arange(len(comp)), np.abs(comp).argmax(axis=1)])
+    comp = comp * flip[:, None]
+
+    c_mat, mu = comp.copy(), mu_q.copy()
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            pc = ((mat - mu) / quant) @ c_mat.T
+            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            for c in extra:
+                cols[c] = pdf[c]
+            cols["pc"] = list(pc)
+            yield pd.DataFrame(cols)
+
+    extra_schema = "".join(
+        f", {c} {embeddings.schema[c].dataType.simpleString()}" for c in extra
+    )
+    out = q.mapInPandas(
+        project, f"vec_id long{extra_schema}, pc array<double>"
+    ).localCheckpoint(eager=True)
+    q.unpersist()
+    return out, evals, comp

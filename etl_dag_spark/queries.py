@@ -7332,6 +7332,587 @@ def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_filter_agreement",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
+  FROM tk
+),
+wt AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+            % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
+  FROM feat
+),
+cls AS (SELECT doc_id, (sum(w) >= 0) AS keep_cls FROM wt GROUP BY doc_id),
+rule AS (
+  SELECT doc_id,
+         (CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
+            * CAST(0.5 AS DOUBLE)
+          + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                  CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE))
+           >= CAST(0.5 AS DOUBLE) AS keep_rule
+  FROM documents
+  WHERE {token_count_sql("text")} >= 1
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN keep_rule AND keep_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+         CAST(sum(CASE WHEN NOT keep_rule AND NOT keep_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+         CAST(sum(CASE WHEN keep_rule AND NOT keep_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
+         CAST(sum(CASE WHEN NOT keep_rule AND keep_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_only
+  FROM rule r JOIN cls c USING (doc_id)
+)
+SELECT n_docs, n_both_keep, n_both_drop, n_rule_only, n_cls_only, po, pe,
+       (po - pe) / (CAST(1.0 AS DOUBLE) - pe) AS kappa
+FROM (
+  SELECT *,
+         CAST(n_both_keep + n_both_drop AS DOUBLE) / n_docs AS po,
+         (CAST(n_both_keep + n_rule_only AS DOUBLE) / n_docs)
+           * (CAST(n_both_keep + n_cls_only AS DOUBLE) / n_docs)
+         + (CAST(n_both_drop + n_cls_only AS DOUBLE) / n_docs)
+           * (CAST(n_both_drop + n_rule_only AS DOUBLE) / n_docs) AS pe
+  FROM counts
+)
+""",
+)
+def etl_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-filter agreement (Cohen's kappa) between the two registered
+    quality gates — the heuristic composite score (text_quality,
+    keep at score ≥ 0.5) and the hashed linear classifier
+    (text_quality_classifier, keep at raw_score ≥ 0). Production corpus
+    pipelines run exactly this calibration before swapping one filter
+    for another: raw % agreement flatters any pair of skewed filters,
+    kappa subtracts the chance-agreement floor.
+
+    Scale shape: each rater is a single scan (the rule in pure Column
+    arithmetic; the classifier explode→groupBy with no vocabulary
+    state), one doc_id equi-join, then a 1-row global aggregate whose
+    po/pe/kappa arithmetic derives from integer counts — deterministic
+    in both engines with the same term order."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_column("text")
+    n_stop = stopword_count_column("text")
+    rule = d.where(n_tok >= 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (
+            (
+                n_stop.cast("double") / n_tok * 0.5
+                + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+            )
+            >= 0.5
+        ).alias("keep_rule"),
+    )
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("t"),
+    )
+    b = F.expr(
+        f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), {_CLS_BUCKETS})"
+    )
+    w = F.expr(
+        f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8), 16, 10)"
+        f" AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
+    )
+    cls = (
+        tk.withColumn("b", b)
+        .withColumn("w", w)
+        .groupBy("doc_id")
+        .agg((F.sum("w") >= 0).alias("keep_cls"))
+    )
+    both = F.col("keep_rule") & F.col("keep_cls")
+    neither = ~F.col("keep_rule") & ~F.col("keep_cls")
+    rule_only = F.col("keep_rule") & ~F.col("keep_cls")
+    cls_only = ~F.col("keep_rule") & F.col("keep_cls")
+    counts = (
+        rule.join(cls, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(both.cast("int")).cast("bigint").alias("n_both_keep"),
+            F.sum(neither.cast("int")).cast("bigint").alias("n_both_drop"),
+            F.sum(rule_only.cast("int")).cast("bigint").alias("n_rule_only"),
+            F.sum(cls_only.cast("int")).cast("bigint").alias("n_cls_only"),
+        )
+    )
+    n = F.col("n_docs")
+    po = (F.col("n_both_keep") + F.col("n_both_drop")).cast("double") / n
+    pe = (
+        (F.col("n_both_keep") + F.col("n_rule_only")).cast("double") / n
+    ) * ((F.col("n_both_keep") + F.col("n_cls_only")).cast("double") / n) + (
+        (F.col("n_both_drop") + F.col("n_cls_only")).cast("double") / n
+    ) * (
+        (F.col("n_both_drop") + F.col("n_rule_only")).cast("double") / n
+    )
+    return (
+        counts.withColumn("po", po)
+        .withColumn("pe", pe)
+        .withColumn("kappa", (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")))
+    )
+
+
+@register(
+    "text_url_normalize",
+    oracle="""
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80/docs/'
+                   || CAST(doc_id // 2 AS VARCHAR)
+                   || '?utm_source=feed&b=2&a=1&fbclid=f'
+                   || CAST(doc_id % 100 AS VARCHAR) || '#frag'
+              ELSE 'http://' || source || '.example.com/docs/'
+                   || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+         END AS raw_url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(raw_url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(raw_url, '\\?([^#]*)', 1) AS qs
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, raw_url,
+         scheme || '://' || host
+         || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END
+         || path
+         || CASE WHEN len(list_filter(string_split(qs, '&'),
+                      p -> p <> '' AND NOT starts_with(p, 'utm_')
+                           AND NOT starts_with(p, 'fbclid=')
+                           AND NOT starts_with(p, 'gclid='))) > 0
+                 THEN '?' || array_to_string(
+                      list_sort(list_filter(string_split(qs, '&'),
+                        p -> p <> '' AND NOT starts_with(p, 'utm_')
+                             AND NOT starts_with(p, 'fbclid=')
+                             AND NOT starts_with(p, 'gclid='))), '&')
+                 ELSE '' END AS canonical_url
+  FROM parts
+)
+SELECT doc_id, raw_url, canonical_url, md5(canonical_url) AS url_key,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS dup_group_size
+FROM canon
+""",
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the web-corpus curation step that
+    collapses trivially-different URLs of one resource (scheme/host
+    case, ``www.`` prefix, default port, tracking params, fragments,
+    param order) into a single dedup key BEFORE any content-level
+    dedup runs; CommonCrawl-style pipelines dedup on exactly this key
+    first because it is free compared to MinHash. The documents table
+    has no URL column, so the messy inputs are derived
+    deterministically from (doc_id, source) — two raw variants per
+    resource id (the ``etl_country_fuzzy`` perturbation pattern) that
+    must normalize to the identical canonical form.
+
+    Scale shape: per-row regex/string algebra at scan speed (the only
+    higher-order lambdas run once over a ≤4-element param array — not
+    the nested-per-iteration shape SURVEY §6b bans), then ONE window
+    count keyed by the canonical url for group sizes — the same
+    shuffle the downstream URL-dedup would pay anyway."""
+    d = load_table(spark, sf_dir, "documents")
+    rid = F.expr("doc_id DIV 2").cast("string")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTP://WWW."), F.upper("source"), F.lit(".EXAMPLE.COM:80/docs/"),
+            rid, F.lit("?utm_source=feed&b=2&a=1&fbclid=f"),
+            (F.col("doc_id") % 100).cast("string"), F.lit("#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/docs/"),
+            rid, F.lit("?a=1&b=2"),
+        )
+    )
+    base = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), raw.alias("raw_url")
+    )
+    scheme = F.lower(F.regexp_extract("raw_url", "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("raw_url", "^[A-Za-z]+://([^/:?#]+)", 1)),
+        "^www\\.", "",
+    )
+    port = F.regexp_extract("raw_url", "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    path = F.regexp_extract("raw_url", "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    qs = F.regexp_extract("raw_url", "\\?([^#]*)", 1)
+    keep_params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    parts = base.select(
+        "doc_id", "raw_url",
+        scheme.alias("scheme"), host.alias("host"), port.alias("port"),
+        path.alias("path"), keep_params.alias("kp"),
+    )
+    canonical = F.concat(
+        F.col("scheme"), F.lit("://"), F.col("host"),
+        F.when(
+            (F.col("port") == "")
+            | ((F.col("scheme") == "http") & (F.col("port") == "80"))
+            | ((F.col("scheme") == "https") & (F.col("port") == "443")),
+            F.lit(""),
+        ).otherwise(F.concat(F.lit(":"), F.col("port"))),
+        F.col("path"),
+        F.when(
+            F.size("kp") > 0,
+            F.concat(F.lit("?"), F.array_join(F.array_sort("kp"), "&")),
+        ).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        parts.withColumn("canonical_url", canonical)
+        .select(
+            "doc_id", "raw_url", "canonical_url",
+            F.md5("canonical_url").alias("url_key"),
+        )
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+    )
+
+
+@register(
+    "etl_l_diversity",
+    oracle="""
+SELECT c_mktsegment AS segment, n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+       (count(DISTINCT o_orderpriority) >= 3) AS meets_l3
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+""",
+)
+def etl_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    re-identification check k-anonymity misses: a quasi-identifier
+    group can be k-large yet expose its members if the SENSITIVE
+    attribute (order priority here) is homogeneous inside it. Reports
+    per QI group (market segment × nation) the group size, the number
+    of distinct sensitive values, and whether distinct-l ≥ 3 holds.
+    Completes the governance family: pseudonymization (#133), erasure
+    (#133b), k-anonymity (#133c).
+
+    Scale shape: fact⋈customer shuffles on the key (unhinted —
+    customer is SF-scaled), nation broadcasts (bounded), then one
+    grouped aggregate; COUNT(DISTINCT) expands inside the aggregate
+    (bounded by the 5 priority values), no extra pass."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+            (F.countDistinct("o_orderpriority") >= 3).alias("meets_l3"),
+        )
+    )
+
+
+@register("etl_embedding_pca")  # float eigendecomposition → rows-only; bit-equality replay in pytest
+def etl_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of the embeddings table to its top-8
+    principal components (similarity.py::embedding_pca) — the
+    decorrelation/whitening front end embedding-quality pipelines run
+    before clustering (SemDeDup), outlier scoring, and IVF codebook
+    training. One Arrow moment pass (≤ d+d² integer rows shuffled per
+    batch — corpus-size-independent), driver-side d×d eigh, one
+    projection pass.
+
+    Rows-only by design: eigenvectors are float linear algebra with no
+    bit-exact SQL twin; tests/test_pca.py replays the identical
+    quantized-moment arithmetic in numpy and requires the exact
+    covariance/eigenvalues and every projected coordinate to 1e-12,
+    plus bit-identical results across repeated invocations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj, _evals, _comp = sim.embedding_pca(
+        emb, n_components=8, extra_cols=["label"]
+    )
+    return proj.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.round(F.element_at("pc", 1), 9).alias("pc1"),
+        F.round(F.element_at("pc", 2), 9).alias("pc2"),
+        F.round(F.element_at("pc", 3), 9).alias("pc3"),
+    )
+
+
+@register(
+    "olap_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY prev_type) AS p_transition
+FROM t
+""",
+)
+def olap_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the clickstream model behind next-action prediction and
+    anomalous-flow detection): for each ordered (prev → next) event
+    pair, the transition count and the row-normalized probability.
+
+    Scale shape: one lag window keyed by user (the per-user shuffle the
+    sequence model fundamentally needs — partitions are user-sized,
+    never corpus-sized), a grouped count bounded by |event_types|², and
+    the normalizing window runs over that BOUNDED aggregate, not the
+    event stream. Time order is integer µs + event_id (the events
+    contract); probabilities derive from integer counts with identical
+    term order in both engines."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns DIV 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return t.withColumn(
+        "p_transition",
+        F.col("n_transitions").cast("double") / F.sum("n_transitions").over(norm),
+    )
+
+
+@register(
+    "etl_drift_chisq",
+    oracle="""
+WITH halves AS (
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
+  FROM halves
+),
+scored AS (
+  SELECT priority, n_a, n_b,
+         CAST(n_a AS DOUBLE) / tot_a * tot_b AS expected_b,
+         (CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE) / tot_a * tot_b)
+           * (CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE) / tot_a * tot_b)
+           / (CAST(n_a AS DOUBLE) / tot_a * tot_b) AS chisq_contrib
+  FROM halves, tot
+)
+SELECT priority, n_a, n_b, expected_b, chisq_contrib,
+       sum(chisq_contrib) OVER (ORDER BY priority
+                                ROWS UNBOUNDED PRECEDING) AS chisq_running
+FROM scored
+""",
+)
+def etl_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector between two load batches (Pearson's
+    chi-squared goodness of fit — the arithmetic-only alternative to
+    PSI, whose ln() is not bit-portable across engines): batch A's
+    category proportions predict batch B's expected counts; the
+    per-category contribution (obs−exp)²/exp and the running total
+    (ordered by category, so the float accumulation order is pinned)
+    quantify the shift. Batches are the deterministic o_orderkey parity
+    halves — the ``etl_dataset_split`` convention for engine-portable
+    batch derivation; swapping in yesterday's/today's partitions
+    changes the two filters, not the plan.
+
+    Scale shape: ONE conditional-aggregate scan (both batch histograms
+    in the same pass — no second read), then pure arithmetic over the
+    |categories|-bounded result; the running window sorts ≤5 rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    halves = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = halves.agg(
+        F.sum("n_a").cast("bigint").alias("tot_a"),
+        F.sum("n_b").cast("bigint").alias("tot_b"),
+    )
+    exp_b = F.col("n_a").cast("double") / F.col("tot_a") * F.col("tot_b")
+    scored = (
+        halves.join(F.broadcast(tot))
+        .withColumn("expected_b", exp_b)
+        .withColumn(
+            "chisq_contrib",
+            (F.col("n_b").cast("double") - exp_b)
+            * (F.col("n_b").cast("double") - exp_b)
+            / exp_b,
+        )
+    )
+    # bounded frame: ≤ |priorities| rows — the unpartitioned ordered
+    # window never sees more than the category count
+    w = Window.orderBy("priority").rowsBetween(Window.unboundedPreceding, 0)
+    return scored.withColumn("chisq_running", F.sum("chisq_contrib").over(w)).select(
+        "priority", "n_a", "n_b", "expected_b", "chisq_contrib", "chisq_running"
+    )
+
+
+@register(
+    "etl_token_budget_select",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {token_count_sql("text")} AS n_tokens,
+         CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
+           * CAST(0.5 AS DOUBLE)
+         + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality_score
+  FROM documents
+  WHERE {token_count_sql("text")} >= 1
+),
+cum AS (
+  SELECT doc_id, n_tokens, quality_score,
+         CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+),
+budget AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 2) // 5 AS b FROM scored)
+SELECT doc_id, n_tokens, quality_score, cum_tokens
+FROM cum, budget WHERE cum_tokens <= b
+""",
+)
+def etl_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered corpus selection under a global token budget —
+    the curation step that turns "we can afford N training tokens" into
+    a concrete document set: rank by quality (the text_quality
+    composite; doc_id tie-break makes the order total), take the
+    greedy prefix whose cumulative token count fits the budget (40% of
+    the corpus here, computed as exact integer (total·2) DIV 5 so both
+    engines agree bit-for-bit).
+
+    Scale shape: the cumulative sum is windows.global_running_sum —
+    range-partition on the sort key, ONE local window pass, broadcast
+    exclusive prefix-sum of the ≤P per-partition totals, with the
+    ranged frame PINNED against the twice-read boundary-resample bug
+    (SURVEY §6b / the exact_ntile bucket-5 class). No stage sorts the
+    corpus through one task; the budget rides in as a broadcast 1-row
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_column("text")
+    n_stop = stopword_count_column("text")
+    scored = d.where(n_tok >= 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        (
+            n_stop.cast("double") / n_tok * 0.5
+            + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        ).alias("quality_score"),
+    )
+    cum = win.global_running_sum(
+        scored,
+        order=[F.col("quality_score").desc(), F.col("doc_id")],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+    budget = scored.agg(F.sum("n_tokens").cast("bigint").alias("__t")).select(
+        F.expr("__t * 2 DIV 5").cast("bigint").alias("b")
+    )
+    return (
+        cum.join(F.broadcast(budget))
+        .where(F.col("cum_tokens") <= F.col("b"))
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "etl_curriculum_shards",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
+           * CAST(0.5 AS DOUBLE)
+         + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality_score
+  FROM documents
+  WHERE {token_count_sql("text")} >= 1
+),
+r AS (
+  SELECT doc_id, quality_score,
+         CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)
+           AS curriculum_rank
+  FROM scored
+)
+SELECT doc_id, quality_score, curriculum_rank,
+       CAST((curriculum_rank - 1) % {_N_SHARDS} AS INT) AS shard,
+       CAST((curriculum_rank - 1) // {_N_SHARDS} AS BIGINT) AS pos_in_shard
+FROM r
+""",
+)
+def etl_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum sharding — the dataloader step that
+    turns a quality-ranked corpus into N interleaved training shards:
+    global rank by (quality DESC, doc_id), then round-robin shard
+    assignment so every shard sees the full difficulty spectrum in the
+    same order (the standard distributed-dataloader interleave, with
+    zero RNG state so re-runs reproduce the exact schedule).
+
+    Scale shape: the global rank is windows.global_row_number — local
+    ranks inside range partitions plus the broadcast exclusive
+    prefix-sum of ≤P partition counts, never a single-task global sort
+    (the plan family pinned by test_plans' ntile audits); the shard /
+    position columns are row-local integer arithmetic on that rank."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_column("text")
+    n_stop = stopword_count_column("text")
+    scored = d.where(n_tok >= 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (
+            n_stop.cast("double") / n_tok * 0.5
+            + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        ).alias("quality_score"),
+    )
+    ranked = win.global_row_number(
+        scored,
+        order=[F.col("quality_score").desc(), F.col("doc_id")],
+        rn_col="curriculum_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        "curriculum_rank",
+        ((F.col("curriculum_rank") - 1) % _N_SHARDS).cast("int").alias("shard"),
+        F.expr(f"(curriculum_rank - 1) DIV {_N_SHARDS}")
+        .cast("bigint")
+        .alias("pos_in_shard"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7380,13 +7961,20 @@ _ROTATE_TO_FRONT = [
     # (d) 1 remaining slot from the r6-evidence group, oldest first
     "etl_dq_report",
     # ---- position 51+: the r9 front-of-queue ----
-    # After r8 every registered query has driver evidence and nothing
-    # is older than r6. r9's window takes the remaining r6-evidence
-    # oracled group (~44 queries, 2 rounds old by then), oldest first,
-    # then fills from the r7-evidence group; the r7/r8 rows-only
-    # newcomers re-rotate in r10. With 132 oracles and a 50-entry
-    # window the cycle is ~2.6 rounds; the per-round pytest parity run
-    # (every oracle at sf0.001) stays the continuous secondary gate.
+    # FIRST the queries added mid-r8 after the window froze (6 oracled
+    # + 1 rows-only; parity/pytest evidence this round, driver-hashed
+    # in r9 — the same late-addition deferral r7 used):
+    "etl_filter_agreement", "text_url_normalize", "etl_l_diversity",
+    "olap_event_transitions", "etl_drift_chisq", "etl_token_budget_select",
+    "etl_curriculum_shards", "etl_embedding_pca",
+    # After r8 every query registered BEFORE the r8 freeze has driver
+    # evidence and nothing is older than r6. r9's window takes the 4
+    # late-r8 queries above, then the remaining r6-evidence oracled
+    # group (~44 queries, 2 rounds old by then), oldest first, then
+    # fills from the r7-evidence group; the r7/r8 rows-only newcomers
+    # re-rotate in r10. With 135 oracles and a 50-entry window the
+    # cycle is ~2.7 rounds; the per-round pytest parity run (every
+    # oracle at sf0.001) stays the continuous secondary gate.
     "etl_country_iso3",
     "etl_star_fact", "etl_dates_dim", "bi_revenue_by_category",
     "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels",
