@@ -1338,6 +1338,85 @@ def distributed_kmeans(
     return final, centroids, seed_ids
 
 
+def moment_partials(q: DataFrame) -> DataFrame:
+    """Integer moment partials of a ``quantized_vectors`` frame as an
+    (i, j, v) cell table: one (-1, -1, n) count row, d (i, -1, Σxᵢ)
+    first-moment rows, and the d·(d+1)/2 upper triangle of Σxxᵀ —
+    computed per Arrow batch in numpy and folded by an additive
+    groupBy, so AT MOST 1 + d + d·(d+1)/2 tiny rows shuffle per batch
+    (a constant of the operator, never of the corpus). The additive
+    fold is commutative + associative, which is what lets the same
+    cell table serve the one-shot PCA (:func:`embedding_pca`), a
+    streaming delta store (``streaming/vectors.py::stream_moments``),
+    and any union of the two: summing cells IS the merge."""
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            n, d = mat.shape
+            iu = np.triu_indices(d)
+            out_i = np.concatenate(([-1], np.arange(d), iu[0]))
+            out_j = np.concatenate(([-1], np.full(d, -1), iu[1]))
+            out_v = np.concatenate(
+                ([n], mat.sum(axis=0), (mat.T @ mat)[iu])
+            ).astype(np.int64)
+            yield pd.DataFrame({"i": out_i.astype(np.int32),
+                                "j": out_j.astype(np.int32), "v": out_v})
+
+    return (
+        q.mapInPandas(moments, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+
+
+def fold_moment_rows(rows, d: int) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """Collected (i, j, v) cell rows → (n, Σx as (d,), symmetric Σxxᵀ
+    as (d, d)) int64 arrays. Exact integer arithmetic end-to-end."""
+    n_total = 0
+    s = np.zeros(d, dtype=np.int64)
+    ss = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        if r["i"] == -1:
+            n_total = int(r["v"])
+        elif r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            ss[r["i"], r["j"]] = r["v"]
+            ss[r["j"], r["i"]] = r["v"]
+    return n_total, s, ss
+
+
+def components_from_moments(
+    n_total: int,
+    s: "np.ndarray",
+    ss: "np.ndarray",
+    quant: int,
+    n_components: int,
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Driver-side tail of PCA: covariance from exact integer moments,
+    d×d ``eigh`` (d bounded by operator contract), descending
+    eigenvalue order, and the deterministic sign convention (each
+    component's largest-magnitude coordinate positive — eigh's sign is
+    otherwise arbitrary). Because the integer moments are
+    order-independent, two callers holding the same cells — however
+    the cells were accumulated — get bit-identical components.
+    Returns (mu in QUANTIZED units (d,), eigenvalues desc in original
+    units, components (n_components, d))."""
+    # covariance in ORIGINAL units: (Σxxᵀ/n − μμᵀ) / quant²
+    mu_q = s.astype(np.float64) / n_total
+    cov = (ss.astype(np.float64) / n_total - np.outer(mu_q, mu_q)) / (quant * quant)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = evals[order]
+    comp = evecs[:, order].T  # (n_components, d)
+    flip = np.sign(comp[np.arange(len(comp)), np.abs(comp).argmax(axis=1)])
+    comp = comp * flip[:, None]
+    return mu_q, evals, comp
+
+
 def embedding_pca(
     embeddings: DataFrame,
     n_components: int = 8,
@@ -1392,48 +1471,12 @@ def embedding_pca(
         )
     q = q.persist()
 
-    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            n, d = mat.shape
-            iu = np.triu_indices(d)
-            out_i = np.concatenate(([-1], np.arange(d), iu[0]))
-            out_j = np.concatenate(([-1], np.full(d, -1), iu[1]))
-            out_v = np.concatenate(
-                ([n], mat.sum(axis=0), (mat.T @ mat)[iu])
-            ).astype(np.int64)
-            yield pd.DataFrame({"i": out_i.astype(np.int32),
-                                "j": out_j.astype(np.int32), "v": out_v})
-
-    mom = (
-        q.mapInPandas(moments, "i int, j int, v long")
-        .groupBy("i", "j")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    )
+    mom = moment_partials(q).collect()
     d = dim_of(embeddings, vec_col)
-    n_total = 0
-    s = np.zeros(d, dtype=np.int64)
-    ss = np.zeros((d, d), dtype=np.int64)
-    for r in mom:
-        if r["i"] == -1:
-            n_total = int(r["v"])
-        elif r["j"] == -1:
-            s[r["i"]] = r["v"]
-        else:
-            ss[r["i"], r["j"]] = r["v"]
-            ss[r["j"], r["i"]] = r["v"]
-    # covariance in ORIGINAL units: (Σxxᵀ/n − μμᵀ) / quant²
-    mu_q = s.astype(np.float64) / n_total
-    cov = (ss.astype(np.float64) / n_total - np.outer(mu_q, mu_q)) / (quant * quant)
-    evals, evecs = np.linalg.eigh(cov)
-    order = np.argsort(evals)[::-1][:n_components]
-    evals = evals[order]
-    comp = evecs[:, order].T  # (n_components, d)
-    flip = np.sign(comp[np.arange(len(comp)), np.abs(comp).argmax(axis=1)])
-    comp = comp * flip[:, None]
+    n_total, s, ss = fold_moment_rows(mom, d)
+    mu_q, evals, comp = components_from_moments(
+        n_total, s, ss, quant, n_components
+    )
 
     c_mat, mu = comp.copy(), mu_q.copy()
 

@@ -7913,6 +7913,539 @@ def etl_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic page markup derived from (doc_id, source, text): the
+# raw-crawl shape for the HTML-extraction query. Both engines build the
+# IDENTICAL string, so extraction equality is judged on the operator,
+# not on synthetic luck. The entity tail exercises every decode rule.
+_HTML_TAIL = (
+    "</p><p>Links &amp; quotes: &lt;a href=&quot;x&quot;&gt;"
+    " &#39;ok&#39;&nbsp;&gt;</p></div></body></html>"
+)
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: double-encoded '&amp;lt;' must yield '&lt;'
+]
+
+
+@register(
+    "text_html_extract",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, source,
+         '<html><head><title>' || source
+         || '</title><script type="text/javascript">var docId = '
+         || CAST(doc_id AS VARCHAR)
+         || ';</script><style>.main{{margin:0}}</style></head><body>'
+         || '<div class="main"><h1>' || upper(source) || '</h1><p>'
+         || text || '{_HTML_TAIL}' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, source,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html, '<script[^>]*>[^<]*</script>', ' ', 'g'),
+             '<style[^>]*>[^<]*</style>', ' ', 'g'),
+           '<[^>]+>', ' ', 'g') AS t
+  FROM raw
+),
+decoded AS (
+  SELECT doc_id, source,
+         replace(replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM stripped
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       trim(regexp_replace(t, '[ \\t\\r\\n]+', ' ', 'g')) AS page_text,
+       CAST(length(trim(regexp_replace(t, '[ \\t\\r\\n]+', ' ', 'g')))
+            AS BIGINT) AS n_extracted
+FROM decoded
+""",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping / main-text extraction — the step
+    BEFORE ``text_normalize`` in a web-corpus pipeline (CCNet/C4 both
+    start from markup, not clean text): drop <script>/<style> blocks,
+    strip tags, decode the common entities (amp LAST, so double-encoded
+    text stays faithfully encoded once), collapse whitespace.
+
+    The page markup is derived deterministically from (doc_id, source,
+    text) — the documents table plays the raw crawl — so the oracle
+    builds the identical input and the compare judges the extraction
+    chain itself. Scale shape: pure per-row string/regex Column algebra
+    at scan speed — zero shuffles, zero joins, zero state; the plan is
+    a single whole-stage-codegen projection over the parquet scan
+    (identical at 100 TB, embarrassingly parallel). Regexes go through
+    the Python API (never F.expr SQL strings — backslash corruption),
+    and each pattern avoids lazy quantifiers so Java regex and RE2
+    agree by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit('</title><script type="text/javascript">var docId = '),
+        F.col("doc_id").cast("string"),
+        F.lit(';</script><style>.main{margin:0}</style></head><body>'),
+        F.lit('<div class="main"><h1>'),
+        F.upper(F.col("source")),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(_HTML_TAIL),
+    )
+    t = F.regexp_replace(html, "<script[^>]*>[^<]*</script>", " ")
+    t = F.regexp_replace(t, "<style[^>]*>[^<]*</style>", " ")
+    t = F.regexp_replace(t, "<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.trim(F.regexp_replace(t, "[ \\t\\r\\n]+", " "))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        t.alias("page_text"),
+        F.length(t).cast("bigint").alias("n_extracted"),
+    )
+
+
+@register(
+    "olap_supplier_hhi",
+    oracle=f"""
+WITH per_sup AS (
+  SELECT n_name, s_suppkey, CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT n_name, c,
+         CAST(sum(c) OVER (PARTITION BY n_name) AS BIGINT) AS t
+  FROM per_sup
+)
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       max(t) / 100.0 AS total_revenue,
+       CAST(sum(((c * 10000) // t) * ((c * 10000) // t)) AS BIGINT) AS hhi_bp,
+       CAST(max((c * 10000) // t) AS BIGINT) AS top_share_bp
+FROM sh
+GROUP BY 1
+""",
+)
+def olap_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report (Herfindahl–Hirschman index) —
+    per-nation supplier revenue concentration, the antitrust/BI measure
+    and, pointed at a corpus, the 'does one crawl source dominate the
+    training mix' check behind ``etl_host_cap``'s cap choice. Shares
+    are INTEGER basis points (floor(c·10⁴/total) — the defined metric,
+    so both engines compute identical integers; HHI = Σ share_bp², max
+    10⁴·10⁴ = monopoly). No float accumulation anywhere: the only
+    division is the display total /100.0.
+
+    Scale shape: lineitem⋈supplier UNHINTED (supplier scales with SF —
+    AQE picks broadcast when it fits), nation broadcast (25-row
+    contract), fact collapses to (nation, supplier) grain in ONE
+    map-side-combined aggregate; the per-nation total rides a window
+    over that AGGREGATED frame (partitions are suppliers-per-nation
+    sized, never fact-sized) and the final rollup is bounded by
+    |nations|. int64 headroom: c·10⁴ needs supplier-nation revenue
+    < $9.2·10¹² — holds through sf100k."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", star.revenue_cents().alias("rc")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_sup = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("rc").cast("bigint").alias("c"))
+    )
+    sh = (
+        joins.join_dim(
+            per_sup, nat, F.col("s_nationkey") == F.col("n_nationkey"), bounded=True
+        )
+        .withColumn(
+            "t", F.sum("c").over(Window.partitionBy("n_name")).cast("bigint")
+        )
+        .withColumn("bp", F.expr("(c * 10000) DIV t"))
+    )
+    return sh.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        (F.max("t") / 100.0).alias("total_revenue"),
+        F.sum(F.col("bp") * F.col("bp")).cast("bigint").alias("hhi_bp"),
+        F.max("bp").cast("bigint").alias("top_share_bp"),
+    )
+
+
+@register(
+    "olap_trade_triangles",
+    oracle=f"""
+WITH ed AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst,
+         CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS w
+  FROM supplier
+  JOIN lineitem ON l_suppkey = s_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM ed
+  ) WHERE rn <= 3
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM top
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS a,
+         CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS b,
+         CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN dv.d ELSE du.d END AS db
+  FROM und
+  JOIN deg du ON und.u = du.node
+  JOIN deg dv ON und.v = dv.node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1
+  JOIN o e2 ON e1.a = e2.a
+           AND ((e1.db, e1.b) < (e2.db, e2.b))
+  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS nation FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY 1
+""",
+)
+def olap_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the sparsified trade graph (per-nation
+    participation counts) — the clustering-coefficient primitive of
+    graph analytics, completing the graph family (components →
+    PageRank → BFS → local structure). Uses the DEGREE-ORIENTED edge
+    iterator (Suri & Vassilvitskii 2011, 'the curse of the last
+    reducer'): every undirected edge is directed from its lower-
+    (degree, name) endpoint, each wedge is generated at its lowest-
+    degree apex, and a triangle is counted exactly once as an oriented
+    wedge closed by an oriented edge. That orientation is THE scale
+    argument: out-degree under it is O(√m), so wedge count is bounded
+    by Σ d_out² = O(m^1.5) instead of the hub-quadratic Σ d² a naive
+    neighbor self-join pays — at 100 TB the hottest vertex no longer
+    owns the job. Same top-3-partners sparsification as the BFS query
+    (the raw Q7 digraph is near-complete); all arithmetic integer.
+
+    The undirected edge list is read by four consumers (degrees, both
+    wedge sides, closure) — pinned with a lazy localCheckpoint so the
+    Q7-class join runs once (the trade_reach pattern)."""
+    edges = _nation_trade_edges(spark, sf_dir)
+    wtop = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    top = (
+        edges.withColumn("__rn", F.row_number().over(wtop))
+        .where(F.col("__rn") <= 3)
+        .select("src", "dst")
+    )
+    und = (
+        top.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # 4 consumers; Q7 join runs once
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+    )
+    e1 = o.select(
+        F.col("a").alias("x"), F.col("b").alias("y"),
+        F.col("db").alias("dy"),
+    )
+    e2 = o.select(
+        F.col("a").alias("x2"), F.col("b").alias("z"),
+        F.col("db").alias("dz"),
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("x") == F.col("x2"))
+        & (
+            (F.col("dy") < F.col("dz"))
+            | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+        ),
+    ).select("x", "y", "z")
+    closure = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = wedges.join(closure, ["y", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("nation"))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+@register(
+    "etl_data_card",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum({token_count_sql("text")}) AS BIGINT) AS total_tokens,
+       CAST(sum({token_count_sql("text")}) * 100 // count(*) AS BIGINT)
+         AS mean_tokens_x100,
+       CAST(max({token_count_sql("text")}) AS BIGINT) AS max_tokens,
+       CAST(min({token_count_sql("text")}) AS BIGINT) AS min_tokens,
+       CAST(10000 - count(DISTINCT md5(text)) * 10000 // count(*) AS BIGINT)
+         AS exact_dup_bp,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS en_share_bp
+FROM documents
+""",
+)
+def etl_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet ('Datasheets for Datasets', Gebru et al. 2021)
+    — the one-row summary a training-data release publishes: volume
+    (docs/chars/tokens), provenance breadth (distinct sources/langs),
+    length profile (mean×100, min, max — integer ratios, no float),
+    exact-duplicate rate and English share in basis points. Every
+    figure is integer arithmetic on one scan, so the card is
+    bit-portable and cheap enough to regenerate per corpus version.
+
+    Scale shape: a single global aggregate (map-side combined; the
+    three DISTINCT aggregates expand to one extra shuffle each over
+    key-sized rows — md5 fingerprints, not documents); output is ONE
+    row. No corpus-sized state, no driver math."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_column("text")
+    return (
+        d.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(n_tok).cast("bigint").alias("total_tokens"),
+            F.max(n_tok).cast("bigint").alias("max_tokens"),
+            F.min(n_tok).cast("bigint").alias("min_tokens"),
+            F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_text"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_en"),
+        )
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_chars",
+            "total_tokens",
+            F.expr("CAST(total_tokens * 100 DIV n_docs AS BIGINT)").alias(
+                "mean_tokens_x100"
+            ),
+            "max_tokens",
+            "min_tokens",
+            F.expr("CAST(10000 - n_distinct_text * 10000 DIV n_docs AS BIGINT)").alias(
+                "exact_dup_bp"
+            ),
+            F.expr("CAST(n_en * 10000 DIV n_docs AS BIGINT)").alias("en_share_bp"),
+        )
+    )
+
+
+_RBO_DEPTH = 25
+# Exact-rational accumulation: every RBO term n_d/(d·2^(d-1)) scaled by
+# SCALE = lcm(1..D)·2^(D-1) is an exact INTEGER, so the running sum is
+# integer-exact (window float cumsums are NOT engine-portable: DuckDB's
+# streaming window accumulator rounds differently from Spark's — a
+# 1-ULP drift observed at depth 32 in the float formulation). Bound:
+# cum ≤ Σ_d d·SCALE/(d·2^(d-1)) = 2·SCALE ≈ 9.0e17 < 2^63.
+_RBO_SCALE = 449145272165990400  # lcm(1..25) · 2^24
+
+
+@register(
+    "etl_rank_agreement",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
+  FROM tk
+),
+wt AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+            % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
+  FROM feat
+),
+cls AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s_cls FROM wt GROUP BY doc_id),
+rule AS (
+  SELECT doc_id,
+         CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
+           * CAST(0.5 AS DOUBLE)
+         + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS s_rule
+  FROM documents
+  WHERE {token_count_sql("text")} >= 1
+),
+u AS (SELECT r.doc_id, s_rule, s_cls FROM rule r JOIN cls c USING (doc_id)),
+a AS (SELECT doc_id, row_number() OVER (ORDER BY s_rule DESC, doc_id) AS ra FROM u),
+b AS (SELECT doc_id, row_number() OVER (ORDER BY s_cls DESC, doc_id) AS rb FROM u),
+common AS (
+  SELECT CAST(greatest(ra, rb) AS INT) AS m
+  FROM a JOIN b USING (doc_id)
+  WHERE ra <= {_RBO_DEPTH} AND rb <= {_RBO_DEPTH}
+),
+depths AS (SELECT CAST(range AS INT) AS depth FROM range(1, {_RBO_DEPTH + 1})),
+x AS (
+  SELECT depth, CAST(count(m) AS BIGINT) AS n_overlap
+  FROM depths LEFT JOIN common ON m <= depth
+  GROUP BY depth
+),
+sc AS (
+  SELECT depth, n_overlap,
+         CAST(n_overlap * ({_RBO_SCALE}
+              // (depth * (CAST(1 AS BIGINT) << (depth - 1)))) AS BIGINT)
+           AS term_scaled
+  FROM x
+)
+SELECT depth, n_overlap,
+       CAST(term_scaled AS DOUBLE) / {_RBO_SCALE} AS term,
+       CAST(CAST(sum(term_scaled)
+                 OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS DOUBLE) / {2 * _RBO_SCALE} AS rbo_running
+FROM sc
+""",
+)
+def etl_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the two quality
+    RANKINGS — the ordinal companion to ``etl_filter_agreement``'s
+    kappa on binary gates: before swapping the heuristic scorer for the
+    hashed classifier as the corpus's selection order (curriculum,
+    token-budget prefix), measure how much the top of the order
+    actually moves. Persistence p = 1/2, so the weight p^(d-1) is
+    EXACTLY 1/2^(d-1) — no pow(), whose rounding is not engine-portable
+    — and the whole accumulation is EXACT-RATIONAL: each term
+    n_d/(d·2^(d-1)) scaled by lcm(1..D)·2^(D-1) is an exact integer,
+    the running sum is an integer window cumsum, and floats appear only
+    as one correctly-rounded BIGINT/BIGINT division per emitted row
+    (a float window cumsum is NOT portable: DuckDB's streaming window
+    accumulator rounds differently from Spark's — observed 1-ULP drift
+    at depth 32). Evaluated to depth {_RBO_DEPTH}.
+
+    Scale shape: both rankings reach the top-D through per-partition
+    k-heaps (TakeOrderedAndProject — never a global sort); everything
+    after is algebra on ≤D-row frames (re-rank windows, the
+    greatest(ra,rb) join, the depth×overlap expansion ≤ D² rows).
+    The corpus is touched exactly twice (one scan per scorer)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_column("text")
+    n_stop = stopword_count_column("text")
+    rule = d.where(n_tok >= 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (
+            n_stop.cast("double") / n_tok * 0.5
+            + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        ).alias("s_rule"),
+    )
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("t"),
+    )
+    cls = (
+        tk.withColumn(
+            "b",
+            F.expr(
+                f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
+                f" {_CLS_BUCKETS})"
+            ),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8),"
+                f" 16, 10) AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("s_cls"))
+    )
+    u = rule.join(cls, "doc_id").localCheckpoint(eager=False)  # 2 rankings read it
+    top_a = u.orderBy(F.col("s_rule").desc(), "doc_id").limit(_RBO_DEPTH)
+    top_b = u.orderBy(F.col("s_cls").desc(), "doc_id").limit(_RBO_DEPTH)
+    # bounded frames: ≤ D survivor rows each — the unpartitioned
+    # ordered windows never see more than the truncation depth
+    a = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s_rule").desc(), "doc_id"))
+        .alias("ra"),
+    )
+    b = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s_cls").desc(), "doc_id"))
+        .alias("rb"),
+    )
+    common = a.join(b, "doc_id").select(
+        F.greatest("ra", "rb").cast("int").alias("m")
+    )
+    depths = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    x = (
+        depths.join(common, F.col("m") <= F.col("depth"), "left")
+        .groupBy("depth")
+        .agg(F.count("m").cast("bigint").alias("n_overlap"))
+    )
+    sc = x.withColumn(
+        "term_scaled",
+        F.expr(
+            f"CAST(n_overlap * ({_RBO_SCALE}"
+            " DIV (depth * shiftleft(CAST(1 AS BIGINT), depth - 1)))"
+            " AS BIGINT)"
+        ),
+    )
+    wrun = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return sc.select(
+        "depth",
+        "n_overlap",
+        (F.col("term_scaled").cast("double") / F.lit(float(_RBO_SCALE))).alias(
+            "term"
+        ),
+        (
+            F.sum("term_scaled").over(wrun).cast("bigint").cast("double")
+            / F.lit(float(2 * _RBO_SCALE))
+        ).alias("rbo_running"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -7967,6 +8500,8 @@ _ROTATE_TO_FRONT = [
     "etl_filter_agreement", "text_url_normalize", "etl_l_diversity",
     "olap_event_transitions", "etl_drift_chisq", "etl_token_budget_select",
     "etl_curriculum_shards", "etl_embedding_pca",
+    "text_html_extract", "olap_supplier_hhi",
+    "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 4
     # late-r8 queries above, then the remaining r6-evidence oracled

@@ -316,3 +316,69 @@ def read_kmv_store(spark: SparkSession, store_path: str, k: int = 128) -> DataFr
     """Fold a :func:`stream_kmv` delta store to the current sketch:
     bottom-k of the distinct union == kmv_merge over every batch."""
     return spark.read.parquet(store_path).distinct().orderBy("hv").limit(k)
+
+
+def stream_weighted_sample(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    k: int = 100,
+    salt: str = "wsamp",
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming exact-k WEIGHTED reservoir (Efraimidis–Spirakis
+    A-Res) — the continuous-ingest twin of ``etl_weighted_sample``: a
+    length/quality-proportional sample of everything ingested so far,
+    kept live while the corpus streams in. Works because A-Res keys
+    are CONTENT-DERIVED (salted md5 of doc_id → uniform → −ln(u)/w),
+    not RNG state: the k smallest keys of a union equal the k smallest
+    of (bottom-k(A) ∪ B), so per micro-batch the batch's OWN bottom-k
+    rows (≤k, a constant of the operator) simply APPEND to the store
+    and the fold (:func:`read_weighted_sample_store` — bottom-k of the
+    distinct union) is the reservoir merge. Growing the corpus only
+    EVICTS members, never reshuffles them — the append-stability the
+    batch sampler pins in tests/test_weighted_sample.py.
+
+    Like the KMV store (and unlike the additive CMS/moment folds) the
+    fold is IDEMPOTENT over replayed batches — a re-delivered document
+    reproduces the identical key and ``distinct`` collapses it — so
+    this store needs no exactly-once guarantee from the sink at all.
+    Equality with the one-shot batch sample is pinned in
+    tests/test_streaming_corpus.py."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from etl_dag_spark.queries import weighted_sample_keys
+
+        keyed = batch_df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            weighted_sample_keys(
+                batch_df, F.col("n_chars").cast("double"), salt=salt
+            ).alias("ares_key"),
+        )
+        keyed.orderBy("ares_key", "doc_id").limit(k).write.mode("append").parquet(
+            store_path
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_weighted_sample_store(
+    spark: SparkSession, store_path: str, k: int = 100
+) -> DataFrame:
+    """Fold a :func:`stream_weighted_sample` delta store to the current
+    reservoir: bottom-k by A-Res key of the distinct union == the
+    one-shot weighted sample of everything ingested."""
+    return (
+        spark.read.parquet(store_path)
+        .distinct()
+        .orderBy("ares_key", "doc_id")
+        .limit(k)
+    )

@@ -56,3 +56,59 @@ def stream_index_vectors(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_moments(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    quant: int = 1_000_000,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Cumulative embedding moment store — the INCREMENTAL-PCA
+    maintenance loop: as embeddings stream in, each micro-batch's
+    integer moment partials (n, Σx, upper-triangle Σxxᵀ from
+    ``similarity.moment_partials`` over the quantized batch) APPEND to
+    a parquet store as (i, j, v) cell deltas. Log-structured, no
+    read-modify-write; the fold (:func:`read_moment_store`, cell-wise
+    SUM) is commutative + associative — exactly the CMS delta-store
+    shape (``corpus.stream_countmin``) — so feeding the folded cells
+    into ``similarity.components_from_moments`` reproduces the
+    one-shot ``embedding_pca`` covariance and components BIT-EXACTLY
+    at any micro-batch boundary (pinned in
+    tests/test_streaming_corpus.py). A training pipeline keeps its
+    whitening transform current during ingest without ever re-scanning
+    the corpus.
+
+    Scale shape: state on disk is ≤ 1 + d + d·(d+1)/2 rows PER BATCH
+    (a constant of the operator); like the CMS fold, addition is NOT
+    idempotent, so replay protection comes from the foreachBatch
+    checkpoint (exactly-once within one stream)."""
+    from etl_dag_spark.operators.similarity import (
+        moment_partials,
+        quantized_vectors,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = quantized_vectors(batch_df, "vec_id", "embedding", quant)
+        moment_partials(q).write.mode("append").parquet(store_path)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_moment_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold a :func:`stream_moments` delta store to the current cell
+    table: cell-wise SUM == moment merge over every ingested batch."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("i", "j")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )

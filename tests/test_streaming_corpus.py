@@ -516,3 +516,119 @@ def test_stream_index_vectors_equals_union_build(spark, tmp_path):
     }
     assert got == want
     assert {nid % 2 for (_, nid) in got} == {0, 1}
+
+
+def test_stream_weighted_sample_equals_one_shot(spark, doc_stream_src, tmp_path):
+    """The streaming A-Res reservoir (per-batch bottom-k appends) folds
+    to EXACTLY the one-shot weighted sample of the whole corpus —
+    content-derived keys make micro-batch boundaries invisible — and
+    replaying the stream into the same store changes nothing (the
+    bottom-k-of-distinct-union fold is idempotent, like KMV's)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.queries import weighted_sample_keys
+    from etl_dag_spark.streaming.corpus import (
+        read_document_stream,
+        read_weighted_sample_store,
+        stream_weighted_sample,
+    )
+
+    store = str(tmp_path / "wsamp_store")
+    q = stream_weighted_sample(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_ws"),
+        k=40,
+    )
+    q.awaitTermination(120)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    whole = [
+        (r.doc_id, r.ares_key)
+        for r in docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            weighted_sample_keys(docs, F.col("n_chars").cast("double")).alias(
+                "ares_key"
+            ),
+        )
+        .orderBy("ares_key", "doc_id")
+        .limit(40)
+        .collect()
+    ]
+    streamed = [
+        (r.doc_id, r.ares_key)
+        for r in read_weighted_sample_store(spark, store, k=40)
+        .orderBy("ares_key", "doc_id")
+        .collect()
+    ]
+    assert streamed == whole
+    assert len(streamed) == 40
+
+    q2 = stream_weighted_sample(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_ws2"),
+        k=40,
+    )
+    q2.awaitTermination(120)
+    replayed = [
+        (r.doc_id, r.ares_key)
+        for r in read_weighted_sample_store(spark, store, k=40)
+        .orderBy("ares_key", "doc_id")
+        .collect()
+    ]
+    assert replayed == whole
+
+
+def test_stream_moments_folds_to_one_shot_pca(spark, tmp_path):
+    """Incremental-PCA maintenance: embedding micro-batches append
+    integer moment deltas; the folded store equals the one-shot moment
+    cells BIT-EXACTLY, so components derived from the store equal
+    embedding_pca's components bit-for-bit at any batch boundary."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.operators.similarity import (
+        components_from_moments,
+        dim_of,
+        embedding_pca,
+        fold_moment_rows,
+        moment_partials,
+        quantized_vectors,
+    )
+    from etl_dag_spark.streaming.vectors import (
+        read_embedding_stream,
+        read_moment_store,
+        stream_moments,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    src = str(tmp_path / "vec_src")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "mom_store")
+    q = stream_moments(
+        read_embedding_stream(spark, src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_mom"),
+    )
+    q.awaitTermination(120)
+
+    # cell-level bit equality vs the one-shot moment pass
+    one_shot = {
+        (r.i, r.j): r.v
+        for r in moment_partials(
+            quantized_vectors(spark.read.parquet(src), "vec_id", "embedding")
+        ).collect()
+    }
+    folded_rows = read_moment_store(spark, store).collect()
+    folded = {(r.i, r.j): r.v for r in folded_rows}
+    assert folded == one_shot
+
+    # component-level bit equality vs the one-shot PCA operator
+    d = dim_of(emb, "embedding")
+    n, s, ss = fold_moment_rows(folded_rows, d)
+    _, evals_f, comp_f = components_from_moments(n, s, ss, 1_000_000, 4)
+    _, evals_o, comp_o = embedding_pca(emb, n_components=4)
+    assert np.array_equal(evals_f, evals_o)
+    assert np.array_equal(comp_f, comp_o)
