@@ -1,0 +1,127 @@
+"""Snapshot-versioned table: time travel, append sharing, crash
+invisibility, vacuum, and commit-race retry (SURVEY §2 #146)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dag_spark.sources.versions import (
+    _load_manifest,
+    history,
+    read_version,
+    vacuum,
+    write_version,
+)
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert write_version(base, path, op="overwrite") == 1
+    delta = spark.createDataFrame([(3, "c")], "k int, v string")
+    assert write_version(delta, path, op="append") == 2
+    repl = spark.createDataFrame([(9, "z")], "k int, v string")
+    assert write_version(repl, path, op="overwrite") == 3
+    return path
+
+
+def test_time_travel_reads_every_snapshot(spark, table):
+    assert _rows(read_version(spark, table, 1)) == [(1, "a"), (2, "b")]
+    assert _rows(read_version(spark, table, 2)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(read_version(spark, table, 3)) == [(9, "z")]
+    # latest == highest version
+    assert _rows(read_version(spark, table)) == [(9, "z")]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, table, 7)
+
+
+def test_append_shares_parent_files_without_copying(spark, table):
+    m1, m2 = _load_manifest(table, 1), _load_manifest(table, 2)
+    assert set(m1["files"]) < set(m2["files"])  # parent files reused as-is
+    assert len(m2["files"]) > len(m1["files"])
+    assert history(table) == [
+        {"version": 1, "parent": 0, "op": "overwrite", "n_files": len(m1["files"])},
+        {"version": 2, "parent": 1, "op": "append", "n_files": len(m2["files"])},
+        {
+            "version": 3,
+            "parent": 2,
+            "op": "overwrite",
+            "n_files": len(_load_manifest(table, 3)["files"]),
+        },
+    ]
+
+
+def test_unmanifested_data_is_invisible(spark, table):
+    """A crashed writer leaves a data dir with no manifest — readers at
+    every version are unaffected."""
+    orphan = spark.createDataFrame([(99, "crash")], "k int, v string")
+    orphan.write.parquet(os.path.join(table, "data", "orphan_run"))
+    assert _rows(read_version(spark, table)) == [(9, "z")]
+    assert _rows(read_version(spark, table, 2)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_vacuum_drops_old_versions_but_keeps_shared_files(spark, table):
+    dropped = vacuum(table, keep_last=2)
+    assert dropped == [1]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, table, 1)
+    # v2 shares v1's physical files; vacuum must keep them because a
+    # SURVIVING manifest still lists them
+    assert _rows(read_version(spark, table, 2)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(read_version(spark, table, 3)) == [(9, "z")]
+    # orphaned data dirs (no surviving manifest) are reclaimed
+    data_dirs = set(os.listdir(os.path.join(table, "data")))
+    kept = {
+        os.path.basename(os.path.dirname(f))
+        for v in (2, 3)
+        for f in _load_manifest(table, v)["files"]
+    }
+    assert data_dirs == kept
+
+
+def test_commit_race_retries_to_next_version(spark, table):
+    """Another writer claims version 4 first → this writer lands at 5."""
+    schema_json = read_version(spark, table).schema.json()
+    os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+    with open(os.path.join(table, "_manifests", "v00000004.json"), "w") as f:
+        json.dump(
+            {
+                "version": 4,
+                "parent": 3,
+                "op": "overwrite",
+                "files": [],
+                "schema": schema_json,
+            },
+            f,
+        )
+    late = spark.createDataFrame([(5, "e")], "k int, v string")
+    assert write_version(late, table, op="append") == 5
+    # append chained onto the racing writer's (empty) version 4
+    assert _rows(read_version(spark, table, 5)) == [(5, "e")]
+
+
+def test_empty_snapshot_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "empty_tbl")
+    df = spark.createDataFrame([], "k int, v string")
+    assert write_version(df, path) == 1
+    got = read_version(spark, path)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_rollback_is_a_read_plus_overwrite(spark, table):
+    """The operational move the module exists for: a bad load (v3)
+    rolls back by committing v2's content as v4."""
+    good = read_version(spark, table, 2)
+    v = write_version(good, table, op="overwrite")
+    assert v == 4
+    assert _rows(read_version(spark, table)) == [(1, "a"), (2, "b"), (3, "c")]
