@@ -71,21 +71,60 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
+    """Per-file min/max for ``stats_cols``, read from the parquet FOOTERS
+    the writer already produced — no data re-scan. This is Delta-style
+    data skipping's write side: the manifest carries enough statistics
+    for a reader to drop whole files before Spark ever opens them.
+    NULL-only or missing stats widen to unbounded (file never skipped)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per = {}
+        for c in stats_cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                per[c] = [min(mins), max(maxs)]
+        out[f] = per
+    return out
+
+
 def write_version(
     df: DataFrame,
     path: str,
     op: str = "overwrite",
     max_retries: int = 10,
+    stats_cols: list[str] | None = None,
+    txn_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
     ``op="overwrite"`` — the new version IS this frame.
     ``op="append"`` — the new version is the parent snapshot plus this
     frame; only the delta's files are written.
+    ``stats_cols`` — record per-file min/max for these columns in the
+    manifest (footer metadata only, no re-scan) so :func:`read_version`
+    can prune files against a predicate before Spark opens them.
+    ``txn_id`` — idempotence token (the Delta streaming-sink ``txn``
+    trick): if the CURRENT tip already carries this token the commit is
+    a no-op returning the tip — a replayed micro-batch cannot
+    double-append.
 
     Returns the committed version number. Data files are immutable and
-    shared across versions; the commit point is the atomic manifest
-    rename, raced via O_EXCL with retry (optimistic concurrency).
+    shared across versions; the commit point is an atomic hard-link of
+    a fully-written manifest, raced with retry (optimistic concurrency).
     """
     if op not in ("overwrite", "append"):
         raise ValueError(f"op must be overwrite|append, got {op!r}")
@@ -96,20 +135,29 @@ def write_version(
         for n in os.listdir(run_dir)
         if n.endswith(".parquet")
     )
+    new_stats = _file_stats(new_files, stats_cols) if stats_cols else {}
     os.makedirs(_manifest_dir(path), exist_ok=True)
     for _ in range(max_retries):
         versions = _versions(path)
         parent = versions[-1] if versions else 0
         version = parent + 1
         files = list(new_files)
-        if op == "append" and parent:
-            files = _load_manifest(path, parent)["files"] + files
+        stats = dict(new_stats)
+        if parent:
+            pm = _load_manifest(path, parent)
+            if txn_id is not None and pm.get("txn_id") == txn_id:
+                return parent  # replayed commit: already applied
+            if op == "append":
+                files = pm["files"] + files
+                stats = {**pm.get("stats", {}), **stats}
         body = json.dumps(
             {
                 "version": version,
                 "parent": parent,
                 "op": op,
                 "files": files,
+                "stats": stats,
+                "txn_id": txn_id,
                 "schema": df.schema.json(),
             },
             indent=1,
@@ -131,12 +179,24 @@ def write_version(
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    between: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). Resolves the
     snapshot's exact file list through its manifest — files written by
     later versions, crashed writers, or vacuum-pending snapshots are
-    never visible."""
+    never visible.
+
+    ``between=(col, lo, hi)`` — data skipping: drop every file whose
+    manifest min/max for ``col`` (see ``write_version(stats_cols=...)``)
+    proves it holds no row in [lo, hi], BEFORE Spark opens anything,
+    then apply the exact row filter on what remains. On a 100 TB table
+    laid out by the stats column (a range write or z-order), a narrow
+    predicate reads a handful of files instead of launching a scan task
+    per file — pruning at the MANIFEST level, upstream of even parquet
+    row-group skipping. Files without stats are conservatively kept."""
     versions = _versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -148,9 +208,25 @@ def read_version(
         )
     m = _load_manifest(path, version)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
+    files = m["files"]
+    if between is not None and files:
+        col, lo, hi = between
+        stats = m.get("stats", {})
+        files = [
+            f
+            for f in files
+            if col not in stats.get(f, {})
+            or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+        ]
+    if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*m["files"])
+    df = spark.read.schema(schema).parquet(*files)
+    if between is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = between
+        df = df.where(F.col(col).between(lo, hi))
+    return df
 
 
 def history(path: str) -> list[dict]:

@@ -382,3 +382,36 @@ def read_weighted_sample_store(
         .orderBy("ares_key", "doc_id")
         .limit(k)
     )
+
+
+def stream_versioned_ingest(
+    docs_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming ingest into the snapshot-versioned table
+    (``sources/versions.py``) — the versioned-lake sink: every
+    micro-batch commits ONE append snapshot tagged
+    ``txn_id=f"batch-{batch_id}"``, so a batch replayed after a crash
+    (foreachBatch re-delivers the last uncommitted batch) is a
+    manifest-level no-op — exactly-once enforced by the TABLE's commit
+    protocol, not by the sink's filesystem luck. This is the Delta
+    streaming-sink ``txn`` idempotence trick. Every batch boundary is a
+    time-travelable snapshot: a poisoned feed rolls back by reading
+    version N−1; the data files a replayed attempt orphaned are
+    invisible to every reader and reclaimed by vacuum."""
+    from etl_dag_spark.sources.versions import write_version
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_version(
+            batch_df, table_path, op="append", txn_id=f"batch-{batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -632,3 +632,43 @@ def test_stream_moments_folds_to_one_shot_pca(spark, tmp_path):
     _, evals_o, comp_o = embedding_pca(emb, n_components=4)
     assert np.array_equal(evals_f, evals_o)
     assert np.array_equal(comp_f, comp_o)
+
+
+def test_stream_versioned_ingest_snapshots_every_batch(spark, doc_stream_src, tmp_path):
+    """Streaming into the versioned table: the latest snapshot equals
+    the full corpus, every micro-batch boundary is a time-travelable
+    version, and a replayed batch commit (same txn_id against the tip)
+    is a manifest no-op."""
+    from etl_dag_spark.sources.versions import history, read_version, write_version
+    from etl_dag_spark.streaming.corpus import (
+        read_document_stream,
+        stream_versioned_ingest,
+    )
+
+    table = str(tmp_path / "vtable")
+    q = stream_versioned_ingest(
+        read_document_stream(spark, doc_stream_src),
+        table_path=table,
+        checkpoint_dir=str(tmp_path / "ckpt_v"),
+    )
+    q.awaitTermination(120)
+
+    want = sorted(
+        r.doc_id for r in spark.read.parquet(doc_stream_src).select("doc_id").collect()
+    )
+    got = sorted(r.doc_id for r in read_version(spark, table).select("doc_id").collect())
+    assert got == want
+
+    h = history(table)
+    assert len(h) >= 2  # maxFilesPerTrigger=1 over a 4-file source
+    assert all(m["op"] == "append" for m in h)
+    # earlier snapshots hold strict prefixes of the ingest
+    first = read_version(spark, table, 1).count()
+    assert 0 < first < len(want)
+
+    # replaying the LAST batch (same txn_id, tip unchanged) is a no-op
+    tip = h[-1]["version"]
+    replay = read_version(spark, table, tip)  # any frame; txn gates it
+    v = write_version(replay, table, op="append", txn_id=f"batch-{tip - 1}")
+    assert v == tip
+    assert read_version(spark, table).count() == len(want)

@@ -125,3 +125,48 @@ def test_rollback_is_a_read_plus_overwrite(spark, table):
     v = write_version(good, table, op="overwrite")
     assert v == 4
     assert _rows(read_version(spark, table)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_data_skipping_prunes_files_before_spark_opens_them(spark, tmp_path):
+    path = str(tmp_path / "skip_tbl")
+    df = (
+        spark.range(0, 1000)
+        .select(F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(10, "k")
+    )
+    write_version(df, path, stats_cols=["k"])
+    full = read_version(spark, path)
+    assert len(full.inputFiles()) == 10
+
+    pruned = read_version(spark, path, between=("k", 100, 150))
+    # range layout → the predicate's span lives in 1-2 files; the
+    # manifest stats prove the other 8+ hold nothing and they are
+    # dropped BEFORE Spark opens them
+    assert len(pruned.inputFiles()) <= 2
+    assert sorted(r.k for r in pruned.collect()) == list(range(100, 151))
+
+
+def test_data_skipping_keeps_statless_files(spark, tmp_path):
+    """Files committed without stats are conservatively kept."""
+    path = str(tmp_path / "mixed_tbl")
+    a = spark.createDataFrame([(1, "a")], "k int, v string")
+    b = spark.createDataFrame([(1000, "z")], "k int, v string")
+    write_version(a, path, stats_cols=["k"])
+    write_version(b, path, op="append")  # no stats on the delta
+    got = read_version(spark, path, between=("k", 900, 1100))
+    assert sorted((r.k, r.v) for r in got.collect()) == [(1000, "z")]
+
+
+def test_txn_id_makes_append_replay_a_noop(spark, tmp_path):
+    path = str(tmp_path / "txn_tbl")
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    write_version(base, path)
+    delta = spark.createDataFrame([(2, "b")], "k int, v string")
+    v1 = write_version(delta, path, op="append", txn_id="batch-7")
+    v2 = write_version(delta, path, op="append", txn_id="batch-7")  # replay
+    assert v1 == v2 == 2
+    assert _rows(read_version(spark, path)) == [(1, "a"), (2, "b")]
+    # a NEW txn still commits
+    v3 = write_version(delta, path, op="append", txn_id="batch-8")
+    assert v3 == 3
+    assert _rows(read_version(spark, path)) == [(1, "a"), (2, "b"), (2, "b")]
