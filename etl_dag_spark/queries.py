@@ -8446,6 +8446,266 @@ def etl_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_score_calibration",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
+  FROM tk
+),
+wt AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+            % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
+  FROM feat
+),
+cls AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s_cls FROM wt GROUP BY doc_id),
+rule AS (
+  SELECT doc_id,
+         (CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
+            * CAST(0.5 AS DOUBLE)
+          + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                  CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE))
+           >= CAST(0.5 AS DOUBLE) AS keep_rule
+  FROM documents
+  WHERE {token_count_sql("text")} >= 1
+)
+SELECT CAST(floor(CAST(s_cls AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS BIGINT)
+         AS score_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep_rule THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(CASE WHEN keep_rule THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS keep_rate
+FROM rule r JOIN cls c USING (doc_id)
+GROUP BY 1
+""",
+)
+def etl_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve (reliability diagram) of the hashed linear
+    classifier against the heuristic gate as pseudo-labels — the third
+    member of the filter-evaluation family (#109b kappa: binary
+    agreement; #109c RBO: ranking agreement; this: is the SCORE itself
+    meaningful, i.e. does a higher classifier score monotonically buy a
+    higher keep rate?). The check run before using the score as a
+    THRESHOLDED gate rather than a ranker.
+
+    Scale shape: both raters are single scans, one doc_id equi-join,
+    one bounded groupBy (score buckets ≈ score range / 10). Buckets by
+    floor(s/10.0) — NOT integer DIV, whose negative-operand semantics
+    differ between engines (Spark truncates toward zero, DuckDB floors;
+    classifier scores go negative); the float divide-then-floor is
+    exact for in-range BIGINTs. keep_rate is the only other float: one
+    BIGINT/BIGINT division per bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_column("text")
+    n_stop = stopword_count_column("text")
+    rule = d.where(n_tok >= 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (
+            (
+                n_stop.cast("double") / n_tok * 0.5
+                + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+            )
+            >= 0.5
+        ).alias("keep_rule"),
+    )
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("t"),
+    )
+    cls = (
+        tk.withColumn(
+            "b",
+            F.expr(
+                f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
+                f" {_CLS_BUCKETS})"
+            ),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8),"
+                f" 16, 10) AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("s_cls"))
+    )
+    return (
+        rule.join(cls, "doc_id")
+        .groupBy(
+            F.floor(F.col("s_cls").cast("double") / F.lit(10.0))
+            .cast("bigint")
+            .alias("score_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep_rule").cast("int")).cast("bigint").alias("n_keep"),
+        )
+        .withColumn(
+            "keep_rate", F.col("n_keep").cast("double") / F.col("n_docs")
+        )
+    )
+
+
+@register(
+    "text_trigram_backoff",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1),
+                  i -> {{'pos': i, 'tok': tk[i]}})) AS u
+    FROM tk)
+),
+tg AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM tok
+),
+c3 AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt FROM tg
+  WHERE doc_id % 2 = 0 AND w3 IS NOT NULL GROUP BY 1, 2, 3
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM tg
+  WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1 AS w, CAST(count(*) AS BIGINT) AS cnt FROM tg
+  WHERE doc_id % 2 = 0 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c1),
+ev AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n_eval FROM tg
+  WHERE doc_id % 2 = 1 AND w3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT ev.w1, ev.w2, ev.w3, ev.n_eval,
+       CAST(CASE WHEN c3.cnt IS NOT NULL THEN 0
+                 WHEN cb.cnt IS NOT NULL THEN 1 ELSE 2 END AS INT)
+         AS backoff_level,
+       CASE WHEN c3.cnt IS NOT NULL
+              THEN CAST(c3.cnt AS DOUBLE) / cx.cnt
+            WHEN cb.cnt IS NOT NULL
+              THEN CAST(0.4 AS DOUBLE) * (CAST(cb.cnt AS DOUBLE) / cw2.cnt)
+            ELSE CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE)
+                 * (CAST(coalesce(cw3.cnt, 0) AS DOUBLE) / tot.t))
+       END AS score
+FROM ev
+LEFT JOIN c3 ON ev.w1 = c3.w1 AND ev.w2 = c3.w2 AND ev.w3 = c3.w3
+LEFT JOIN c2 cx ON ev.w1 = cx.w1 AND ev.w2 = cx.w2
+LEFT JOIN c2 cb ON ev.w2 = cb.w1 AND ev.w3 = cb.w2
+LEFT JOIN c1 cw2 ON ev.w2 = cw2.w
+LEFT JOIN c1 cw3 ON ev.w3 = cw3.w
+CROSS JOIN tot
+""",
+)
+def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007 — the
+    web-scale scheme that skips discount estimation): an n-gram model
+    is counted on the TRAIN half of the corpus (even doc_ids, the
+    dataset-split parity convention) and scores the EVAL half's trigram
+    types — unseen trigrams back off to the bigram (×0.4), unseen
+    bigrams to the unigram (×0.4²). The count-based perplexity signal
+    quality pipelines use where a neural LM is too expensive, with the
+    backoff structure the flat bigram queries (#105/#115) lack.
+
+    Scale shape: Spark counts ONE corpus-level (parity, w1, w2, w3)
+    frame — a single posexplode+two-lead window pass and a single
+    map-side-combined shuffle — then derives EVERY marginal (bigram,
+    unigram, total) from that vocabulary-sized frame by re-aggregation
+    (each bigram/unigram occurrence is exactly one trigram row's
+    prefix), checkpointed once; the five model joins run
+    vocabulary-sized × vocabulary-sized, unhinted (Heaps' law). Each
+    score is ≤2 float ops with term-identical nesting in both engines;
+    the corpus total rides a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_column("text")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tg = tk.select(
+        (F.col("doc_id") % 2).alias("parity"),
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(w).alias("w2"),
+        F.lead("tok", 2).over(w).alias("w3"),
+    )
+    # ONE corpus shuffle; every marginal below re-aggregates this
+    # vocabulary-sized frame (NULL w2/w3 rows carry the doc-tail
+    # positions the lower-order counts need)
+    g = (
+        tg.groupBy("parity", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    train = g.where(F.col("parity") == 0)
+    c3 = train.where(F.col("w3").isNotNull()).select("w1", "w2", "w3", "cnt")
+    c2 = (
+        train.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    c1 = train.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    tot = c1.agg(F.sum("cnt").cast("bigint").alias("t"))
+    ev = (
+        g.where((F.col("parity") == 1) & F.col("w3").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("cnt").cast("bigint").alias("n_eval"))
+    )
+    c3j = c3.withColumnRenamed("cnt", "c3_cnt")
+    cxj = c2.select(
+        F.col("w1"), F.col("w2"), F.col("cnt").alias("cx_cnt")
+    )
+    cbj = c2.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("cnt").alias("cb_cnt"),
+    )
+    cw2 = c1.select(F.col("w").alias("w2"), F.col("cnt").alias("cw2_cnt"))
+    cw3 = c1.select(F.col("w").alias("w3"), F.col("cnt").alias("cw3_cnt"))
+    scored = (
+        ev.join(c3j, ["w1", "w2", "w3"], "left")
+        .join(cxj, ["w1", "w2"], "left")
+        .join(cbj, ["w2", "w3"], "left")
+        .join(cw2, ["w2"], "left")
+        .join(cw3, ["w3"], "left")
+        .join(F.broadcast(tot))  # scalar aggregate: provably 1 row
+    )
+    lvl0 = F.col("c3_cnt").isNotNull()
+    lvl1 = F.col("cb_cnt").isNotNull()
+    return scored.select(
+        "w1",
+        "w2",
+        "w3",
+        "n_eval",
+        F.when(lvl0, 0).when(lvl1, 1).otherwise(2).cast("int").alias(
+            "backoff_level"
+        ),
+        F.when(lvl0, F.col("c3_cnt").cast("double") / F.col("cx_cnt"))
+        .when(
+            lvl1,
+            F.lit(0.4) * (F.col("cb_cnt").cast("double") / F.col("cw2_cnt")),
+        )
+        .otherwise(
+            F.lit(0.4)
+            * (
+                F.lit(0.4)
+                * (
+                    F.coalesce(F.col("cw3_cnt"), F.lit(0)).cast("double")
+                    / F.col("t")
+                )
+            )
+        )
+        .alias("score"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8502,6 +8762,7 @@ _ROTATE_TO_FRONT = [
     "etl_curriculum_shards", "etl_embedding_pca",
     "text_html_extract", "olap_supplier_hhi",
     "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
+    "etl_score_calibration", "text_trigram_backoff",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 4
     # late-r8 queries above, then the remaining r6-evidence oracled
