@@ -382,3 +382,167 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return cols.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def decode_audio(payload: bytes):
+    """Pure-numpy decode of uncompressed WAV (RIFF/WAVE, PCM format 1,
+    8/16-bit, any channel count — downmixed to mono by channel mean).
+    Returns ``(samples float64 in [-1, 1], sample_rate)`` or ``None``
+    when the payload is not canonical PCM WAV — callers fall back to
+    the deterministic stub, the same seam discipline as
+    :func:`decode_image`. Chunk-walks the RIFF container (fmt/data can
+    be preceded by LIST/fact chunks), no codec library involved.
+    Compressed audio (MP3/FLAC) would slot in behind the same
+    ``None``-fallback via an import-guarded libav call."""
+    import numpy as np
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        n_channels = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or n_channels < 1 or rate <= 0 or bits not in (8, 16):
+            return None
+        if bits == 16:
+            raw = np.frombuffer(
+                data, dtype="<i2", count=len(data) // 2
+            ).astype(np.float64) / 32768.0
+        else:  # 8-bit WAV is unsigned, biased at 128
+            raw = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        n = (len(raw) // n_channels) * n_channels
+        mono = raw[:n].reshape(-1, n_channels).mean(axis=1)
+        return mono, rate
+    except (ValueError, IndexError):
+        return None
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, decoded boolean, sample_rate int, duration_ms bigint, "
+    "rms_x1e6 bigint, zero_crossings bigint, env_fp int"
+)
+
+
+def audio_features(df: DataFrame, n_bands: int = 16) -> DataFrame:
+    """Per-payload audio features over the binary seam: duration, RMS
+    (integer micro-units), zero-crossing count, and an ``n_bands``-bit
+    ENVELOPE FINGERPRINT — per-band mean |amplitude| thresholded at the
+    band median, so the fingerprint is invariant to volume scaling
+    (the audio analog of pHash's DCT-median trick: re-encoded or
+    re-normalized copies of the same recording collide, different
+    material doesn't). Real WAV payloads decode via
+    :func:`decode_audio`; opaque bytes fall back to deterministic
+    length-derived stub features behind the same seam, flagged by
+    ``decoded=false``.
+
+    Scale shape: payloads never shuffle — one Arrow pass computes the
+    ≤7-column feature row and drops the bytes; dedup/grouping runs on
+    the fingerprint column only. ``repartition`` upstream if the
+    source is a single file (the pHash lesson)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "decoded", "sample_rate", "duration_ms",
+                "rms_x1e6", "zero_crossings", "env_fp",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                dec = decode_audio(p)
+                out["doc_id"].append(int(doc_id))
+                if dec is None:
+                    out["decoded"].append(False)
+                    out["sample_rate"].append(8000)
+                    out["duration_ms"].append(len(p) % 60_000)
+                    out["rms_x1e6"].append(len(p) % 1_000_000)
+                    out["zero_crossings"].append(len(p) % 4096)
+                    out["env_fp"].append(len(p) % (1 << n_bands))
+                    continue
+                x, rate = dec
+                n = len(x)
+                out["decoded"].append(True)
+                out["sample_rate"].append(int(rate))
+                out["duration_ms"].append(int(n * 1000 // rate) if rate else 0)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                out["rms_x1e6"].append(int(rms * 1_000_000))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                )
+                if n >= n_bands:
+                    cuts = (np.arange(n_bands + 1) * n) // n_bands
+                    env = np.array(
+                        [np.mean(np.abs(x[cuts[i]:cuts[i + 1]]))
+                         for i in range(n_bands)]
+                    )
+                    bits = env > np.median(env)
+                    out["env_fp"].append(int(bits.dot(1 << np.arange(n_bands))))
+                else:
+                    out["env_fp"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def attach_wav_payload(documents: DataFrame, rate: int = 4000) -> DataFrame:
+    """Test-harness adapter (the audio twin of
+    :func:`attach_binary_payload`): synthesize a REAL canonical PCM WAV
+    per document — a 0.1 s tone whose frequency and amplitude envelope
+    derive deterministically from (doc_id, n_chars) — so the decode
+    path runs on genuine RIFF bytes end-to-end on distributed data.
+    Documents with doc_id % 7 == 0 instead carry their utf-8 text bytes
+    (opaque), exercising the stub fallback in the same pass."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = rate // 10
+        t = np.arange(n) / rate
+        for pdf in batches:
+            payloads = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                did = int(doc_id)
+                if did % 7 == 0:
+                    payloads.append(str(text).encode("utf-8"))
+                    continue
+                freq = 200 + (did % 20) * 50
+                # envelope rises or decays by content-length parity
+                env = t / t[-1] if int(n_chars) % 2 else 1 - t / t[-1]
+                x = 0.1 + 0.7 * env * np.sin(2 * np.pi * freq * t)
+                data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+                fmt = (
+                    (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")
+                    + rate.to_bytes(4, "little")
+                    + (rate * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                )
+                body = (
+                    b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                payloads.append(
+                    b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text", "n_chars").mapInPandas(
+        run, "doc_id bigint, payload binary"
+    )

@@ -8706,6 +8706,43 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm_audio_fingerprint")  # numpy float features → rows-only; codec pinned in test_audio.py
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup census over the binary seam: per-document WAV decode
+    (REAL RIFF/PCM parse — multimodal.decode_audio), volume-invariant
+    envelope fingerprints, and the resulting duplicate-group sizes —
+    the audio member of the multimodal dedup family (pHash is the image
+    member). Payloads are genuine synthesized WAVs for most docs and
+    opaque text bytes for doc_id % 7 == 0, so both the real-decode path
+    and the stub fallback are driver-exercised in one query.
+
+    Scale shape: payloads are born and die inside one Arrow pass
+    (attach → features in back-to-back mapInPandas, no shuffle touches
+    bytes); the dedup groupBy runs on the integer fingerprint column.
+    Rows-only: envelope math is numpy float (bit-stable per platform,
+    not SQL-replayable); the codec's exactness is pinned against a
+    reference encoder in tests/test_audio.py."""
+    from etl_dag_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # single-file parquet scan → one task for the Arrow stage (pHash lesson)
+    feats = audio_features(
+        attach_wav_payload(d.repartition(spark.sparkContext.defaultParallelism))
+    )
+    return (
+        feats.groupBy("decoded", "env_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.max("rms_x1e6").cast("bigint").alias("max_rms_x1e6"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8762,7 +8799,7 @@ _ROTATE_TO_FRONT = [
     "etl_curriculum_shards", "etl_embedding_pca",
     "text_html_extract", "olap_supplier_hhi",
     "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
-    "etl_score_calibration", "text_trigram_backoff",
+    "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 4
     # late-r8 queries above, then the remaining r6-evidence oracled
