@@ -170,3 +170,46 @@ def test_txn_id_makes_append_replay_a_noop(spark, tmp_path):
     v3 = write_version(delta, path, op="append", txn_id="batch-8")
     assert v3 == 3
     assert _rows(read_version(spark, path)) == [(1, "a"), (2, "b"), (2, "b")]
+
+
+def test_read_version_delta_returns_only_new_rows(spark, tmp_path):
+    path = str(tmp_path / "delta_tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path, op="append"
+    )
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, v string"), path, op="append"
+    )
+    from etl_dag_spark.sources.versions import read_version_delta
+
+    assert _rows(read_version_delta(spark, path, 1)) == [(2, "b"), (3, "c")]
+    assert _rows(read_version_delta(spark, path, 1, 2)) == [(2, "b")]
+    assert _rows(read_version_delta(spark, path, 2, 3)) == [(3, "c")]
+    assert read_version_delta(spark, path, 3, 3).count() == 0
+    # overwrite breaks file-diff semantics → explicit refusal
+    write_version(spark.createDataFrame([(9, "z")], "k int, v string"), path)
+    with pytest.raises(ValueError, match="overwrite"):
+        read_version_delta(spark, path, 1)
+
+
+def test_compact_version_preserves_rows_and_shrinks_files(spark, tmp_path):
+    path = str(tmp_path / "opt_tbl")
+    for i in range(5):  # 5 micro-batch-ish appends → many small files
+        write_version(
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string"),
+            path,
+            op="append",
+        )
+    from etl_dag_spark.sources.versions import compact_version
+
+    before = read_version(spark, path)
+    n_files_before = len(before.inputFiles())
+    rows_before = _rows(before)
+    v = compact_version(spark, path, target_files=1)
+    assert v == 6
+    after = read_version(spark, path)
+    assert _rows(after) == rows_before
+    assert len(after.inputFiles()) == 1 < n_files_before
+    # pre-compaction snapshots still time-travel
+    assert len(_rows(read_version(spark, path, 5))) == 5
