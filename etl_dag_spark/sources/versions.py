@@ -324,3 +324,81 @@ def compact_version(
         op="overwrite",
         stats_cols=stats_cols,
     )
+
+
+def cdc_rows(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots: every row tagged
+    ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} — the Delta CDF contract, derived from the
+    snapshots themselves (no change files needed because every version
+    is fully addressable).
+
+    Two plans, picked by lineage:
+
+    - **append-only lineage + any keys**: the fast path —
+      :func:`read_version_delta`'s file-list diff IS the insert set;
+      zero joins, zero shuffles, reads only delta files.
+    - **otherwise**: full-outer join of the two snapshots on
+      ``key_cols`` (one shuffle per side on the key); non-key column
+      inequality splits matches into update pre/post pairs. Keys must
+      be unique per snapshot — the caller's contract, same as MERGE.
+    """
+    from pyspark.sql import functions as F
+
+    versions = _versions(path)
+    if to_version is None:
+        to_version = versions[-1]
+    append_only = all(
+        _load_manifest(path, v)["op"] == "append"
+        for v in versions
+        if from_version < v <= to_version
+    )
+    if append_only:
+        return read_version_delta(spark, path, from_version, to_version).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    if not key_cols:
+        raise ValueError("overwrite lineage requires key_cols for row matching")
+    old = read_version(spark, path, from_version)
+    new = read_version(spark, path, to_version)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    # row-presence markers survive NULL values in every data column
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"__old_{c}") for c in val_cols]
+    ).withColumn("__in_old", F.lit(1))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"__new_{c}") for c in val_cols]
+    ).withColumn("__in_new", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+    is_insert = F.col("__in_old").isNull()
+    is_delete = F.col("__in_new").isNull()
+    pre = j.where(~is_insert & ~is_delete & changed).select(
+        *key_cols,
+        *[F.col(f"__old_{c}").alias(c) for c in val_cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = j.where(~is_insert & ~is_delete & changed).select(
+        *key_cols,
+        *[F.col(f"__new_{c}").alias(c) for c in val_cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    ins = j.where(is_insert).select(
+        *key_cols,
+        *[F.col(f"__new_{c}").alias(c) for c in val_cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    dele = j.where(is_delete).select(
+        *key_cols,
+        *[F.col(f"__old_{c}").alias(c) for c in val_cols],
+        F.lit("delete").alias("_change_type"),
+    )
+    return ins.unionAll(dele).unionAll(pre).unionAll(post)

@@ -213,3 +213,46 @@ def test_compact_version_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert len(after.inputFiles()) == 1 < n_files_before
     # pre-compaction snapshots still time-travel
     assert len(_rows(read_version(spark, path, 5))) == 5
+
+
+def test_cdc_append_only_fast_path_is_all_inserts(spark, tmp_path):
+    path = str(tmp_path / "cdc_app")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path, op="append"
+    )
+    from etl_dag_spark.sources.versions import cdc_rows
+
+    got = cdc_rows(spark, path, 1)  # no keys needed on append lineage
+    assert [(r.k, r.v, r._change_type) for r in got.collect()] == [
+        (2, "b", "insert")
+    ]
+
+
+def test_cdc_across_overwrite_classifies_every_change(spark, tmp_path):
+    path = str(tmp_path / "cdc_ow")
+    v1 = spark.createDataFrame(
+        [(1, "keep"), (2, "old"), (3, "gone"), (4, None)],
+        "k int, v string",
+    )
+    write_version(v1, path)
+    v2 = spark.createDataFrame(
+        [(1, "keep"), (2, "new"), (5, "fresh"), (4, None)],
+        "k int, v string",
+    )
+    write_version(v2, path)
+    from etl_dag_spark.sources.versions import cdc_rows
+
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cdc_rows(spark, path, 1, 2, key_cols=["k"]).collect()
+    )
+    # unchanged (1) and NULL-equal (4) rows emit nothing
+    assert got == [
+        (2, "new", "update_postimage"),
+        (2, "old", "update_preimage"),
+        (3, "gone", "delete"),
+        (5, "fresh", "insert"),
+    ]
+    with pytest.raises(ValueError, match="key_cols"):
+        cdc_rows(spark, path, 1, 2)
