@@ -8743,6 +8743,126 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINSOR_QS = {"p05": 0.05, "p95": 0.95}
+
+
+@register(
+    "etl_winsorize",
+    oracle=f"""
+WITH p AS ({win.percentile_oracle_sql(
+        "(SELECT o_orderpriority, CAST(floor(o_totalprice * 100) AS BIGINT) AS vc"
+        " FROM orders)",
+        "o_orderpriority",
+        "vc",
+        _WINSOR_QS,
+    )})
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o.o_orderpriority AS priority,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS value_cents,
+       least(greatest(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS DOUBLE),
+                      p05), p95) AS wins_cents,
+       (CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS DOUBLE) < p05
+        OR CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS DOUBLE) > p95)
+         AS clipped
+FROM orders o JOIN p USING (o_orderpriority)
+""",
+)
+def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization / outlier capping: clamp order amounts to their
+    priority group's exact interpolated [p05, p95] band — the
+    robust-statistics ETL primitive applied before training a model or
+    averaging a skewed metric (a fat-finger order stops dominating the
+    mean but the row survives, unlike a filter). Reuses the shared
+    exact-percentile machinery (#37), so both engines interpolate the
+    identical ``lo + (hi − lo)·frac`` doubles; the clamp is
+    least/greatest on those doubles and the clip flag two comparisons
+    — no new float surface.
+
+    Scale shape: one partition-sized window pass builds the ≤|groups|
+    percentile frame; the join back is unhinted (AQE broadcasts the
+    tiny side at runtime); output is row-per-order at scan parallelism."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderpriority",
+        star.cents(F.col("o_totalprice")).alias("vc"),
+    )
+    p = win.exact_percentiles(
+        o.select("o_orderpriority", "vc"), "o_orderpriority", "vc", _WINSOR_QS
+    )
+    v = F.col("vc").cast("double")
+    return o.join(p, "o_orderpriority").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("vc").alias("value_cents"),
+        F.least(F.greatest(v, F.col("p05")), F.col("p95")).alias("wins_cents"),
+        ((v < F.col("p05")) | (v > F.col("p95"))).alias("clipped"),
+    )
+
+
+@register(
+    "olap_mad_outliers",
+    oracle=f"""
+WITH vals AS (
+  SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS ({win.percentile_oracle_sql("vals", "event_type", "v", {"med": 0.5})}),
+dev AS (
+  SELECT vals.*, med, abs(v - med) AS absdev
+  FROM vals JOIN med USING (event_type)
+),
+mad AS ({win.percentile_oracle_sql("dev", "event_type", "absdev", {"mad": 0.5})})
+SELECT event_type, user_id, ts_us, v AS value, med, absdev, mad
+FROM dev JOIN mad USING (event_type)
+WHERE absdev > CAST(3.0 AS DOUBLE) * (CAST(1.4826 AS DOUBLE) * mad)
+""",
+)
+def olap_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    estimator that survives what the z-score monitor (#119) cannot: a
+    mean/std contaminated by the outliers themselves (50% breakdown
+    point vs 0%). Flags events whose |value − median| exceeds
+    3·(1.4826·MAD), the normal-consistency-scaled three-sigma rule.
+
+    Determinism: both medians ride the shared exact-interpolation
+    machinery (#37 — identical ``lo + (hi − lo)·frac`` doubles in both
+    engines); deviation, scaling, and the flag are term-identical
+    single float ops on those doubles.
+
+    Scale shape: robust statistics need two passes by construction —
+    two partition-sized window sorts (one per percentile frame), each
+    shuffling on event_type; the ≤|event_types|-row quantile frames
+    join back unhinted (AQE broadcasts at runtime); no global sort, no
+    driver math."""
+    e = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    vals = e.select(
+        "event_type",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("CAST(ts_ns DIV 1000 AS BIGINT)").alias("ts_us"),
+        F.col("value").cast("double").alias("v"),
+    )
+    med = win.exact_percentiles(
+        vals.select("event_type", "v"), "event_type", "v", {"med": 0.5}
+    )
+    dev = vals.join(med, "event_type").withColumn(
+        "absdev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = win.exact_percentiles(
+        dev.select("event_type", "absdev"), "event_type", "absdev", {"mad": 0.5}
+    )
+    return (
+        dev.join(mad, "event_type")
+        .where(
+            F.col("absdev") > F.lit(3.0) * (F.lit(1.4826) * F.col("mad"))
+        )
+        .select(
+            "event_type", "user_id", "ts_us",
+            F.col("v").alias("value"), "med", "absdev", "mad",
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8800,6 +8920,7 @@ _ROTATE_TO_FRONT = [
     "text_html_extract", "olap_supplier_hhi",
     "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
     "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
+    "etl_winsorize", "olap_mad_outliers",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 4
     # late-r8 queries above, then the remaining r6-evidence oracled
