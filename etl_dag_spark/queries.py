@@ -8863,6 +8863,89 @@ def olap_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIVERSE_PCT = 10  # keep orderkeys whose hash lands in the bottom 10%
+_UNIVERSE_T = (1 << 32) * _UNIVERSE_PCT // 100
+
+
+@register(
+    "etl_universe_sample",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE ('0x' || substr(md5('usamp:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        < {_UNIVERSE_T}
+),
+li AS (
+  SELECT l_orderkey, {_REV_CENTS_SQL} AS rc FROM lineitem
+  WHERE ('0x' || substr(md5('usamp:' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        < {_UNIVERSE_T}
+),
+est AS (
+  SELECT o_orderpriority AS priority,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders_sampled,
+         CAST(sum(rc) AS BIGINT) AS sample_cents
+  FROM o JOIN li ON o_orderkey = l_orderkey
+  GROUP BY 1
+)
+SELECT priority, n_orders_sampled,
+       sample_cents * {100 // _UNIVERSE_PCT} / 100.0 AS est_revenue,
+       CAST(sample_cents * {100 // _UNIVERSE_PCT} AS BIGINT) AS est_cents
+FROM est
+""",
+)
+def etl_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universe sampling — JOIN-PRESERVING correlated sampling: both
+    fact tables keep exactly the rows whose JOIN KEY hashes into the
+    same bottom-p% of hash space, so every surviving order arrives with
+    ALL its line items and join results scale by 1/p. Independent
+    per-table Bernoulli sampling destroys joins (two p-samples retain
+    only p² of join pairs, and partially — orphaned lines under-count
+    every order); sampling the KEY UNIVERSE once is the standard fix
+    (Vengerov et al., 'Join Size Estimation Subject to Filter
+    Conditions', VLDB 2015 — the correlated-sampling estimator). The
+    engine-portable md5 hash is the same device the dataset splitter
+    (#99) uses, so samples are deterministic, append-stable, and
+    identical across engines.
+
+    Scale shape: each table filters AT SCAN SPEED on a pure hash
+    predicate (no sample table, no shuffle to decide membership), the
+    join runs on 1/10th the data, and the integer scale-up (×10 on
+    exact cents) happens on the |priorities|-bounded aggregate. At
+    100 TB this is how you price a dashboard query before running it."""
+    keep = (
+        lambda col: F.expr(
+            f"CAST(conv(substring(md5(concat('usamp:', CAST({col} AS STRING))),"
+            f" 1, 8), 16, 10) AS BIGINT)"
+        )
+        < _UNIVERSE_T
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(keep("o_orderkey"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(keep("l_orderkey"))
+        .select("l_orderkey", star.revenue_cents().alias("rc"))
+    )
+    est = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders_sampled"),
+            F.sum("rc").cast("bigint").alias("sample_cents"),
+        )
+    )
+    scale = 100 // _UNIVERSE_PCT
+    return est.select(
+        "priority",
+        "n_orders_sampled",
+        (F.col("sample_cents") * scale / 100.0).alias("est_revenue"),
+        (F.col("sample_cents") * scale).cast("bigint").alias("est_cents"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8920,7 +9003,7 @@ _ROTATE_TO_FRONT = [
     "text_html_extract", "olap_supplier_hhi",
     "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
     "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
-    "etl_winsorize", "olap_mad_outliers",
+    "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 4
     # late-r8 queries above, then the remaining r6-evidence oracled
