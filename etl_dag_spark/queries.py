@@ -8994,8 +8994,8 @@ _ROTATE_TO_FRONT = [
     # (d) 1 remaining slot from the r6-evidence group, oldest first
     "etl_dq_report",
     # ---- position 51+: the r9 front-of-queue ----
-    # FIRST the queries added mid-r8 after the window froze (6 oracled
-    # + 1 rows-only; parity/pytest evidence this round, driver-hashed
+    # FIRST the queries added mid-r8 after the window froze (17 oracled
+    # + 2 rows-only; parity/pytest evidence this round, driver-hashed
     # in r9 — the same late-addition deferral r7 used):
     "etl_filter_agreement", "text_url_normalize", "etl_l_diversity",
     "olap_event_transitions", "etl_drift_chisq", "etl_token_budget_select",
@@ -9005,13 +9005,13 @@ _ROTATE_TO_FRONT = [
     "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
     "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
     # After r8 every query registered BEFORE the r8 freeze has driver
-    # evidence and nothing is older than r6. r9's window takes the 4
-    # late-r8 queries above, then the remaining r6-evidence oracled
-    # group (~44 queries, 2 rounds old by then), oldest first, then
-    # fills from the r7-evidence group; the r7/r8 rows-only newcomers
-    # re-rotate in r10. With 135 oracles and a 50-entry window the
-    # cycle is ~2.7 rounds; the per-round pytest parity run (every
-    # oracle at sf0.001) stays the continuous secondary gate.
+    # evidence and nothing is older than r6. r9's window takes the 19
+    # late-r8 queries above, then fills from the remaining r6-evidence
+    # oracled group (~44 queries, 2 rounds old by then), oldest first;
+    # whatever r6 evidence doesn't fit plus the r7/r8 rows-only
+    # newcomers re-rotate in r10. With 150 oracles and a 50-entry
+    # window the cycle is ~3 rounds; the per-round pytest parity run
+    # (every oracle at sf0.001) stays the continuous secondary gate.
     "etl_country_iso3",
     "etl_star_fact", "etl_dates_dim", "bi_revenue_by_category",
     "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels",
