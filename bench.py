@@ -285,9 +285,19 @@ def main() -> None:
         {"detail": "per_query_sec", "queries": grouped_by_prefix(registry)},
         separators=(",", ":"),
     )
-    head_line = json.dumps(headline, separators=(",", ":"))
-    assert len(head_line) <= 1500, f"headline grew to {len(head_line)} chars"
     print(detail_line)
+    # Degrade, never die: if the headline outgrows the tail window,
+    # shrink the top-k list until it fits — an assert here would abort
+    # AFTER the full run but BEFORE the record is printed, losing
+    # everything (the exact failure this two-line protocol prevents).
+    for top_k in (10, 5, 3, 0):
+        headline["queries"] = {
+            n: _short(registry[n], 2)
+            for n in sorted(registry, key=registry.get, reverse=True)[:top_k]
+        }
+        head_line = json.dumps(headline, separators=(",", ":"))
+        if len(head_line) <= 1500:
+            break
     print(head_line)
     spark.stop()
 

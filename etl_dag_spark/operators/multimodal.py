@@ -129,7 +129,13 @@ def pool_raster(img, out_h: int, out_w: int):
     """Exact area-mean pooling of a 2-D array to (out_h, out_w): each
     source pixel contributes to the bucket its index maps to, so any
     input size resamples deterministically in one O(h·w) pass — the
-    resize primitive under pHash and thumbnailing (no scipy/PIL)."""
+    resize primitive under pHash and thumbnailing (no scipy/PIL).
+
+    UPSCALING (input smaller than the grid): the scatter pass leaves
+    buckets no source pixel maps to; those are filled by the inverse
+    nearest map (bucket → source pixel) instead of defaulting to 0 —
+    otherwise a 16×16 and a 64×64 rendering of the same picture would
+    pHash the zero lattice, not the image, and never collide."""
     import numpy as np
 
     h, w = img.shape
@@ -139,7 +145,13 @@ def pool_raster(img, out_h: int, out_w: int):
     np.add.at(sums, (r[:, None], c[None, :]), img)
     counts = np.zeros((out_h, out_w))
     np.add.at(counts, (r[:, None], c[None, :]), 1.0)
-    return sums / np.maximum(counts, 1.0)
+    pooled = sums / np.maximum(counts, 1.0)
+    if counts.min() == 0.0:
+        src_r = (np.arange(out_h) * h) // out_h
+        src_c = (np.arange(out_w) * w) // out_w
+        nearest = img[src_r[:, None], src_c[None, :]]
+        pooled = np.where(counts > 0, pooled, nearest)
+    return pooled
 
 
 def extract_media_meta(df: DataFrame) -> DataFrame:

@@ -4884,11 +4884,13 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLS_BUCKETS = 1024
 _CLS_WSPAN = 2001  # weights in [-1000, 1000]
 
-
-@register(
-    "text_quality_classifier",
-    oracle=f"""
-WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
+# The hashed classifier and the heuristic rule score are rated by FOUR
+# queries (the gate itself #109 and the filter-eval family: kappa 109b,
+# RBO 109c, calibration 109d). Their premise is that every member
+# scores the IDENTICAL gates, so the scorers exist exactly once — as a
+# shared Spark frame builder and a shared oracle-SQL fragment — and the
+# family cannot drift copy by copy.
+_CLS_WT_CTES = f"""tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
 feat AS (
   SELECT doc_id,
          (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
@@ -4899,7 +4901,69 @@ wt AS (
          (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
             % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
   FROM feat
+)"""
+_CLS_SQL_CTES = (
+    _CLS_WT_CTES
+    + """,
+cls AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s_cls FROM wt GROUP BY doc_id)"""
 )
+_RULE_SCORE_SQL = (
+    f"CAST({stopword_count_sql('text')} AS DOUBLE) / {token_count_sql('text')}"
+    " * CAST(0.5 AS DOUBLE)"
+    f" + least(CAST({token_count_sql('text')} AS DOUBLE) / CAST(100.0 AS DOUBLE),"
+    " CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)"
+)
+_RULE_CTE = f"""rule AS (
+  SELECT doc_id, {_RULE_SCORE_SQL} AS s_rule
+  FROM documents
+  WHERE {token_count_sql("text")} >= 1
+)"""
+
+
+def _cls_weighted_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, t, b, w): every token with its hashed bucket and
+    md5-derived weight — the in-scan hashing trick, no vocabulary."""
+    tk = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(tokens_column("text")).alias("t"),
+    )
+    b = F.expr(
+        f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), {_CLS_BUCKETS})"
+    )
+    w = F.expr(
+        f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8), 16, 10)"
+        f" AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
+    )
+    return tk.withColumn("b", b).withColumn("w", w)
+
+
+def _cls_score_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, s_cls BIGINT): the hashed classifier's raw score."""
+    return (
+        _cls_weighted_tokens(d)
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("s_cls"))
+    )
+
+
+def _rule_score_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, s_rule DOUBLE): the heuristic composite quality score
+    (the text_quality recipe), on the n_tokens ≥ 1 universe."""
+    n_tok = token_count_column("text")
+    n_stop = stopword_count_column("text")
+    return d.where(n_tok >= 1).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (
+            n_stop.cast("double") / n_tok * 0.5
+            + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        ).alias("s_rule"),
+    )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+WITH {_CLS_WT_CTES}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(w) AS BIGINT) AS raw_score,
@@ -4924,20 +4988,8 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Integer weight sums are order-independent; the single
     mean division is correctly rounded in both engines."""
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(tokens_column("text")).alias("t"),
-    )
-    b = F.expr(
-        f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), {_CLS_BUCKETS})"
-    )
-    w = F.expr(
-        f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8), 16, 10)"
-        f" AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
-    )
     return (
-        tk.withColumn("b", b)
-        .withColumn("w", w)
+        _cls_weighted_tokens(d)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -7335,28 +7387,13 @@ def etl_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_filter_agreement",
     oracle=f"""
-WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
-feat AS (
+WITH {_CLS_SQL_CTES},
+{_RULE_CTE},
+flags AS (
   SELECT doc_id,
-         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
-  FROM tk
-),
-wt AS (
-  SELECT doc_id,
-         (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
-            % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
-  FROM feat
-),
-cls AS (SELECT doc_id, (sum(w) >= 0) AS keep_cls FROM wt GROUP BY doc_id),
-rule AS (
-  SELECT doc_id,
-         (CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
-            * CAST(0.5 AS DOUBLE)
-          + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
-                  CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE))
-           >= CAST(0.5 AS DOUBLE) AS keep_rule
-  FROM documents
-  WHERE {token_count_sql("text")} >= 1
+         s_rule >= CAST(0.5 AS DOUBLE) AS keep_rule,
+         s_cls >= 0 AS keep_cls
+  FROM rule JOIN cls USING (doc_id)
 ),
 counts AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -7364,7 +7401,7 @@ counts AS (
          CAST(sum(CASE WHEN NOT keep_rule AND NOT keep_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
          CAST(sum(CASE WHEN keep_rule AND NOT keep_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
          CAST(sum(CASE WHEN NOT keep_rule AND keep_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_only
-  FROM rule r JOIN cls c USING (doc_id)
+  FROM flags
 )
 SELECT n_docs, n_both_keep, n_both_drop, n_rule_only, n_cls_only, po, pe,
        (po - pe) / (CAST(1.0 AS DOUBLE) - pe) AS kappa
@@ -7392,36 +7429,16 @@ def etl_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; the classifier explode→groupBy with no vocabulary
     state), one doc_id equi-join, then a 1-row global aggregate whose
     po/pe/kappa arithmetic derives from integer counts — deterministic
-    in both engines with the same term order."""
+    in both engines with the same term order. Both scorers are the
+    SHARED definitions (_rule_score_frame / _cls_score_frame), so the
+    gates this query rates are the gates #109 applies — by
+    construction, not by copy."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = token_count_column("text")
-    n_stop = stopword_count_column("text")
-    rule = d.where(n_tok >= 1).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        (
-            (
-                n_stop.cast("double") / n_tok * 0.5
-                + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
-            )
-            >= 0.5
-        ).alias("keep_rule"),
+    rule = _rule_score_frame(d).select(
+        "doc_id", (F.col("s_rule") >= 0.5).alias("keep_rule")
     )
-    tk = d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(tokens_column("text")).alias("t"),
-    )
-    b = F.expr(
-        f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), {_CLS_BUCKETS})"
-    )
-    w = F.expr(
-        f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8), 16, 10)"
-        f" AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
-    )
-    cls = (
-        tk.withColumn("b", b)
-        .withColumn("w", w)
-        .groupBy("doc_id")
-        .agg((F.sum("w") >= 0).alias("keep_cls"))
+    cls = _cls_score_frame(d).select(
+        "doc_id", (F.col("s_cls") >= 0).alias("keep_cls")
     )
     both = F.col("keep_rule") & F.col("keep_cls")
     neither = ~F.col("keep_rule") & ~F.col("keep_cls")
@@ -7726,11 +7743,15 @@ scored AS (
            * (CAST(n_b AS DOUBLE) - CAST(n_a AS DOUBLE) / tot_a * tot_b)
            / (CAST(n_a AS DOUBLE) / tot_a * tot_b) AS chisq_contrib
   FROM halves, tot
+),
+q AS (
+  SELECT *, CAST(floor(chisq_contrib * 1e12) AS BIGINT) AS cq FROM scored
 )
 SELECT priority, n_a, n_b, expected_b, chisq_contrib,
-       sum(chisq_contrib) OVER (ORDER BY priority
-                                ROWS UNBOUNDED PRECEDING) AS chisq_running
-FROM scored
+       CAST(CAST(sum(cq) OVER (ORDER BY priority
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS DOUBLE) / 1e12 AS chisq_running
+FROM q
 """,
 )
 def etl_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7740,8 +7761,10 @@ def etl_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     category proportions predict batch B's expected counts; the
     per-category contribution (obs−exp)²/exp and the running total
     (ordered by category, so the float accumulation order is pinned)
-    quantify the shift. Batches are the deterministic o_orderkey parity
-    halves — the ``etl_dataset_split`` convention for engine-portable
+    quantify the shift — the running total accumulates
+    floor(contrib·1e12) integers so it is exact and engine-portable
+    (float window cumsums drift a ULP between engines). Batches are
+    the deterministic o_orderkey parity halves — the ``etl_dataset_split`` convention for engine-portable
     batch derivation; swapping in yesterday's/today's partitions
     changes the two filters, not the plan.
 
@@ -7773,10 +7796,25 @@ def etl_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # bounded frame: ≤ |priorities| rows — the unpartitioned ordered
-    # window never sees more than the category count
+    # window never sees more than the category count. The running total
+    # accumulates QUANTIZED integers (floor(contrib·1e12), identical in
+    # both engines because contrib is a term-identical expression) —
+    # a float window cumsum is not engine-portable (the CLAUDE.md
+    # 1-ULP drift class etl_rank_agreement hit at ~30 rows).
     w = Window.orderBy("priority").rowsBetween(Window.unboundedPreceding, 0)
-    return scored.withColumn("chisq_running", F.sum("chisq_contrib").over(w)).select(
-        "priority", "n_a", "n_b", "expected_b", "chisq_contrib", "chisq_running"
+    return (
+        scored.withColumn(
+            "cq",
+            F.floor(F.col("chisq_contrib") * F.lit(1e12)).cast("bigint"),
+        )
+        .withColumn(
+            "chisq_running",
+            F.sum("cq").over(w).cast("bigint").cast("double") / F.lit(1e12),
+        )
+        .select(
+            "priority", "n_a", "n_b", "expected_b", "chisq_contrib",
+            "chisq_running",
+        )
     )
 
 
@@ -8292,28 +8330,8 @@ _RBO_SCALE = 449145272165990400  # lcm(1..25) · 2^24
 @register(
     "etl_rank_agreement",
     oracle=f"""
-WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
-feat AS (
-  SELECT doc_id,
-         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
-  FROM tk
-),
-wt AS (
-  SELECT doc_id,
-         (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
-            % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
-  FROM feat
-),
-cls AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s_cls FROM wt GROUP BY doc_id),
-rule AS (
-  SELECT doc_id,
-         CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
-           * CAST(0.5 AS DOUBLE)
-         + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
-                 CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS s_rule
-  FROM documents
-  WHERE {token_count_sql("text")} >= 1
-),
+WITH {_CLS_SQL_CTES},
+{_RULE_CTE},
 u AS (SELECT r.doc_id, s_rule, s_cls FROM rule r JOIN cls c USING (doc_id)),
 a AS (SELECT doc_id, row_number() OVER (ORDER BY s_rule DESC, doc_id) AS ra FROM u),
 b AS (SELECT doc_id, row_number() OVER (ORDER BY s_cls DESC, doc_id) AS rb FROM u),
@@ -8363,40 +8381,16 @@ def etl_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-heaps (TakeOrderedAndProject — never a global sort); everything
     after is algebra on ≤D-row frames (re-rank windows, the
     greatest(ra,rb) join, the depth×overlap expansion ≤ D² rows).
-    The corpus is touched exactly twice (one scan per scorer)."""
+    The corpus is touched exactly twice (one scan per scorer); both
+    scorers are the SHARED definitions (_rule_score_frame /
+    _cls_score_frame), so the rankings compared are the gates #109
+    applies — by construction, not by copy."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = token_count_column("text")
-    n_stop = stopword_count_column("text")
-    rule = d.where(n_tok >= 1).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        (
-            n_stop.cast("double") / n_tok * 0.5
-            + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
-        ).alias("s_rule"),
+    u = (
+        _rule_score_frame(d)
+        .join(_cls_score_frame(d), "doc_id")
+        .localCheckpoint(eager=False)  # 2 rankings read it
     )
-    tk = d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(tokens_column("text")).alias("t"),
-    )
-    cls = (
-        tk.withColumn(
-            "b",
-            F.expr(
-                f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
-                f" {_CLS_BUCKETS})"
-            ),
-        )
-        .withColumn(
-            "w",
-            F.expr(
-                f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8),"
-                f" 16, 10) AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("w").cast("bigint").alias("s_cls"))
-    )
-    u = rule.join(cls, "doc_id").localCheckpoint(eager=False)  # 2 rankings read it
     top_a = u.orderBy(F.col("s_rule").desc(), "doc_id").limit(_RBO_DEPTH)
     top_b = u.orderBy(F.col("s_cls").desc(), "doc_id").limit(_RBO_DEPTH)
     # bounded frames: ≤ D survivor rows each — the unpartitioned
@@ -8449,28 +8443,11 @@ def etl_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_score_calibration",
     oracle=f"""
-WITH tk AS (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents),
-feat AS (
-  SELECT doc_id,
-         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b
-  FROM tk
-),
-wt AS (
-  SELECT doc_id,
-         (('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
-            % {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2} AS w
-  FROM feat
-),
-cls AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s_cls FROM wt GROUP BY doc_id),
-rule AS (
-  SELECT doc_id,
-         (CAST({stopword_count_sql("text")} AS DOUBLE) / {token_count_sql("text")}
-            * CAST(0.5 AS DOUBLE)
-          + least(CAST({token_count_sql("text")} AS DOUBLE) / CAST(100.0 AS DOUBLE),
-                  CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE))
-           >= CAST(0.5 AS DOUBLE) AS keep_rule
-  FROM documents
-  WHERE {token_count_sql("text")} >= 1
+WITH {_CLS_SQL_CTES},
+{_RULE_CTE},
+flags AS (
+  SELECT doc_id, s_cls, s_rule >= CAST(0.5 AS DOUBLE) AS keep_rule
+  FROM rule JOIN cls USING (doc_id)
 )
 SELECT CAST(floor(CAST(s_cls AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS BIGINT)
          AS score_bucket,
@@ -8478,7 +8455,7 @@ SELECT CAST(floor(CAST(s_cls AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS BIGINT)
        CAST(sum(CASE WHEN keep_rule THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        CAST(sum(CASE WHEN keep_rule THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          AS keep_rate
-FROM rule r JOIN cls c USING (doc_id)
+FROM flags
 GROUP BY 1
 """,
 )
@@ -8497,42 +8474,15 @@ def etl_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ between engines (Spark truncates toward zero, DuckDB floors;
     classifier scores go negative); the float divide-then-floor is
     exact for in-range BIGINTs. keep_rate is the only other float: one
-    BIGINT/BIGINT division per bucket."""
+    BIGINT/BIGINT division per bucket. Both scorers are the SHARED
+    definitions (_rule_score_frame / _cls_score_frame), so the gate
+    this query calibrates is the gate #109 applies — by construction,
+    not by copy."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = token_count_column("text")
-    n_stop = stopword_count_column("text")
-    rule = d.where(n_tok >= 1).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        (
-            (
-                n_stop.cast("double") / n_tok * 0.5
-                + F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
-            )
-            >= 0.5
-        ).alias("keep_rule"),
+    rule = _rule_score_frame(d).select(
+        "doc_id", (F.col("s_rule") >= 0.5).alias("keep_rule")
     )
-    tk = d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(tokens_column("text")).alias("t"),
-    )
-    cls = (
-        tk.withColumn(
-            "b",
-            F.expr(
-                f"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
-                f" {_CLS_BUCKETS})"
-            ),
-        )
-        .withColumn(
-            "w",
-            F.expr(
-                f"pmod(CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 8),"
-                f" 16, 10) AS BIGINT), {_CLS_WSPAN}) - {(_CLS_WSPAN - 1) // 2}"
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("w").cast("bigint").alias("s_cls"))
-    )
+    cls = _cls_score_frame(d)
     return (
         rule.join(cls, "doc_id")
         .groupBy(

@@ -239,7 +239,7 @@ def history(path: str) -> list[dict]:
     ]
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[int]:
+def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[int]:
     """Drop all but the last ``keep_last`` versions: their manifests are
     removed and any data directory no surviving manifest references is
     deleted (shared files survive — an appended-onto base stays as long
@@ -248,8 +248,15 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     Explicit, like Delta's VACUUM: writers never reclaim space
     implicitly, so a reader holding an old version's file list is only
     broken by an operator running vacuum, never by a concurrent load.
-    """
+
+    ``min_age_seconds``: unreferenced data dirs YOUNGER than this are
+    left alone — they may belong to a concurrent ``write_version``
+    whose data files are written but whose manifest link hasn't landed
+    yet; reaping them would corrupt the version that writer is about to
+    commit (the same retention window Delta's VACUUM enforces).
+    Pass 0 only when no writer can be in flight."""
     import shutil
+    import time
 
     versions = _versions(path)
     dropped = versions[:-keep_last] if keep_last > 0 else versions
@@ -262,11 +269,15 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     for v in dropped:
         os.unlink(_manifest_path(path, v))
     data_root = os.path.join(path, _DATA)
+    now = time.time()
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if full not in keep_dirs:
-                shutil.rmtree(full)
+            if full in keep_dirs:
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue  # possibly a not-yet-committed writer's files
+            shutil.rmtree(full)
     return dropped
 
 

@@ -187,18 +187,24 @@ def stream_countmin(
     without a vocabulary-sized state store).
 
     Per micro-batch: the batch's token counts fold into a batch sketch
-    (≤ depth×width rows) which APPENDS to a parquet store as cell
-    deltas — log-structured, no read-modify-write, and safe under ANY
-    file arrival order because sketch merge is cell-wise addition
-    (commutative + associative; merge(halves) == whole is pinned in
-    tests/test_sketch.py). :func:`read_countmin_store` folds the deltas
-    back to one sketch, which equals the one-shot batch sketch of
-    everything ingested — pinned in tests/test_streaming_corpus.py.
+    (≤ depth×width rows) whose cell deltas land by OVERWRITE into a
+    deterministic ``batch=<id>`` directory — log-structured, no
+    read-modify-write, safe under ANY file arrival order because sketch
+    merge is cell-wise addition (commutative + associative;
+    merge(halves) == whole is pinned in tests/test_sketch.py), and
+    replay-idempotent even though addition is not: foreachBatch is
+    at-least-once, and a re-delivered batch rewrites the identical
+    deltas in place instead of appending them twice.
+    :func:`read_countmin_store` folds the deltas back to one sketch,
+    which equals the one-shot batch sketch of everything ingested —
+    pinned in tests/test_streaming_corpus.py.
 
     Scale shape: state on disk is ≤ depth×width rows PER BATCH (a few
     KB), the one streaming-state story in this repo whose size is a
     constant of the operator rather than a function of the corpus.
     """
+    import os
+
     from etl_dag_spark.functions.text import tokens_column
     from etl_dag_spark.operators.sketch import countmin_build
 
@@ -210,9 +216,9 @@ def stream_countmin(
             .groupBy("key")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
-        countmin_build(cnt, depth=depth, width=width).write.mode("append").parquet(
-            store_path
-        )
+        countmin_build(cnt, depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, f"batch={batch_id}"))
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -80,9 +80,14 @@ def stream_moments(
     the corpus.
 
     Scale shape: state on disk is ≤ 1 + d + d·(d+1)/2 rows PER BATCH
-    (a constant of the operator); like the CMS fold, addition is NOT
-    idempotent, so replay protection comes from the foreachBatch
-    checkpoint (exactly-once within one stream)."""
+    (a constant of the operator). Addition is NOT idempotent and
+    foreachBatch is at-least-once (a crash between the store write and
+    the checkpoint commit re-delivers the batch), so each batch's cells
+    land by OVERWRITE into a deterministic ``batch=<id>`` directory — a
+    replay rewrites the identical deltas in place instead of appending
+    them twice, making the store idempotent without any txn log."""
+    import os
+
     from etl_dag_spark.operators.similarity import (
         moment_partials,
         quantized_vectors,
@@ -92,7 +97,9 @@ def stream_moments(
         if batch_df.isEmpty():
             return
         q = quantized_vectors(batch_df, "vec_id", "embedding", quant)
-        moment_partials(q).write.mode("append").parquet(store_path)
+        moment_partials(q).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch={batch_id}")
+        )
 
     return (
         vec_stream.writeStream.foreachBatch(process)

@@ -255,3 +255,51 @@ def test_phash_dedup_finds_planted_image_dups(spark):
     canon = clusters.where("is_canonical").count()
     # ~40 clusters of 2 (+ any unpaired docs standing alone)
     assert canon <= 80 - int(0.9 * 40)
+
+
+def test_pool_raster_upscale_fills_every_cell():
+    """Inputs smaller than the target grid must not leave zero-filled
+    buckets (the 16x16-image-pHashes-a-zero-lattice bug): unmapped
+    cells take the inverse nearest source pixel."""
+    from etl_dag_spark.operators.multimodal import pool_raster
+
+    img = np.arange(16, dtype=np.float64).reshape(4, 4) + 1.0  # min 1.0
+    up = pool_raster(img, 8, 8)
+    assert up.shape == (8, 8)
+    assert up.min() >= 1.0  # no zero cells
+    # every output cell equals its nearest-mapped source pixel
+    src_r = (np.arange(8) * 4) // 8
+    src_c = (np.arange(8) * 4) // 8
+    assert np.array_equal(up, img[src_r[:, None], src_c[None, :]])
+    # downscale path unchanged: exact area mean
+    down = pool_raster(img, 2, 2)
+    assert np.array_equal(down, img.reshape(2, 2, 2, 2).mean(axis=(1, 3)))
+
+
+def test_phash_collides_across_renderings_of_the_same_picture(spark):
+    """A 16x16 and a 64x64 rendering of the same natural image must
+    land within banded-dedup range of each other now that upscaling
+    fills unmapped grid cells from the image instead of zeros."""
+    from etl_dag_spark.operators.dedup import banded_hamming_pairs
+    from etl_dag_spark.operators.multimodal import (
+        PHASH_BANDS,
+        phash_signatures,
+        pool_raster,
+    )
+
+    rows = []
+    for i in range(8):
+        big = _natural_image(seed=500 + i, h=64, w=64)
+        small = pool_raster(big.astype(np.float64), 16, 16).astype(np.uint8)
+        rows.append((i, bytearray(_encode_bmp(np.dstack([big] * 3)))))
+        rows.append(
+            (1000 + i, bytearray(_encode_bmp(np.dstack([small] * 3))))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = banded_hamming_pairs(
+        phash_signatures(docs), bands=PHASH_BANDS, max_hamming=10
+    )
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    planted = {(i, 1000 + i) for i in range(8)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.75, f"cross-resolution recall {recall}: {sorted(got)}"

@@ -672,3 +672,71 @@ def test_stream_versioned_ingest_snapshots_every_batch(spark, doc_stream_src, tm
     v = write_version(replay, table, op="append", txn_id=f"batch-{tip - 1}")
     assert v == tip
     assert read_version(spark, table).count() == len(want)
+
+
+def test_stream_moments_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering every batch (fresh
+    checkpoint, same source order) must leave the additive moment store
+    unchanged — the deterministic batch=<id> overwrite makes replays
+    rewrite identical deltas in place."""
+    from etl_dag_spark.operators.similarity import (
+        moment_partials,
+        quantized_vectors,
+    )
+    from etl_dag_spark.streaming.vectors import (
+        read_embedding_stream,
+        read_moment_store,
+        stream_moments,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    src = str(tmp_path / "vec_src2")
+    emb.repartition(2).write.mode("overwrite").parquet(src)
+
+    store = str(tmp_path / "mom_store2")
+    for ckpt in ("ck_a", "ck_b"):  # second run replays every batch
+        q = stream_moments(
+            read_embedding_stream(spark, src),
+            store_path=store,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+    folded = {(r.i, r.j): r.v for r in read_moment_store(spark, store).collect()}
+    one_shot = {
+        (r.i, r.j): r.v
+        for r in moment_partials(
+            quantized_vectors(spark.read.parquet(src), "vec_id", "embedding")
+        ).collect()
+    }
+    assert folded == one_shot
+
+
+def test_stream_countmin_replay_is_idempotent(spark, doc_stream_src, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.functions.text import tokens_column
+    from etl_dag_spark.operators.sketch import countmin_build
+    from etl_dag_spark.streaming.corpus import read_countmin_store, stream_countmin
+
+    store = str(tmp_path / "cms_store2")
+    for ckpt in ("ck_a", "ck_b"):
+        q = stream_countmin(
+            read_document_stream(spark, doc_stream_src),
+            store_path=store,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+    docs = load_table(spark, SF_DIR, "documents")
+    cnt = (
+        docs.select(F.explode(tokens_column("text")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    whole = {
+        (r.row, r.pos): r.cell for r in countmin_build(cnt).collect()
+    }
+    folded = {
+        (r.row, r.pos): r.cell
+        for r in read_countmin_store(spark, store).collect()
+    }
+    assert folded == whole

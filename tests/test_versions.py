@@ -70,8 +70,16 @@ def test_unmanifested_data_is_invisible(spark, table):
 
 
 def test_vacuum_drops_old_versions_but_keeps_shared_files(spark, table):
+    # default retention spares young unreferenced dirs (a concurrent
+    # writer's not-yet-committed files look exactly like this): the
+    # v1 manifest drops, but no data is reclaimed yet
+    n_dirs = len(os.listdir(os.path.join(table, "data")))
     dropped = vacuum(table, keep_last=2)
     assert dropped == [1]
+    assert len(os.listdir(os.path.join(table, "data"))) == n_dirs
+
+    # age 0 = operator asserts no writer in flight → reclaim
+    assert vacuum(table, keep_last=2, min_age_seconds=0) == []
     with pytest.raises(FileNotFoundError):
         read_version(spark, table, 1)
     # v2 shares v1's physical files; vacuum must keep them because a
