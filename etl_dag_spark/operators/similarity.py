@@ -106,12 +106,19 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    sim_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for rows matching ``query_filter``.
 
     → (query_id, neighbor_id, rank, sim); rank by (sim rounded to 6dp
     DESC, neighbor_id ASC) so ordering is reproducible under any
     physical plan.
+
+    ``sim_band=(lo, hi)``: restrict candidates to lo ≤ sim < hi on the
+    ROUNDED similarity BEFORE the local top-k — the hard-negative-mining
+    contract (exclude near-duplicates above hi, keep the most confusable
+    below), which post-filtering a plain top-k cannot express (it would
+    drop winners instead of admitting the next candidates).
 
     Shape for scale: the query set is collected and broadcast (queries
     are few — the contract of this operator); the corpus streams through
@@ -146,6 +153,8 @@ def brute_force_topk(
             for j in range(len(bq_ids)):
                 col = sims_r[:, j]
                 mask = c_ids != bq_ids[j]
+                if sim_band is not None:
+                    mask &= (col >= sim_band[0]) & (col < sim_band[1])
                 idx = np.flatnonzero(mask)
                 order = idx[np.lexsort((c_ids[idx], -col[idx]))][:local_k]
                 yield pd.DataFrame(

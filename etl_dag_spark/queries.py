@@ -8896,6 +8896,51 @@ def etl_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_hard_negatives",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round({cosine_sql("qv", "e.embedding")}, 6) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+band AS (
+  SELECT * FROM scored
+  WHERE sim >= CAST(0.5 AS DOUBLE) AND sim < CAST(0.95 AS DOUBLE)
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM band
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+""",
+)
+def etl_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor (the vec_id % 10 = 0 query subset), the top-5 MOST SIMILAR
+    documents inside the [0.5, 0.95) cosine band — similar enough to be
+    confusable (the negatives that actually teach the model), below the
+    near-duplicate cutoff so no positive leaks in as a negative. The
+    band must apply BEFORE the top-k (sim_band inside
+    brute_force_topk's per-partition selection): post-filtering a plain
+    top-k would drop its near-dup winners instead of admitting the next
+    candidates.
+
+    Scale shape: same contract as ann_topk_bruteforce — broadcast query
+    matrix, ONE Arrow corpus pass emitting per-partition banded
+    top-(k+8) per query, global rank over O(partitions·queries·k) rows;
+    the band compare runs on the ROUNDED similarity both engines share.
+    The 100 TB path swaps the scorer for the IVF/LSH index exactly as
+    the ANN family does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(
+        emb, F.col("vec_id") % 10 == 0, k=5, sim_band=(0.5, 0.95)
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8954,6 +8999,7 @@ _ROTATE_TO_FRONT = [
     "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
     "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
     "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
+    "etl_hard_negatives",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 19
     # late-r8 queries above, then fills from the remaining r6-evidence
