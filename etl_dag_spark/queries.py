@@ -8941,6 +8941,163 @@ def etl_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_time_weighted_avg",
+    oracle="""
+WITH v AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(event_id AS BIGINT) AS event_id,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+seg AS (
+  SELECT user_id, vc,
+         (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+          - ts_us) // 1000000 AS dur_s
+  FROM v
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(dur_s) AS BIGINT) AS span_s,
+         CAST(sum(vc * dur_s) AS BIGINT) AS wsum,
+         CAST(sum(vc) AS BIGINT) AS vsum
+  FROM seg WHERE dur_s IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_intervals, span_s,
+       CAST(wsum AS DOUBLE) / nullif(span_s, 0) / 100.0 AS twap,
+       CAST(vsum AS DOUBLE) / n_intervals / 100.0 AS simple_avg
+FROM agg
+""",
+)
+def olap_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series (the TimescaleDB
+    ``time_weight`` hypertable op): each observation holds until the
+    next one, so its weight is its interval duration — the correct
+    average for sensor values, account balances, or prices sampled at
+    uneven times, where the row-mean over-weights chatty periods
+    (``simple_avg`` rides along to show exactly that bias).
+
+    Determinism: the weighted sum is PURE INTEGER — cents × whole
+    seconds (duration by integer µs subtraction then DIV; both operands
+    non-negative, so Spark's truncating DIV and DuckDB's flooring //
+    agree) — order-independent under any partitioning; the two
+    divisions per user are sequential single float ops. Total order =
+    (ts_us, event_id), the events contract. int64 headroom: cents ×
+    seconds × rows/user ≲ 10¹⁶ at sf1000.
+
+    Scale shape: one lag-shaped window keyed by user (partitions are
+    user-sized, never corpus-sized) + one map-side-combined groupBy —
+    the sessionize cost envelope."""
+    v = load_events(spark, sf_dir).where(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("CAST(ts_ns DIV 1000 AS BIGINT)").alias("ts_us"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        star.cents(F.col("value")).alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = v.withColumn("next_us", F.lead("ts_us").over(w)).select(
+        "user_id",
+        "vc",
+        F.expr("CAST((next_us - ts_us) DIV 1000000 AS BIGINT)").alias("dur_s"),
+    )
+    agg = (
+        seg.where(F.col("dur_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_s").cast("bigint").alias("span_s"),
+            F.sum(F.col("vc") * F.col("dur_s")).cast("bigint").alias("wsum"),
+            F.sum("vc").cast("bigint").alias("vsum"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        "span_s",
+        (
+            F.col("wsum").cast("double")
+            / F.nullif(F.col("span_s"), F.lit(0))
+            / 100.0
+        ).alias("twap"),
+        (F.col("vsum").cast("double") / F.col("n_intervals") / 100.0).alias(
+            "simple_avg"
+        ),
+    )
+
+
+@register(
+    "olap_ohlc_bars",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // {24 * 3600 * 1_000_000} AS BIGINT) AS day,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(event_id AS BIGINT) AS event_id,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM v
+)
+SELECT event_type, day,
+       max(CASE WHEN rn_a = 1 THEN vc END) / 100.0 AS open,
+       max(vc) / 100.0 AS high,
+       min(vc) / 100.0 AS low,
+       max(CASE WHEN rn_d = 1 THEN vc END) / 100.0 AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc) AS BIGINT) / 100.0 AS total_value
+FROM r GROUP BY 1, 2
+""",
+)
+def olap_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (event_type, day) — the hypertable
+    rollup every market/telemetry dashboard draws: open = first value
+    in the bucket, close = last, high/low = extremes, plus count and
+    exact-cents volume. First/last are DECORRELATED deterministically:
+    one window pass assigns ascending and descending row numbers under
+    the (ts_us, event_id) total order (the events contract — max_by/
+    min_by tie behavior is not engine-portable, row_number under a
+    total order is), then a single conditional aggregate reads open and
+    close out of the rn = 1 rows.
+
+    Scale shape: both window specs share the (event_type, day)
+    partitioning — ONE shuffle, partitions are bucket-sized; the
+    groupBy rides the same partitioning (subset rule, no second
+    Exchange). All arithmetic integer cents; display divisions are
+    per-row singles."""
+    v = load_events(spark, sf_dir).where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr(f"CAST((ts_ns DIV 1000) DIV {24 * 3600 * 1_000_000} AS BIGINT)").alias(
+            "day"
+        ),
+        F.expr("CAST(ts_ns DIV 1000 AS BIGINT)").alias("ts_us"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        star.cents(F.col("value")).alias("vc"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    r = v.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "day").agg(
+        (F.max(F.when(F.col("rn_a") == 1, F.col("vc"))) / 100.0).alias("open"),
+        (F.max("vc") / 100.0).alias("high"),
+        (F.min("vc") / 100.0).alias("low"),
+        (F.max(F.when(F.col("rn_d") == 1, F.col("vc"))) / 100.0).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum("vc").cast("bigint") / 100.0).alias("total_value"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -8999,7 +9156,7 @@ _ROTATE_TO_FRONT = [
     "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
     "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
     "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
-    "etl_hard_negatives",
+    "etl_hard_negatives", "olap_time_weighted_avg", "olap_ohlc_bars",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 19
     # late-r8 queries above, then fills from the remaining r6-evidence
