@@ -9098,6 +9098,168 @@ def olap_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_gap_fill_locf",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour_idx,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         CAST(event_id AS BIGINT) AS event_id
+  FROM events WHERE value IS NOT NULL
+),
+lastv AS (
+  SELECT user_id, hour_idx, vc FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, hour_idx
+                                 ORDER BY event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+span AS (
+  SELECT user_id, min(hour_idx) AS h0, max(hour_idx) AS h1 FROM lastv GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_idx FROM span
+),
+j AS (
+  SELECT CAST(g.user_id AS BIGINT) AS user_id,
+         CAST(g.hour_idx AS BIGINT) AS hour_idx,
+         l.vc, l.vc IS NULL AS filled
+  FROM grid g LEFT JOIN lastv l
+    ON g.user_id = l.user_id AND g.hour_idx = l.hour_idx
+)
+SELECT user_id, hour_idx,
+       CAST(last_value(vc IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY hour_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS value_locf,
+       filled
+FROM j
+""",
+)
+def olap_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward — the
+    interpolation twin of #117's zero-fill (a missing SENSOR reading
+    means 'unchanged', not 'zero'; counts zero-fill, levels LOCF):
+    every missing hour inside a user's span takes the most recent
+    hourly closing value. The per-hour representative is the LAST event
+    in the hour under the (event_id) order — decorrelated with
+    row_number like the OHLC close, since last_value tie behavior over
+    raw rows is not a total order. The carry-forward itself is
+    ``last_value IGNORE NULLS`` over the dense grid — ordered by
+    integer hour, value already an integer, so no float accumulation
+    exists to drift.
+
+    Scale shape: same envelope as #117 — per-user sequence()+explode
+    grid (∝ Σ spans, never a driver loop), co-partitioned left join,
+    and the LOCF window rides the user partitioning the join already
+    established."""
+    e = load_events(spark, sf_dir).where(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr(f"(ts_ns DIV 1000) DIV {_HOUR_US}").alias("hour_idx"),
+        star.cents(F.col("value")).alias("vc"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    wlast = Window.partitionBy("user_id", "hour_idx").orderBy(
+        F.col("event_id").desc()
+    )
+    lastv = (
+        e.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select("user_id", "hour_idx", "vc")
+    )
+    span = lastv.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx"),
+    )
+    j = grid.join(lastv, ["user_id", "hour_idx"], "left").select(
+        "user_id",
+        F.col("hour_idx").cast("bigint").alias("hour_idx"),
+        "vc",
+        F.col("vc").isNull().alias("filled"),
+    )
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "hour_idx",
+        (F.last("vc", ignorenulls=True).over(wff).cast("bigint") / 100.0).alias(
+            "value_locf"
+        ),
+        "filled",
+    )
+
+
+@register(
+    "etl_fuzzy_name_pairs",
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT lower(c_name) AS nm FROM customer
+)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM names a JOIN names b ON a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 1
+""",
+)
+def etl_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable edit-distance self-join (all distinct-name pairs at
+    Levenshtein ≤ 1) via SYMSPELL deletion-neighborhood blocking
+    (Garbe's Symmetric Delete): each name emits itself plus every
+    single-character deletion as candidate keys, and ANY two strings
+    within distance 1 provably share a key — a substitution pair meets
+    at the same-position deletions, an insert/delete pair meets at the
+    shorter string itself. Candidates = equi-join on the key space
+    (≈ (len+1)·n rows, linear in the corpus), then the exact
+    levenshtein verifies — versus the O(n²) all-pairs compare the
+    oracle runs, which is exactly what this operator exists to avoid at
+    100 TB. The same blocking underlies spell-correction indexes and
+    the entity-resolution candidate stage (#125).
+
+    All-integer output (the distance); dedup via least/greatest pair
+    canonicalization before verification."""
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.lower(F.col("c_name")).alias("nm"))
+        .distinct()
+        .localCheckpoint(eager=False)  # both sides of the candidate join
+    )
+    # key set: the name itself (i = 0) + every single-deletion variant
+    # (i = position removed) — explode a position sequence and slice in
+    # codegen rather than an interpreted array-lambda (the shingle
+    # lesson: functions/text.py::shingle_rows)
+    variants = names.select(
+        "nm", F.explode(F.sequence(F.lit(0), F.length("nm"))).alias("i")
+    ).select(
+        "nm",
+        F.when(F.col("i") == 0, F.col("nm"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(nm, 1, i - 1)"),
+                F.expr("substring(nm, i + 1, length(nm) - i)"),
+            )
+        )
+        .alias("key"),
+    )
+    a = variants.select(F.col("nm").alias("name_a"), "key")
+    b = variants.select(F.col("nm").alias("name_b"), "key")
+    cand = (
+        a.join(b, "key")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    ).where(F.col("dist") <= 1)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9157,6 +9319,7 @@ _ROTATE_TO_FRONT = [
     "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
     "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
     "etl_hard_negatives", "olap_time_weighted_avg", "olap_ohlc_bars",
+    "olap_gap_fill_locf", "etl_fuzzy_name_pairs",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 19
     # late-r8 queries above, then fills from the remaining r6-evidence
