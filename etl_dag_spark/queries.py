@@ -9260,6 +9260,53 @@ def etl_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dist") <= 1)
 
 
+@register(
+    "olap_median_bisect",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+kk AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST((count(*) + 1) // 2 AS BIGINT) AS k
+  FROM v GROUP BY 1
+),
+r AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn
+  FROM v
+)
+SELECT r.event_type, kk.n, kk.k, CAST(vc AS BIGINT) AS kth_value
+FROM r JOIN kk ON r.event_type = kk.event_type AND r.rn = kk.k
+""",
+)
+def olap_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group lower median WITHOUT sorting — value-domain
+    bisection (operators/selection.py::kth_smallest_bisect): the scale
+    path for the regime exact_percentiles (#37) cannot survive, a HOT
+    GROUP owning so many rows that its window sort serializes through
+    one task. Here no row is ever ordered: ~6 map-side-combined
+    counting scans (8-way probes narrow every group's bracket
+    simultaneously) find the k-th smallest integer cent value with
+    driver state bounded by |groups| scalars. The oracle sorts —
+    exactly the O(n log n)-per-group plan this operator replaces with
+    O(n log W) stream counting.
+
+    Exactness is structural: the answer is the smallest v with
+    count(≤ v) ≥ k over an integer domain, so bisection terminates on
+    the true multiset order statistic — no interpolation, no sketch
+    error, engine-portable by being integer end-to-end."""
+    from etl_dag_spark.operators.selection import kth_smallest_bisect
+
+    v = load_events(spark, sf_dir).where(F.col("value").isNotNull()).select(
+        "event_type", star.cents(F.col("value")).alias("vc")
+    )
+    return kth_smallest_bisect(
+        v, "event_type", "vc", k_of_n=lambda n: (n + 1) // 2
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9319,7 +9366,7 @@ _ROTATE_TO_FRONT = [
     "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
     "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
     "etl_hard_negatives", "olap_time_weighted_avg", "olap_ohlc_bars",
-    "olap_gap_fill_locf", "etl_fuzzy_name_pairs",
+    "olap_gap_fill_locf", "etl_fuzzy_name_pairs", "olap_median_bisect",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 19
     # late-r8 queries above, then fills from the remaining r6-evidence

@@ -1,0 +1,68 @@
+"""Value-domain bisection selection (SURVEY §2 #37b): exact k-th
+smallest without sorting, vs a sorted-reference oracle on constructed
+distributions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dag_spark.operators.selection import kth_smallest_bisect
+
+
+def _reference_kth(values, k):
+    return sorted(values)[k - 1]
+
+
+@pytest.mark.parametrize(
+    "dist",
+    [
+        [1, 2, 3, 4, 5],
+        [7] * 100,  # all-equal: bracket collapses immediately
+        [0, 0, 0, 1_000_000_000],  # huge sparse domain
+        [-5, -4, -3, 17],  # negatives
+        list(range(1000)) + [3] * 500,  # heavy ties at one value
+    ],
+)
+def test_median_matches_sorted_reference(spark, dist):
+    df = spark.createDataFrame([("g", int(v)) for v in dist], "g string, v long")
+    got = kth_smallest_bisect(df, "g", "v", k_of_n=lambda n: (n + 1) // 2).collect()[0]
+    k = (len(dist) + 1) // 2
+    assert got.n == len(dist)
+    assert got.k == k
+    assert got.kth_value == _reference_kth(dist, k)
+
+
+def test_multiple_groups_converge_in_shared_passes(spark):
+    rows = []
+    import itertools
+
+    for g, vals in [
+        ("a", range(0, 101)),           # median 50
+        ("b", [5]),                      # singleton
+        ("c", [10, 20, 20, 20, 99]),     # ties at the median
+        ("d", range(-50, 51, 2)),        # negatives, even count → lower median
+    ]:
+        rows.extend((g, int(v)) for v in vals)
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n, r.k, r.kth_value)
+        for r in kth_smallest_bisect(df, "g", "v", lambda n: (n + 1) // 2).collect()
+    }
+    for g, vals in [
+        ("a", list(range(0, 101))),
+        ("b", [5]),
+        ("c", [10, 20, 20, 20, 99]),
+        ("d", list(range(-50, 51, 2))),
+    ]:
+        k = (len(vals) + 1) // 2
+        assert got[g] == (len(vals), k, _reference_kth(vals, k)), g
+
+
+def test_other_ranks_p25_p75(spark):
+    vals = list(range(1, 201))
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    p25 = kth_smallest_bisect(df, "g", "v", lambda n: max(1, n // 4)).collect()[0]
+    assert p25.kth_value == _reference_kth(vals, max(1, len(vals) // 4))
+    p75 = kth_smallest_bisect(df, "g", "v", lambda n: 3 * n // 4).collect()[0]
+    assert p75.kth_value == _reference_kth(vals, 3 * len(vals) // 4)
