@@ -34,12 +34,19 @@ def kth_smallest_bisect(
     k_of_n,
     fanout: int = 8,
     max_rounds: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact k-th smallest ``value_col`` (an INTEGER column) per group,
     found by multi-way bisection of the value domain.
 
     ``k_of_n``: callable n → k (1-based rank), e.g. lower median is
     ``lambda n: (n + 1) // 2``.
+
+    ``weight_col``: optional non-negative INTEGER weights — n becomes
+    the group's total weight and the result is the WEIGHTED order
+    statistic (smallest v whose cumulative weight reaches k): the
+    weighted median needs no new algorithm, only weighted counting,
+    because bisection never looks at row order.
 
     Returns a |groups|-row DataFrame (group_col, n BIGINT, k BIGINT,
     kth_value BIGINT). The input projection is persisted for the scan
@@ -50,8 +57,13 @@ def kth_smallest_bisect(
     counting rows ≤ each probe locates the cell, all groups in the same
     pass. Driver state: (lo, hi, k, n) per group — scalars, never rows.
     """
+    wcol = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    )
     vals = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        wcol.alias("w"),
     ).persist()
     try:
         base = {
@@ -63,7 +75,7 @@ def kth_smallest_bisect(
             .agg(
                 F.min("v").alias("lo"),
                 F.max("v").alias("hi"),
-                F.count(F.lit(1)).alias("n"),
+                F.sum("w").alias("n"),
             )
             .collect()
         }
@@ -92,9 +104,14 @@ def kth_smallest_bisect(
                     "g",
                     F.posexplode("probes").alias("j", "p"),
                     F.col("v"),
+                    F.col("w"),
                 )
                 .groupBy("g", "j", "p")
-                .agg(F.sum((F.col("v") <= F.col("p")).cast("long")).alias("c"))
+                .agg(
+                    F.sum(
+                        F.when(F.col("v") <= F.col("p"), F.col("w")).otherwise(0)
+                    ).alias("c")
+                )
                 .collect()
             )
             by_group: dict = {}

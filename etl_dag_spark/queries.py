@@ -9307,6 +9307,58 @@ def olap_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_weighted_median_bisect",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS vc,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+kk AS (
+  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS n,
+         CAST((sum(w) + 1) // 2 AS BIGINT) AS k
+  FROM v GROUP BY 1
+),
+r AS (
+  SELECT l_returnflag, vc,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY vc)
+              AS BIGINT) AS cw
+  FROM v
+),
+m AS (
+  SELECT r.l_returnflag, CAST(min(vc) AS BIGINT) AS kth_value
+  FROM r JOIN kk ON r.l_returnflag = kk.l_returnflag
+  WHERE cw >= kk.k GROUP BY 1
+)
+SELECT kk.l_returnflag, kk.n, kk.k, m.kth_value
+FROM kk JOIN m ON kk.l_returnflag = m.l_returnflag
+""",
+)
+def olap_weighted_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median line price per return flag (the 'median
+    dollar', not the median row — the statistic pricing teams actually
+    want when line items carry different volumes), computed by the same
+    sort-free value-domain bisection as #37b with weighted counting:
+    bisection never looks at row order, so the weighted order statistic
+    costs exactly the unweighted one — ~6 counting scans, |groups|
+    driver scalars, no hot-group sort. The oracle's integer cumulative-
+    weight window (RANGE frame: ties absorb their full tied weight,
+    matching the multiset count(weight ≤ v) the bisection brackets) is
+    the O(n log n) plan this replaces."""
+    from etl_dag_spark.operators.selection import kth_smallest_bisect
+
+    v = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        star.cents(F.col("l_extendedprice")).alias("vc"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return kth_smallest_bisect(
+        v, "l_returnflag", "vc", k_of_n=lambda n: (n + 1) // 2, weight_col="w"
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9367,6 +9419,7 @@ _ROTATE_TO_FRONT = [
     "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
     "etl_hard_negatives", "olap_time_weighted_avg", "olap_ohlc_bars",
     "olap_gap_fill_locf", "etl_fuzzy_name_pairs", "olap_median_bisect",
+    "olap_weighted_median_bisect",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 19
     # late-r8 queries above, then fills from the remaining r6-evidence

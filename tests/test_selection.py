@@ -66,3 +66,16 @@ def test_other_ranks_p25_p75(spark):
     assert p25.kth_value == _reference_kth(vals, max(1, len(vals) // 4))
     p75 = kth_smallest_bisect(df, "g", "v", lambda n: 3 * n // 4).collect()[0]
     assert p75.kth_value == _reference_kth(vals, 3 * len(vals) // 4)
+
+
+def test_weighted_kth_matches_expanded_multiset(spark):
+    """weight_col semantics: the weighted order statistic equals the
+    unweighted one over the weight-expanded multiset."""
+    rows = [("g", 10, 1), ("g", 20, 5), ("g", 30, 2)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = kth_smallest_bisect(
+        df, "g", "v", lambda n: (n + 1) // 2, weight_col="w"
+    ).collect()[0]
+    expanded = [10] + [20] * 5 + [30] * 2
+    k = (len(expanded) + 1) // 2
+    assert (got.n, got.k, got.kth_value) == (len(expanded), k, sorted(expanded)[k - 1])
