@@ -9407,7 +9407,7 @@ _ROTATE_TO_FRONT = [
     # (d) 1 remaining slot from the r6-evidence group, oldest first
     "etl_dq_report",
     # ---- position 51+: the r9 front-of-queue ----
-    # FIRST the queries added mid-r8 after the window froze (17 oracled
+    # FIRST the queries added mid-r8 after the window froze (24 oracled
     # + 2 rows-only; parity/pytest evidence this round, driver-hashed
     # in r9 — the same late-addition deferral r7 used):
     "etl_filter_agreement", "text_url_normalize", "etl_l_diversity",
@@ -9421,11 +9421,11 @@ _ROTATE_TO_FRONT = [
     "olap_gap_fill_locf", "etl_fuzzy_name_pairs", "olap_median_bisect",
     "olap_weighted_median_bisect",
     # After r8 every query registered BEFORE the r8 freeze has driver
-    # evidence and nothing is older than r6. r9's window takes the 19
+    # evidence and nothing is older than r6. r9's window takes the 26
     # late-r8 queries above, then fills from the remaining r6-evidence
     # oracled group (~44 queries, 2 rounds old by then), oldest first;
     # whatever r6 evidence doesn't fit plus the r7/r8 rows-only
-    # newcomers re-rotate in r10. With 150 oracles and a 50-entry
+    # newcomers re-rotate in r10. With 157 oracles and a 50-entry
     # window the cycle is ~3 rounds; the per-round pytest parity run
     # (every oracle at sf0.001) stays the continuous secondary gate.
     "etl_country_iso3",
