@@ -9,9 +9,12 @@ binary-search the VALUE DOMAIN instead of ordering rows. Each round
 asks one aggregate question — "how many rows ≤ each probe value, per
 group?" — which is a map-side-combined scan with no shuffle wider than
 |groups| rows, and narrows every group's [lo, hi] bracket
-simultaneously. With an 8-way probe fan-out the bracket shrinks 8× per
-round, so an integer domain of width W needs ceil(log8 W) scans
-(~6 for cent-valued measures) — O(log W) cheap passes instead of one
+simultaneously. Each round HISTOGRAMS the bracket into ``fanout``
+cells with pure integer arithmetic (one subtraction + one DIV per row
+— no probe explode, no array lambda), so per-round cost is one O(rows)
+scan regardless of fanout; at fanout 32 the bracket shrinks 32× per
+round and a cent-valued domain of width W needs ceil(log32 W) ≈ 4-5
+scans, the per-round cost being job latency, not probe count — O(log W) cheap passes instead of one
 partition-sized sort, with driver state bounded by |groups| scalars.
 
 The classic external-memory selection algorithm (Blum et al.'s
@@ -32,7 +35,7 @@ def kth_smallest_bisect(
     group_col: str,
     value_col: str,
     k_of_n,
-    fanout: int = 8,
+    fanout: int = 32,
     max_rounds: int = 64,
     weight_col: str | None = None,
 ) -> DataFrame:
@@ -52,10 +55,16 @@ def kth_smallest_bisect(
     kth_value BIGINT). The input projection is persisted for the scan
     loop and released before returning.
 
-    Invariant per round: the answer (smallest v with count(≤ v) ≥ k)
-    lies in [lo, hi]. Probes split the bracket into ``fanout`` cells;
-    counting rows ≤ each probe locates the cell, all groups in the same
-    pass. Driver state: (lo, hi, k, n) per group — scalars, never rows.
+    Invariant per round: the answer (smallest v with TOTAL weight
+    ≤ v reaching k) lies in [lo, hi], and ``done`` holds the weight
+    strictly below lo. Each round histograms the bracket into
+    ``fanout`` cells by PURE INTEGER ARITHMETIC (one subtraction + one
+    DIV per row — no probe explode, no array lambda, so per-round cost
+    is one O(rows) map-side-combined scan regardless of fanout), the
+    driver walks cumulative cell weights to the cell containing rank k,
+    and the bracket narrows to that cell's value range. Driver state:
+    (lo, hi, k, done) per group — scalars, never rows; each round
+    collects ≤ fanout·|groups| count rows.
     """
     wcol = (
         F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
@@ -68,7 +77,7 @@ def kth_smallest_bisect(
     try:
         base = {
             r["g"]: {
-                "lo": int(r["lo"]), "hi": int(r["hi"]),
+                "lo": int(r["lo"]), "hi": int(r["hi"]), "done": 0,
                 "n": int(r["n"]), "k": int(k_of_n(int(r["n"]))),
             }
             for r in vals.groupBy("g")
@@ -80,52 +89,74 @@ def kth_smallest_bisect(
             .collect()
         }
         spark = df.sparkSession
+
+        def _cell_edge(lo: int, hi: int, c: int) -> int:
+            """Lower value bound of cell c under the round's layout."""
+            a = hi - lo
+            if a < fanout:
+                return lo + c  # exact-value cells
+            return lo + a * c // fanout
+
         for _ in range(max_rounds):
             open_groups = {g: s for g, s in base.items() if s["lo"] < s["hi"]}
             if not open_groups:
                 break
-            # per group: fanout-1 interior probe points of [lo, hi)
-            probe_rows = []
-            for g, s in open_groups.items():
-                lo, hi = s["lo"], s["hi"]
-                probes = sorted(
-                    {lo + (hi - lo) * j // fanout for j in range(1, fanout)}
-                )
-                probe_rows.append((g, probes))
-            probes_df = spark.createDataFrame(
-                probe_rows, f"g {df.schema[group_col].dataType.simpleString()},"
-                " probes array<long>"
+            bounds_df = spark.createDataFrame(
+                [(g, s["lo"], s["hi"]) for g, s in open_groups.items()],
+                f"g {df.schema[group_col].dataType.simpleString()},"
+                " lo long, hi long",
             )
-            # LocalRelation leaf → provably bounded broadcast; ONE scan
-            # counts rows ≤ every probe for every open group
+            # LocalRelation leaf → provably bounded broadcast. Cell
+            # index: with a = hi-lo ≥ fanout, cell(v) counts boundaries
+            # lo + a·j DIV fanout ≤ v (floor-division duality:
+            # (fanout·(v-lo+1) - 1) DIV a, clamped); small brackets use
+            # one cell per exact value.
             counts = (
-                vals.join(F.broadcast(probes_df), "g")
+                vals.join(F.broadcast(bounds_df), "g")
+                .where((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
                 .select(
                     "g",
-                    F.posexplode("probes").alias("j", "p"),
-                    F.col("v"),
-                    F.col("w"),
+                    "w",
+                    F.when(
+                        F.col("hi") - F.col("lo") < fanout,
+                        F.col("v") - F.col("lo"),
+                    )
+                    .otherwise(
+                        F.least(
+                            F.lit(fanout - 1),
+                            F.expr(
+                                f"({fanout} * (v - lo + 1) - 1) DIV (hi - lo)"
+                            ),
+                        )
+                    )
+                    .alias("cell"),
                 )
-                .groupBy("g", "j", "p")
-                .agg(
-                    F.sum(
-                        F.when(F.col("v") <= F.col("p"), F.col("w")).otherwise(0)
-                    ).alias("c")
-                )
+                .groupBy("g", "cell")
+                .agg(F.sum("w").alias("c"))
                 .collect()
             )
             by_group: dict = {}
             for r in counts:
-                by_group.setdefault(r["g"], []).append((int(r["p"]), int(r["c"])))
+                by_group.setdefault(r["g"], {})[int(r["cell"])] = int(r["c"])
             for g, s in open_groups.items():
-                k = s["k"]
-                new_lo, new_hi = s["lo"], s["hi"]
-                for p, c in sorted(by_group.get(g, [])):
-                    if c >= k:
-                        new_hi = min(new_hi, p)
+                lo, hi, k = s["lo"], s["hi"], s["k"]
+                cells = by_group.get(g, {})
+                n_cells = (hi - lo + 1) if hi - lo < fanout else fanout
+                cum = s["done"]
+                for c in range(n_cells):
+                    w_c = cells.get(c, 0)
+                    if cum + w_c >= k:
+                        s["lo"] = _cell_edge(lo, hi, c)
+                        s["hi"] = (
+                            _cell_edge(lo, hi, c + 1) - 1
+                            if c + 1 < n_cells
+                            else hi
+                        )
+                        s["done"] = cum
                         break
-                    new_lo = max(new_lo, p + 1)
-                s["lo"], s["hi"] = new_lo, new_hi
+                    cum += w_c
+                else:  # pragma: no cover - invariant violation guard
+                    raise RuntimeError(f"rank {k} not reached in group {g!r}")
         leftover = [g for g, s in base.items() if s["lo"] < s["hi"]]
         if leftover:
             raise RuntimeError(f"bisection did not converge for {leftover}")

@@ -9245,6 +9245,10 @@ def etl_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("key"),
     )
+    # a z-length character run yields the SAME key for every deletion
+    # inside the run — dedupe (nm, key) or the candidate join multiplies
+    # pair multiplicity by z×z
+    variants = variants.distinct()
     a = variants.select(F.col("nm").alias("name_a"), "key")
     b = variants.select(F.col("nm").alias("name_b"), "key")
     cand = (
