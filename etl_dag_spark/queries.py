@@ -5549,17 +5549,48 @@ def olap_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "olap_cooccurring_parts",
-    oracle="""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# Shared market-basket machinery: the distinct (order, part) frame and
+# the 2-itemset support counts, used by BOTH the co-occurrence report
+# (#128) and the association-rule metrics (#128b) — one definition so
+# the family cannot drift copy by copy (same rule as the quality-gate
+# scorers).
+_BASKET_CTES = """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          CAST(count(*) AS BIGINT) AS support
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-),
+)"""
+
+
+def _basket_pair_supports(spark: SparkSession, sf_dir: str):
+    """(li, pairs): the distinct basket-item frame (checkpointed — it
+    feeds both sides of the pair join and any marginal the caller
+    derives) and the 2-itemset support counts. Pair fan-out =
+    Σ C(basket, 2), bounded by the per-order line cap (a schema
+    constant), never corpus-quadratic; supports map-side combined."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return li, pairs
+
+
+@register(
+    "olap_cooccurring_parts",
+    oracle=f"""
+WITH {_BASKET_CTES},
 top AS (
   SELECT part_a, part_b, support FROM p
   ORDER BY support DESC, part_a, part_b LIMIT 20
@@ -5583,20 +5614,7 @@ def olap_cooccurring_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-1 plateau holds a million tied pairs at sf0.1 — a
     ties-included rank would return the plateau, row_number over the
     ordered 20-row survivor frame returns a stable report."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)  # both sides of the pair join
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-    )
+    li, pairs = _basket_pair_supports(spark, sf_dir)
     order = [F.col("support").desc(), F.col("part_a"), F.col("part_b")]
     surv = pairs.orderBy(*order).limit(20)
     w = Window.orderBy(*order)  # 20-row limit frame: bounded window
@@ -9363,6 +9381,124 @@ def olap_weighted_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_basket_affinity",
+    oracle=f"""
+WITH {_BASKET_CTES},
+top AS (
+  SELECT part_a, part_b, support FROM p
+  ORDER BY support DESC, part_a, part_b LIMIT 20
+),
+isup AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY 1
+),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       support, sa.s AS support_a, sb.s AS support_b,
+       CAST(support AS DOUBLE) / sa.s AS conf_a_to_b,
+       CAST(support AS DOUBLE) / sb.s AS conf_b_to_a,
+       CAST(support * n AS DOUBLE) / (sa.s * sb.s) AS lift
+FROM top
+JOIN isup sa ON part_a = sa.l_partkey
+JOIN isup sb ON part_b = sb.l_partkey
+CROSS JOIN nb
+""",
+)
+def olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the top co-occurring pairs — the
+    step after #128's support count that recommendation engines
+    actually rank by: CONFIDENCE (P(b|a), both directions — support is
+    symmetric, rules are not) and LIFT (observed co-occurrence over the
+    independence expectation; >1 = genuinely associated, the correction
+    for two independently-popular items co-occurring by chance).
+
+    Determinism: every metric is one or two integer products feeding a
+    single BIGINT/BIGINT→DOUBLE division (lift = support·N / (a·b) —
+    the /N² cancellation keeps it integer-over-integer). Scale shape:
+    shares the checkpointed basket frame and pair machinery with #128
+    (one definition, two consumers); item supports re-aggregate the
+    SAME frame; the bounded 20-row survivor frame is broadcast into the
+    marginal joins (GlobalLimit — provable), so the item-support table
+    never shuffles toward 20 rows."""
+    li, pairs = _basket_pair_supports(spark, sf_dir)
+    order = [F.col("support").desc(), F.col("part_a"), F.col("part_b")]
+    top = pairs.orderBy(*order).limit(20)
+    isup = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    nb = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("support_a"))
+    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("support_b"))
+    j = (
+        sa.join(F.broadcast(top), "part_a")
+        .join(sb, "part_b")
+        .join(F.broadcast(nb))
+    )
+    return j.select(
+        F.col("part_a").cast("bigint").alias("part_a"),
+        F.col("part_b").cast("bigint").alias("part_b"),
+        "support",
+        "support_a",
+        "support_b",
+        (F.col("support").cast("double") / F.col("support_a")).alias("conf_a_to_b"),
+        (F.col("support").cast("double") / F.col("support_b")).alias("conf_b_to_a"),
+        (
+            (F.col("support") * F.col("n")).cast("double")
+            / (F.col("support_a") * F.col("support_b"))
+        ).alias("lift"),
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH c AS (
+  SELECT lang AS declared_lang, {langid_sql("text")} AS predicted_lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT declared_lang, predicted_lang, n_docs,
+       CAST(n_docs * 10000 // CAST(sum(n_docs)
+              OVER (PARTITION BY declared_lang) AS BIGINT) AS BIGINT)
+         AS recall_bp
+FROM c
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared corpus language ×
+    predicted (the marker-n-gram heuristic, #28) with per-declared-
+    language recall in integer basis points — the evaluation every
+    langid deployment publishes before its predictions route documents
+    into per-language pipelines (a confusion off-diagonal IS corpus
+    contamination downstream). Completes the classifier-eval family:
+    kappa/RBO/calibration rate the quality gates, this rates the
+    router.
+
+    Scale shape: one map-side-combined groupBy to the ≤|langs|² frame;
+    the recall window partitions THAT bounded frame, never documents;
+    recall is an integer window sum + integer division (portable by
+    construction — no float anywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            F.col("lang").alias("declared_lang"),
+            langid_column("text").alias("predicted_lang"),
+        )
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("declared_lang")
+    return (
+        c.withColumn("total", F.sum("n_docs").over(w).cast("bigint"))
+        .select(
+            "declared_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("CAST(n_docs * 10000 DIV total AS BIGINT)").alias("recall_bp"),
+        )
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9423,7 +9559,8 @@ _ROTATE_TO_FRONT = [
     "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
     "etl_hard_negatives", "olap_time_weighted_avg", "olap_ohlc_bars",
     "olap_gap_fill_locf", "etl_fuzzy_name_pairs", "olap_median_bisect",
-    "olap_weighted_median_bisect",
+    "olap_weighted_median_bisect", "olap_basket_affinity",
+    "text_langid_confusion",
     # After r8 every query registered BEFORE the r8 freeze has driver
     # evidence and nothing is older than r6. r9's window takes the 26
     # late-r8 queries above, then fills from the remaining r6-evidence
