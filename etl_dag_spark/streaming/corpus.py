@@ -421,3 +421,92 @@ def stream_versioned_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_category_counts(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    category_col: str = "lang",
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Cumulative category histogram over a streaming corpus — the
+    state behind a DRIFT MONITOR: as documents stream in, each
+    micro-batch's category counts land as deltas (deterministic
+    ``batch=<id>`` overwrite — replay-idempotent like the CMS/moment
+    stores) and :func:`read_category_store` folds them to the
+    distribution observed so far. Feeding the fold plus any reference
+    histogram into the #63b χ² arithmetic turns it into a live
+    ingest-drift alarm ('today's crawl stopped looking like the
+    corpus') without ever re-scanning history. State per batch ≤
+    |categories| rows — a constant of the schema."""
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy(F.col(category_col).alias("category"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_path, f"batch={batch_id}"))
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_category_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold a :func:`stream_category_counts` delta store to the current
+    histogram: per-category SUM == histogram merge over every batch."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("category")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def drift_chisq_report(observed: DataFrame, reference: DataFrame) -> DataFrame:
+    """Pearson χ² of an observed category histogram against a reference
+    one — the batch #63b arithmetic applied to any two (category, n)
+    frames (e.g. the streaming store's fold vs a frozen baseline).
+    Categories absent from one side count 0 there via a full outer
+    join; expected counts scale the reference to the observed total.
+    → (category, n_ref, n_obs, expected_obs, chisq_contrib), bounded by
+    |categories|."""
+    ref = reference.select(
+        "category", F.col("n").cast("bigint").alias("n_ref")
+    )
+    obs = observed.select(
+        "category", F.col("n").cast("bigint").alias("n_obs")
+    )
+    j = (
+        ref.join(obs, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").cast("bigint").alias("tot_ref"),
+        F.sum("n_obs").cast("bigint").alias("tot_obs"),
+    )
+    exp = F.col("n_ref").cast("double") / F.col("tot_ref") * F.col("tot_obs")
+    return (
+        j.join(F.broadcast(tot))
+        .withColumn("expected_obs", exp)
+        .withColumn(
+            "chisq_contrib",
+            F.when(
+                F.col("n_ref") > 0,
+                (F.col("n_obs").cast("double") - exp)
+                * (F.col("n_obs").cast("double") - exp)
+                / exp,
+            ).otherwise(F.lit(float("inf"))),  # novel category = hard alarm
+        )
+        .select("category", "n_ref", "n_obs", "expected_obs", "chisq_contrib")
+    )

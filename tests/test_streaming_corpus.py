@@ -740,3 +740,53 @@ def test_stream_countmin_replay_is_idempotent(spark, doc_stream_src, tmp_path):
         for r in read_countmin_store(spark, store).collect()
     }
     assert folded == whole
+
+
+def test_stream_drift_monitor_folds_and_alarms(spark, doc_stream_src, tmp_path):
+    """Streaming drift monitor: the category store folds to the exact
+    one-shot histogram (replay-idempotent), and the chi-squared report
+    against a reference flags a shifted distribution while a
+    self-comparison is all-zero contributions."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.streaming.corpus import (
+        drift_chisq_report,
+        read_category_store,
+        read_document_stream,
+        stream_category_counts,
+    )
+
+    store = str(tmp_path / "cat_store")
+    for ckpt in ("ck_a", "ck_b"):  # second run replays every batch
+        q = stream_category_counts(
+            read_document_stream(spark, doc_stream_src),
+            store_path=store,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        r.category: r.n
+        for r in docs.groupBy(F.col("lang").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    folded = read_category_store(spark, store)
+    assert {r.category: r.n for r in folded.collect()} == want
+
+    # self-comparison: expected == observed exactly → zero contributions
+    self_rep = drift_chisq_report(folded, folded).collect()
+    assert all(r.chisq_contrib == 0.0 for r in self_rep)
+
+    # drifted feed: one category doubled, one novel → positive + inf
+    drifted = spark.createDataFrame(
+        [(max(want), want[max(want)] * 3), ("xx_new", 50)],
+        "category string, n long",
+    )
+    rep = {r.category: r for r in drift_chisq_report(drifted, folded).collect()}
+    assert rep["xx_new"].chisq_contrib == float("inf")
+    assert rep[max(want)].chisq_contrib > 0.0
+    # categories present in ref but absent from the drifted feed: n_obs 0
+    gone = [c for c in want if c not in (max(want), "xx_new")]
+    assert all(rep[c].n_obs == 0 for c in gone)
