@@ -295,6 +295,10 @@ def main() -> None:
             n: _short(registry[n], 2)
             for n in sorted(registry, key=registry.get, reverse=True)[:top_k]
         }
+        headline["queries_note"] = (
+            f"top-{top_k} slowest of {len(registry)};"
+            " full map on prior stdout line + BENCH_local.json"
+        )
         head_line = json.dumps(headline, separators=(",", ":"))
         if len(head_line) <= 1500:
             break

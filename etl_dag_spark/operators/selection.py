@@ -53,7 +53,9 @@ def kth_smallest_bisect(
 
     Returns a |groups|-row DataFrame (group_col, n BIGINT, k BIGINT,
     kth_value BIGINT). The input projection is persisted for the scan
-    loop and released before returning.
+    loop and released before returning. Rows with NULL value or NULL
+    group key are EXCLUDED up front (SQL aggregate semantics — n and k
+    are computed over the non-null multiset).
 
     Invariant per round: the answer (smallest v with TOTAL weight
     ≤ v reaching k) lies in [lo, hi], and ``done`` holds the weight
@@ -69,7 +71,14 @@ def kth_smallest_bisect(
     wcol = (
         F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
     )
-    vals = df.select(
+    # NULL contract = SQL aggregate semantics: NULL values never rank
+    # (they'd inflate n yet vanish from every bracket count — wrong
+    # ranks or non-convergence); NULL group keys are excluded too (an
+    # equi-join never matches NULL — the CLAUDE.md isin/join trap would
+    # leave that group's bracket permanently open).
+    vals = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("long").alias("v"),
         wcol.alias("w"),

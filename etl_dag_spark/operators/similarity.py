@@ -118,7 +118,13 @@ def brute_force_topk(
     ROUNDED similarity BEFORE the local top-k — the hard-negative-mining
     contract (exclude near-duplicates above hi, keep the most confusable
     below), which post-filtering a plain top-k cannot express (it would
-    drop winners instead of admitting the next candidates).
+    drop winners instead of admitting the next candidates). Membership
+    is DECIDED JVM-side on the emitted F.round value (the repo's
+    rounded-compare invariant): the Python-side numpy band is only a
+    pre-filter widened by a 1e-9 margin, because np.round (banker's,
+    binary) and F.round (HALF_UP, decimal string) can disagree at exact
+    6dp halves — a Python-final band would emit rows the oracle
+    excludes.
 
     Shape for scale: the query set is collected and broadcast (queries
     are few — the contract of this operator); the corpus streams through
@@ -154,7 +160,11 @@ def brute_force_topk(
                 col = sims_r[:, j]
                 mask = c_ids != bq_ids[j]
                 if sim_band is not None:
-                    mask &= (col >= sim_band[0]) & (col < sim_band[1])
+                    # pre-filter only; final membership re-checked on the
+                    # JVM-rounded sim (margin absorbs np/JVM rounding skew)
+                    mask &= (col >= sim_band[0] - 1e-9) & (
+                        col < sim_band[1] + 1e-9
+                    )
                 idx = np.flatnonzero(mask)
                 order = idx[np.lexsort((c_ids[idx], -col[idx]))][:local_k]
                 yield pd.DataFrame(
@@ -169,9 +179,15 @@ def brute_force_topk(
         score, "query_id long, neighbor_id long, sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    rounded = scored.select(
+        "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
+    )
+    if sim_band is not None:
+        rounded = rounded.where(
+            (F.col("sim") >= sim_band[0]) & (F.col("sim") < sim_band[1])
+        )
     return (
-        scored.select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        rounded.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )

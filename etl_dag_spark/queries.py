@@ -9122,13 +9122,14 @@ def olap_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour_idx,
          CAST(floor(value * 100) AS BIGINT) AS vc,
-         CAST(event_id AS BIGINT) AS event_id
+         CAST(event_id AS BIGINT) AS event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
   FROM events WHERE value IS NOT NULL
 ),
 lastv AS (
   SELECT user_id, hour_idx, vc FROM (
     SELECT *, row_number() OVER (PARTITION BY user_id, hour_idx
-                                 ORDER BY event_id DESC) AS rn
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
     FROM e
   ) WHERE rn = 1
 ),
@@ -9175,9 +9176,12 @@ def olap_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(ts_ns DIV 1000) DIV {_HOUR_US}").alias("hour_idx"),
         star.cents(F.col("value")).alias("vc"),
         F.col("event_id").cast("bigint").alias("event_id"),
+        F.expr("CAST(ts_ns DIV 1000 AS BIGINT)").alias("ts_us"),
     )
+    # the hour's closing value under the events-contract TOTAL order
+    # (ts_us, event_id) — id order alone is not chronological by contract
     wlast = Window.partitionBy("user_id", "hour_idx").orderBy(
-        F.col("event_id").desc()
+        F.col("ts_us").desc(), F.col("event_id").desc()
     )
     lastv = (
         e.withColumn("rn", F.row_number().over(wlast))
@@ -9547,7 +9551,7 @@ _ROTATE_TO_FRONT = [
     # (d) 1 remaining slot from the r6-evidence group, oldest first
     "etl_dq_report",
     # ---- position 51+: the r9 front-of-queue ----
-    # FIRST the queries added mid-r8 after the window froze (24 oracled
+    # FIRST the queries added mid-r8 after the window froze (26 oracled
     # + 2 rows-only; parity/pytest evidence this round, driver-hashed
     # in r9 — the same late-addition deferral r7 used):
     "etl_filter_agreement", "text_url_normalize", "etl_l_diversity",
@@ -9562,11 +9566,11 @@ _ROTATE_TO_FRONT = [
     "olap_weighted_median_bisect", "olap_basket_affinity",
     "text_langid_confusion",
     # After r8 every query registered BEFORE the r8 freeze has driver
-    # evidence and nothing is older than r6. r9's window takes the 26
+    # evidence and nothing is older than r6. r9's window takes the 28
     # late-r8 queries above, then fills from the remaining r6-evidence
     # oracled group (~44 queries, 2 rounds old by then), oldest first;
     # whatever r6 evidence doesn't fit plus the r7/r8 rows-only
-    # newcomers re-rotate in r10. With 157 oracles and a 50-entry
+    # newcomers re-rotate in r10. With 159 oracles and a 50-entry
     # window the cycle is ~3 rounds; the per-round pytest parity run
     # (every oracle at sf0.001) stays the continuous secondary gate.
     "etl_country_iso3",

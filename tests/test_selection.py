@@ -79,3 +79,18 @@ def test_weighted_kth_matches_expanded_multiset(spark):
     expanded = [10] + [20] * 5 + [30] * 2
     k = (len(expanded) + 1) // 2
     assert (got.n, got.k, got.kth_value) == (len(expanded), k, sorted(expanded)[k - 1])
+
+
+def test_null_values_and_null_groups_are_excluded(spark):
+    """SQL aggregate semantics: NULL values never rank and NULL group
+    keys are dropped — previously they inflated n while vanishing from
+    every bracket count (wrong rank or non-convergence)."""
+    rows = [
+        ("g", 1), ("g", 2), ("g", 3), ("g", None), ("g", None),
+        (None, 99),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = kth_smallest_bisect(df, "g", "v", lambda n: (n + 1) // 2).collect()
+    assert len(got) == 1  # the NULL group is gone
+    r = got[0]
+    assert (r.g, r.n, r.k, r.kth_value) == ("g", 3, 2, 2)
