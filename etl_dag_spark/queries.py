@@ -9517,43 +9517,11 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (everything rotated out this round is hash-green in r6). Re-keying
 # here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # ---- round-8 window (positions 1-50) ----
-    # (a) the 19 oracled queries that have NEVER been driver-hashed:
-    # the 17 late-r7 additions that landed after the r7 window froze,
-    # plus the two upgraded from rows-only to full oracles this round
-    # (olap_join_size_estimate, etl_temperature_sample — VERDICT r7 #3)
-    "olap_kmv_set_overlap", "pipeline_decontaminate",
-    "text_intradoc_dedup", "etl_entity_resolution",
-    "olap_equidepth_histogram", "text_remove_dup_spans",
-    "olap_sliding_distinct", "olap_cooccurring_parts",
-    "dedup_cluster_survivorship", "etl_embedding_confusion",
-    "etl_snapshot_diff", "olap_daily_correlation",
-    "olap_longest_streak", "olap_trade_reach", "bi_rfm_segments",
-    "dedup_source_overlap", "etl_proportional_sample",
-    "olap_join_size_estimate", "etl_temperature_sample",
-    # plus the query NEW in round 8 (bloom-pruned join, VERDICT r7 #7)
-    "olap_bloom_pruned_join",
-    # (b) the 5 rows-only queries never driver-row-checked (first
-    # row/err evidence this round — VERDICT r7 #1)
-    "text_bpe_train", "pipeline_bpe_segment", "ann_topk_quantized",
-    "olap_nation_pagerank", "etl_weighted_sample",
-    # (c) the 24 r5-evidence oracled queries (hash evidence 3 rounds
-    # old — the standing freshness bar; VERDICT r7 #4)
-    "olap_percentiles", "olap_asof_join", "olap_range_join",
-    "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
-    "pipeline_corpus_clean", "sql_revenue_by_category",
-    "sql_top_customers", "etl_dq_uniqueness",
-    "text_repetition_quality", "etl_pack_sequences", "etl_domain_mix",
-    "olap_large_orders", "text_langid", "text_quality", "text_tokens",
-    "text_normalize", "text_pii_scrub", "stream_json_props",
-    "olap_value_moments", "olap_grouping_sets", "etl_scd2_history",
-    "olap_rolling_7d",
-    # (d) 1 remaining slot from the r6-evidence group, oldest first
-    "etl_dq_report",
-    # ---- position 51+: the r9 front-of-queue ----
-    # FIRST the queries added mid-r8 after the window froze (26 oracled
-    # + 2 rows-only; parity/pytest evidence this round, driver-hashed
-    # in r9 — the same late-addition deferral r7 used):
+    # ---- round-9 window (positions 1-50) ----
+    # (a) the 28 queries added mid-r8 after the r8 window froze — 26
+    # oracled + 2 rows-only (etl_embedding_pca, mm_audio_fingerprint) —
+    # never driver-checked; first hash/row evidence this round
+    # (VERDICT r8 #1, executing the rotation exactly as queued there):
     "etl_filter_agreement", "text_url_normalize", "etl_l_diversity",
     "olap_event_transitions", "etl_drift_chisq", "etl_token_budget_select",
     "etl_curriculum_shards", "etl_embedding_pca",
@@ -9565,20 +9533,28 @@ _ROTATE_TO_FRONT = [
     "olap_gap_fill_locf", "etl_fuzzy_name_pairs", "olap_median_bisect",
     "olap_weighted_median_bisect", "olap_basket_affinity",
     "text_langid_confusion",
-    # After r8 every query registered BEFORE the r8 freeze has driver
-    # evidence and nothing is older than r6. r9's window takes the 28
-    # late-r8 queries above, then fills from the remaining r6-evidence
-    # oracled group (~44 queries, 2 rounds old by then), oldest first;
-    # whatever r6 evidence doesn't fit plus the r7/r8 rows-only
-    # newcomers re-rotate in r10. With 159 oracles and a 50-entry
-    # window the cycle is ~3 rounds; the per-round pytest parity run
-    # (every oracle at sf0.001) stays the continuous secondary gate.
-    "etl_country_iso3",
-    "etl_star_fact", "etl_dates_dim", "bi_revenue_by_category",
-    "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels",
-    "bi_ancestor_chain", "bi_customers_no_purchase",
-    "olap_pricing_summary", "olap_shipping_priority",
-    "olap_local_supplier_volume", "olap_returned_items",
+    # (b) the 9 rows-only queries whose driver row evidence dates to
+    # round 2 — 6 rounds stale against the ≤3-round freshness bar
+    # (VERDICT r8 #2); their value correctness lives in pytest
+    # recall/tolerance gates, the driver refreshes row counts + err:
+    "ann_topk_ivf", "ann_topk_lsh", "dedup_approx_cardinality",
+    "dedup_embedding_cosine_lsh", "dedup_minhash_lsh", "dedup_simhash",
+    "etl_stratified_sample", "mm_binary_meta", "olap_percentiles_sketch",
+    # (c) the 13 remaining slots from the r6-evidence oracled group,
+    # oldest first (source order — the same order they registered in r1):
+    "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
+    "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth",
+    "bi_hierarchy_levels", "bi_ancestor_chain",
+    "bi_customers_no_purchase", "olap_pricing_summary",
+    "olap_shipping_priority", "olap_local_supplier_volume",
+    "olap_returned_items",
+    # ---- position 51+: the r10 front-of-queue ----
+    # The rest of the r6-evidence oracled group (3 rounds old by r10 —
+    # exactly at the freshness bar), oldest first; after them the
+    # r7/r8-evidence groups re-rotate. With ~160 oracles and a
+    # 50-entry window the cycle is ~3 rounds; the per-round pytest
+    # parity run (every oracle at sf0.001) stays the continuous
+    # secondary gate.
     "olap_order_count_distribution", "olap_priority_shipping",
     "olap_rollup_sales", "olap_running_totals", "olap_sessionize",
     "stream_windowed_counts", "olap_cube_sales", "olap_topk_per_group",
