@@ -38,6 +38,7 @@ def kth_smallest_bisect(
     fanout: int = 32,
     max_rounds: int = 64,
     weight_col: str | None = None,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Exact k-th smallest ``value_col`` (an INTEGER column) per group,
     found by multi-way bisection of the value domain.
@@ -67,6 +68,16 @@ def kth_smallest_bisect(
     and the bracket narrows to that cell's value range. Driver state:
     (lo, hi, k, done) per group — scalars, never rows; each round
     collects ≤ fanout·|groups| count rows.
+
+    Fail-fast contracts (both raise ``ValueError`` before any scan
+    loop): |groups| must not exceed ``max_groups`` (driver state and
+    the per-round broadcast are |groups|-sized — a high-cardinality
+    ``group_col`` would OOM the driver silently otherwise; use the
+    window-sort form for that regime), and each group's value-domain
+    width must satisfy ``hi - lo + 1 ≤ (2^63-1)/fanout`` — the integer
+    cell expression ``fanout·(v-lo+1)-1`` would otherwise wrap int64
+    under non-ANSI arithmetic and bisect the wrong cell. Brackets only
+    narrow, so checking the initial bracket covers every round.
     """
     wcol = (
         F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
@@ -97,6 +108,23 @@ def kth_smallest_bisect(
             )
             .collect()
         }
+        if len(base) > max_groups:
+            raise ValueError(
+                f"kth_smallest_bisect: {len(base)} groups exceeds "
+                f"max_groups={max_groups}; driver state is per-group — "
+                "use windows.exact_percentiles for high-cardinality keys"
+            )
+        width_cap = (2**63 - 1) // fanout - 1
+        too_wide = [
+            g for g, s in base.items() if s["hi"] - s["lo"] > width_cap
+        ]
+        if too_wide:
+            raise ValueError(
+                "kth_smallest_bisect: value-domain width exceeds "
+                f"(2^63-1)/fanout for groups {too_wide[:5]!r}; the "
+                "integer cell index would overflow int64 — rescale the "
+                "value column or reduce fanout"
+            )
         spark = df.sparkSession
 
         def _cell_edge(lo: int, hi: int, c: int) -> int:

@@ -161,9 +161,14 @@ def brute_force_topk(
                 mask = c_ids != bq_ids[j]
                 if sim_band is not None:
                     # pre-filter only; final membership re-checked on the
-                    # JVM-rounded sim (margin absorbs np/JVM rounding skew)
-                    mask &= (col >= sim_band[0] - 1e-9) & (
-                        col < sim_band[1] + 1e-9
+                    # JVM-rounded sim. Margin = one 6dp rounding quantum
+                    # + epsilon: np.round is binary half-even while
+                    # F.round is decimal HALF_UP, so the two can differ
+                    # by a full 1e-6 on ties — a 1e-9-only margin masked
+                    # candidates whose JVM-rounded sim equals the band
+                    # edge. Over-admission is harmless (JVM decides).
+                    mask &= (col >= sim_band[0] - 1e-6 - 1e-9) & (
+                        col < sim_band[1] + 1e-6 + 1e-9
                     )
                 idx = np.flatnonzero(mask)
                 order = idx[np.lexsort((c_ids[idx], -col[idx]))][:local_k]
@@ -199,6 +204,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup).
 
@@ -210,8 +216,22 @@ def cosine_pairs(
     only pairs above threshold, so shuffle volume is the result size.
     The final threshold compare runs JVM-side on the 6dp-rounded sim,
     identical to the oracle.
+
+    Fail-fast contract: the corpus is pulled to the driver and
+    broadcast, so ``count() > max_rows`` raises ``ValueError`` BEFORE
+    the collect — the baseline cannot silently be pointed at an
+    SF-scaled table (the scale path is :func:`lsh_topk` /
+    :func:`semantic_dedup_pairs`). The extra count job is one
+    column-pruned scan, trivial next to the collect it guards.
     """
     spark = embeddings.sparkSession
+    n_rows = embeddings.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs: corpus has {n_rows} rows > max_rows="
+            f"{max_rows}; this exact all-pairs baseline broadcasts the "
+            "whole corpus — use lsh_topk/semantic_dedup_pairs at scale"
+        )
     all_pdf = embeddings.select(id_col, vec_col).toPandas()
     a_ids, a_mat = _matrix(all_pdf, id_col, vec_col)
     a_norm = _seq_norms(a_mat)

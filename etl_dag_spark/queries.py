@@ -7422,7 +7422,7 @@ counts AS (
   FROM flags
 )
 SELECT n_docs, n_both_keep, n_both_drop, n_rule_only, n_cls_only, po, pe,
-       (po - pe) / (CAST(1.0 AS DOUBLE) - pe) AS kappa
+       (po - pe) / nullif(CAST(1.0 AS DOUBLE) - pe, CAST(0.0 AS DOUBLE)) AS kappa
 FROM (
   SELECT *,
          CAST(n_both_keep + n_both_drop AS DOUBLE) / n_docs AS po,
@@ -7481,10 +7481,21 @@ def etl_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (
         (F.col("n_both_drop") + F.col("n_rule_only")).cast("double") / n
     )
+    # Degenerate case mapped EXPLICITLY on both sides: when both gates
+    # are unanimous pe == 1.0, and Spark's non-ANSI x/0.0 yields NULL
+    # while DuckDB's IEEE divide yields ±inf/NaN — the oracle uses
+    # nullif(1.0 - pe, 0.0) so both engines emit NULL (the x/0.0 trap
+    # class from CLAUDE.md).
     return (
         counts.withColumn("po", po)
         .withColumn("pe", pe)
-        .withColumn("kappa", (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")))
+        .withColumn(
+            "kappa",
+            F.when(
+                F.col("pe") != 1.0,
+                (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")),
+            ),
+        )
     )
 
 

@@ -109,6 +109,7 @@ def write_version(
     max_retries: int = 10,
     stats_cols: list[str] | None = None,
     txn_id: str | None = None,
+    writer_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -118,10 +119,17 @@ def write_version(
     ``stats_cols`` — record per-file min/max for these columns in the
     manifest (footer metadata only, no re-scan) so :func:`read_version`
     can prune files against a predicate before Spark opens them.
-    ``txn_id`` — idempotence token (the Delta streaming-sink ``txn``
-    trick): if the CURRENT tip already carries this token the commit is
-    a no-op returning the tip — a replayed micro-batch cannot
-    double-append.
+    ``txn_id`` / ``writer_id`` — idempotence token (the Delta ``txn``
+    action, appId → version): every manifest carries a ``txns`` map of
+    each writer's LAST committed token, carried forward across commits
+    by ANY writer. A commit whose (writer_id, txn_id) already appears
+    in the tip's map is a no-op returning the tip — so a replayed
+    micro-batch cannot double-append even when other writers committed
+    in between (checking only the tip's own token, as pre-r9 manifests
+    did, broke exactly that interleaving), and two writers replaying
+    the same-named batch never mask each other because the map is keyed
+    by writer. ``writer_id`` defaults to ``"_default"`` for single-
+    writer callers.
 
     Returns the committed version number. Data files are immutable and
     shared across versions; the commit point is an atomic hard-link of
@@ -144,13 +152,21 @@ def write_version(
         version = parent + 1
         files = list(new_files)
         stats = dict(new_stats)
+        writer_key = writer_id or "_default"
+        txns: dict[str, str] = {}
         if parent:
             pm = _load_manifest(path, parent)
-            if txn_id is not None and pm.get("txn_id") == txn_id:
+            txns = dict(pm.get("txns") or {})
+            if "txns" not in pm and pm.get("txn_id") is not None:
+                # pre-r9 manifest: only the tip's own token was recorded
+                txns = {"_default": pm["txn_id"]}
+            if txn_id is not None and txns.get(writer_key) == txn_id:
                 return parent  # replayed commit: already applied
             if op == "append":
                 files = pm["files"] + files
                 stats = {**pm.get("stats", {}), **stats}
+        if txn_id is not None:
+            txns[writer_key] = txn_id
         body = json.dumps(
             {
                 "version": version,
@@ -159,6 +175,7 @@ def write_version(
                 "files": files,
                 "stats": stats,
                 "txn_id": txn_id,
+                "txns": txns,
                 "schema": df.schema.json(),
             },
             indent=1,

@@ -14,6 +14,8 @@ bounded-state variant via ``dropDuplicatesWithinWatermark``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -398,21 +400,32 @@ def stream_versioned_ingest(
     """Streaming ingest into the snapshot-versioned table
     (``sources/versions.py``) — the versioned-lake sink: every
     micro-batch commits ONE append snapshot tagged
-    ``txn_id=f"batch-{batch_id}"``, so a batch replayed after a crash
-    (foreachBatch re-delivers the last uncommitted batch) is a
-    manifest-level no-op — exactly-once enforced by the TABLE's commit
-    protocol, not by the sink's filesystem luck. This is the Delta
-    streaming-sink ``txn`` idempotence trick. Every batch boundary is a
-    time-travelable snapshot: a poisoned feed rolls back by reading
-    version N−1; the data files a replayed attempt orphaned are
-    invisible to every reader and reclaimed by vacuum."""
+    ``txn_id=f"batch-{batch_id}"`` under a ``writer_id`` derived from
+    this stream's CHECKPOINT (the stream's durable identity across
+    restarts), so a batch replayed after a crash (foreachBatch
+    re-delivers the last uncommitted batch) is a manifest-level no-op —
+    exactly-once enforced by the TABLE's commit protocol, not by the
+    sink's filesystem luck. This is the Delta streaming-sink ``txn``
+    idempotence trick: the manifest's per-writer txn map means the
+    replay check survives interleaved commits from OTHER writers, and
+    two streams sharing one table never mask each other's ``batch-0``
+    (both failure modes of the pre-r9 tip-only check). Every batch
+    boundary is a time-travelable snapshot: a poisoned feed rolls back
+    by reading version N−1; the data files a replayed attempt orphaned
+    are invisible to every reader and reclaimed by vacuum."""
     from etl_dag_spark.sources.versions import write_version
+
+    writer = f"stream:{os.path.abspath(checkpoint_dir)}"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         write_version(
-            batch_df, table_path, op="append", txn_id=f"batch-{batch_id}"
+            batch_df,
+            table_path,
+            op="append",
+            txn_id=f"batch-{batch_id}",
+            writer_id=writer,
         )
 
     return (

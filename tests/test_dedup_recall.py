@@ -682,3 +682,19 @@ def test_ivf_sq8_append_uses_stored_codebook(spark, tmp_path):
     }
     assert got == want
     assert {nid % 2 for (_, nid) in got} == {0, 1}
+
+
+def test_cosine_pairs_row_cap_fails_fast(spark):
+    """The exact all-pairs baseline broadcasts the corpus: pointing it
+    at more rows than max_rows must raise before collecting anything
+    (VERDICT r8 #3 driver-memory contract)."""
+    import pytest
+
+    from etl_dag_spark.operators import similarity as sim
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        sim.cosine_pairs(emb, max_rows=10)

@@ -94,3 +94,25 @@ def test_null_values_and_null_groups_are_excluded(spark):
     assert len(got) == 1  # the NULL group is gone
     r = got[0]
     assert (r.g, r.n, r.k, r.kth_value) == ("g", 3, 2, 2)
+
+
+def test_group_cardinality_guard_fails_fast(spark):
+    """Driver state is per-group: a high-cardinality group_col must be
+    rejected BEFORE the scan loop, not OOM the driver (VERDICT r8 #3)."""
+    df = spark.range(20).select(
+        F.col("id").cast("string").alias("g"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        kth_smallest_bisect(
+            df, "g", "v", k_of_n=lambda n: 1, max_groups=10
+        )
+
+
+def test_domain_width_guard_rejects_int64_overflow(spark):
+    """fanout*(v-lo+1)-1 wraps int64 when the value domain spans more
+    than 2^63/fanout — reject the bracket up front (ADVICE r8)."""
+    df = spark.createDataFrame(
+        [("g", -(2**62)), ("g", 2**62)], "g string, v long"
+    )
+    with pytest.raises(ValueError, match="overflow|width"):
+        kth_smallest_bisect(df, "g", "v", k_of_n=lambda n: 1, fanout=32)

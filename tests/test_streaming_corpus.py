@@ -666,12 +666,27 @@ def test_stream_versioned_ingest_snapshots_every_batch(spark, doc_stream_src, tm
     first = read_version(spark, table, 1).count()
     assert 0 < first < len(want)
 
-    # replaying the LAST batch (same txn_id, tip unchanged) is a no-op
+    # replaying the LAST batch under the STREAM's writer identity
+    # (checkpoint-derived) is a no-op
+    import os
+
     tip = h[-1]["version"]
+    writer = f"stream:{os.path.abspath(str(tmp_path / 'ckpt_v'))}"
     replay = read_version(spark, table, tip)  # any frame; txn gates it
-    v = write_version(replay, table, op="append", txn_id=f"batch-{tip - 1}")
+    v = write_version(
+        replay, table, op="append",
+        txn_id=f"batch-{tip - 1}", writer_id=writer,
+    )
     assert v == tip
     assert read_version(spark, table).count() == len(want)
+    # a DIFFERENT stream replaying ITS OWN batch-(tip-1) is NOT masked
+    # by this stream's token: the txn map is per-writer
+    one_row = read_version(spark, table, 1)
+    v2 = write_version(
+        one_row, table, op="append",
+        txn_id=f"batch-{tip - 1}", writer_id="stream:/elsewhere/ckpt",
+    )
+    assert v2 == tip + 1
 
 
 def test_stream_moments_replay_is_idempotent(spark, tmp_path):

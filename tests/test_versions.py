@@ -180,6 +180,30 @@ def test_txn_id_makes_append_replay_a_noop(spark, tmp_path):
     assert _rows(read_version(spark, path)) == [(1, "a"), (2, "b"), (2, "b")]
 
 
+def test_txn_replay_survives_interleaved_writers(spark, tmp_path):
+    """The Delta-style per-writer txn map: a replayed commit is a no-op
+    even after ANOTHER writer committed in between (the tip-only check
+    double-appended here), and two writers using the same txn NAME
+    never mask each other (the shared-table streaming data-loss mode)."""
+    path = str(tmp_path / "txn_multi")
+    row = spark.createDataFrame([(1, "x")], "k int, v string")
+    write_version(row, path)
+    va = write_version(row, path, op="append", txn_id="batch-0", writer_id="A")
+    # writer B lands batch-0 right after A's batch-0 — MUST commit,
+    # not be skipped as A's replay
+    vb = write_version(row, path, op="append", txn_id="batch-0", writer_id="B")
+    assert vb == va + 1
+    # A replays batch-0 AFTER B's interleaved commit — must be a no-op
+    v_replay = write_version(row, path, op="append", txn_id="batch-0", writer_id="A")
+    assert v_replay == vb
+    assert read_version(spark, path).count() == 3
+    # the map survives an overwrite commit too (txns carry forward)
+    write_version(row, path, op="overwrite")
+    v_replay2 = write_version(row, path, op="append", txn_id="batch-0", writer_id="B")
+    assert v_replay2 == vb + 1  # still the tip: replay skipped
+    assert read_version(spark, path).count() == 1
+
+
 def test_read_version_delta_returns_only_new_rows(spark, tmp_path):
     path = str(tmp_path / "delta_tbl")
     write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
