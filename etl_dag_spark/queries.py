@@ -9514,6 +9514,129 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_cdc_rows",
+    oracle="""
+WITH v1 AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+v2 AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS price_cents
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+j AS (
+  SELECT v1.o_orderkey AS k1, v1.o_custkey AS c1, v1.price_cents AS p1,
+         v2.o_orderkey AS k2, v2.o_custkey AS c2, v2.price_cents AS p2
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT k2 AS o_orderkey, c2 AS o_custkey, p2 AS price_cents,
+       'insert' AS _change_type
+FROM j WHERE k1 IS NULL
+UNION ALL
+SELECT k1, c1, p1, 'delete' FROM j WHERE k2 IS NULL
+UNION ALL
+SELECT k1, c1, p1, 'update_preimage' FROM j
+WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+  AND (c1 IS DISTINCT FROM c2 OR p1 IS DISTINCT FROM p2)
+UNION ALL
+SELECT k2, c2, p2, 'update_postimage' FROM j
+WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+  AND (c1 IS DISTINCT FROM c2 OR p1 IS DISTINCT FROM p2)
+""",
+)
+def etl_cdc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of the versioned table
+    (sources/versions.py::cdc_rows — the Delta CDF contract, SURVEY §2
+    #146): every row between version 1 and version 2 tagged insert /
+    delete / update_preimage / update_postimage. This query drives the
+    REAL lakehouse machinery end-to-end — both snapshots are committed
+    through ``write_version`` into a manifest log on disk, then diffed
+    through ``cdc_rows``'s full-outer-join plan — while the oracle
+    expresses the same keyed diff in pure SQL over the source rows
+    (reference parity: the audit trail ETL_DAG.py's truncate-and-load,
+    ETL_DAG.py:206-229, throws away every load).
+
+    Snapshots are deterministic order slices: v1 misses key%97==0, v2
+    drops key%89==0 and bumps key%7==0 by 500 cents — all four change
+    types occur at every SF. Values ride in exact integer cents so the
+    update comparison is engine-exact.
+
+    Scale shape: two O(delta) manifest commits (no data rewrite), then
+    ONE full-outer join co-partitioned on the key — both sides
+    SF-scaled, no hints, AQE picks the join; the change classification
+    is pure Column arithmetic on the joined row."""
+    import tempfile
+
+    from etl_dag_spark.sources import versions as ver
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+    )
+    v1 = o.where(F.col("o_orderkey") % 97 != 0)
+    v2 = o.where(F.col("o_orderkey") % 89 != 0).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(500)).otherwise(F.lit(0)),
+    )
+    # the temp table outlives this function: the returned frame reads
+    # its files lazily (driver collects later); OS tmp reaps it
+    path = tempfile.mkdtemp(prefix="etl_cdc_rows_")
+    ver.write_version(v1, path)
+    ver.write_version(v2, path)
+    return ver.cdc_rows(spark, path, 1, 2, key_cols=["o_orderkey"])
+
+
+@register(
+    "etl_version_delta",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders WHERE o_orderkey % 3 <> 0
+""",
+)
+def etl_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental delta read over append lineage (sources/versions.py::
+    read_version_delta — the Delta/Iceberg incremental-consumption
+    contract, SURVEY §2 #146): commit a base snapshot plus two append
+    deltas through the manifest log, then read exactly the rows added
+    between version 1 and the tip as the FILE-LIST difference — zero
+    joins, zero shuffles, only delta files opened. The oracle selects
+    the same rows straight from the source table, so the driver
+    value-hashes the whole manifest→file-diff→schema-pinned-read path.
+
+    Scale shape: at 100 TB this is the difference between a downstream
+    job reading a day's appends and re-scanning the table; the diff is
+    resolved driver-side from two manifests (file LISTS, not data) and
+    the read plan is a plain parquet scan of the delta files."""
+    import tempfile
+
+    from etl_dag_spark.sources import versions as ver
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="etl_version_delta_")
+    ver.write_version(o.where(F.col("o_orderkey") % 3 == 0), path)
+    ver.write_version(
+        o.where(F.col("o_orderkey") % 3 == 1), path, op="append"
+    )
+    ver.write_version(
+        o.where(F.col("o_orderkey") % 3 == 2), path, op="append"
+    )
+    return ver.read_version_delta(spark, path, 1, 3)
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9544,6 +9667,9 @@ _ROTATE_TO_FRONT = [
     "olap_gap_fill_locf", "etl_fuzzy_name_pairs", "olap_median_bisect",
     "olap_weighted_median_bisect", "olap_basket_affinity",
     "text_langid_confusion",
+    # (a2) NEW in r9 before the window froze: the versioned-table CDC
+    # diff and incremental delta read as oracled queries (VERDICT r8 #4)
+    "etl_cdc_rows", "etl_version_delta",
     # (b) the 9 rows-only queries whose driver row evidence dates to
     # round 2 — 6 rounds stale against the ≤3-round freshness bar
     # (VERDICT r8 #2); their value correctness lives in pytest
@@ -9551,14 +9677,13 @@ _ROTATE_TO_FRONT = [
     "ann_topk_ivf", "ann_topk_lsh", "dedup_approx_cardinality",
     "dedup_embedding_cosine_lsh", "dedup_minhash_lsh", "dedup_simhash",
     "etl_stratified_sample", "mm_binary_meta", "olap_percentiles_sketch",
-    # (c) the 13 remaining slots from the r6-evidence oracled group,
+    # (c) the 11 remaining slots from the r6-evidence oracled group,
     # oldest first (source order — the same order they registered in r1):
     "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
     "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth",
     "bi_hierarchy_levels", "bi_ancestor_chain",
     "bi_customers_no_purchase", "olap_pricing_summary",
-    "olap_shipping_priority", "olap_local_supplier_volume",
-    "olap_returned_items",
+    "olap_shipping_priority",
     # ---- position 51+: the r10 front-of-queue ----
     # The rest of the r6-evidence oracled group (3 rounds old by r10 —
     # exactly at the freshness bar), oldest first; after them the
@@ -9566,6 +9691,7 @@ _ROTATE_TO_FRONT = [
     # 50-entry window the cycle is ~3 rounds; the per-round pytest
     # parity run (every oracle at sf0.001) stays the continuous
     # secondary gate.
+    "olap_local_supplier_volume", "olap_returned_items",
     "olap_order_count_distribution", "olap_priority_shipping",
     "olap_rollup_sales", "olap_running_totals", "olap_sessionize",
     "stream_windowed_counts", "olap_cube_sales", "olap_topk_per_group",
