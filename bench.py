@@ -29,10 +29,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # the scale-smoke subset: one scan-agg, two shuffle-join OLAP classes,
-# one multi-dim-join class, one explode-heavy text query, and one
-# banded-LSH dedup — the shapes whose cost must scale ~linearly with
-# data volume (the explode/band dedup shapes are where superlinear
-# surprises live, so the smoke set must include one)
+# one multi-dim-join class, one explode-heavy text query, one
+# banded-LSH dedup, one iterative fixpoint (connected components), and
+# one Arrow-stage op (pHash over real raster bytes) — the shapes whose
+# cost must scale ~linearly with data volume (explode/band dedup,
+# fixpoint sweeps, and Python-stage batching are where superlinear
+# surprises live, so the smoke set probes one of each)
 SF1_QUERIES = [
     "olap_pricing_summary",
     "bi_revenue_by_category",
@@ -40,6 +42,8 @@ SF1_QUERIES = [
     "olap_local_supplier_volume",
     "text_rarity_score",
     "dedup_minhash_lsh",
+    "dedup_cluster",
+    "mm_phash_dedup",
 ]
 
 
@@ -215,6 +219,9 @@ def main() -> None:
 
     spark = get_spark(app_name="etl-dag-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    from etl_dag_spark.session import quiet_benign_logs
+
+    quiet_benign_logs(spark)  # known-benign accumulator-teardown noise
 
     from etl_dag_spark.queries import SPARK_QUERIES
 

@@ -49,6 +49,9 @@ def main() -> int:
         SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from etl_dag_spark.session import quiet_benign_logs
+
+    quiet_benign_logs(spark)  # known-benign accumulator-teardown noise
     print(f"driver-sim: session tz={spark.conf.get('spark.sql.session.timeZone')}")
 
     import __spark_entry__ as ent
