@@ -401,6 +401,154 @@ def remove_duplicated_spans(documents: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def _lcp_col(a: Column, b: Column) -> Column:
+    """Token-level longest-common-prefix length of two (non-null-element)
+    string arrays, 0 when either side is NULL — pure Column algebra.
+    The zip_with lambda runs interpreted, but over ≤cap-element arrays
+    (bounded per row), not a corpus-sized structure — the §6b-1
+    interpreted-HOF trap does not apply at this cardinality."""
+    mn = F.least(F.size(a), F.size(b))
+    neq = F.zip_with(F.slice(a, 1, mn), F.slice(b, 1, mn), lambda x, y: x != y)
+    p = F.array_position(neq, F.lit(True))  # 0 = no mismatch in min-prefix
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0))
+        .otherwise(F.when(p == 0, mn).otherwise(p - 1))
+        .cast("int")
+    )
+
+
+def _py_lcp(a, b) -> int:
+    m = min(len(a), len(b))
+    i = 0
+    while i < m and a[i] == b[i]:
+        i += 1
+    return i
+
+
+def suffix_dup_spans(
+    documents: DataFrame,
+    cap: int = 16,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT duplicated-span profile by distributed suffix sorting —
+    Lee et al. 2022's exact-substring algorithm (suffix array over the
+    corpus; arXiv:2107.06499 §4.1) re-expressed as a Spark range
+    shuffle, complementing the hashed-shingle approximation of
+    :func:`remove_duplicated_spans` (hash collisions can over-mark
+    there; here actual token strings are compared, so there are no
+    false positives by construction).
+
+    Per document: ``max_dup_span`` — the length (in tokens, capped at
+    ``cap``) of the longest token span that occurs ≥2 times anywhere in
+    the corpus (any doc, including itself) — and ``n_dup_starts`` — how
+    many token positions start a duplicated span of length ≥
+    ``min_len``. → (doc_id, max_dup_span INT, n_dup_starts BIGINT),
+    one row per document.
+
+    Algorithm: each token position contributes its ``cap``-token
+    truncated suffix (one collect_list window pass); suffixes are
+    RANGE-partitioned and sorted on the token-array key (Spark orders
+    array<string> lexicographically — exactly suffix order); by the
+    suffix-array adjacency property, a suffix's max LCP with ANY other
+    suffix equals the max of its LCPs with its two sorted neighbors —
+    one lag + one lead in a __pid-local window, LCP as bounded Column
+    algebra (:func:`_lcp_col`). The ≤2 rows per partition edge whose
+    neighbor lives across the boundary are collected (2·P rows, P =
+    partitions — bounded driver state) and their cross-partition LCP
+    resolved driver-side, the same two-phase global-order discipline as
+    ``windows._ranged_row_number``, including its PIN rule: the ranged
+    frame is consumed by two jobs (edge collect + main aggregate), and
+    repartitionByRange samples its boundaries, so the frame is
+    localCheckpoint-pinned before the first consumer.
+
+    Scale shape: ONE range shuffle of cap-token suffix keys (~cap× the
+    token bytes — vs the cap×-row explode AND cap×-string shuffle of
+    the shingle-ladder formulation the oracle uses), two window passes
+    that share one sort, a bounded driver exchange, and a final
+    map-side-combined groupBy(doc_id). No Python row stage; the only
+    Python is the ≤2·P boundary LCPs."""
+    spark = documents.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    toks = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(tokens_column(text_col)).alias("pos", "tok"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, cap - 1)
+    # Pin the suffix frame BEFORE ranging: repartitionByRange runs a
+    # sampling job over its child, which would otherwise re-evaluate
+    # the collect_list window a second time (measured 2× the stage
+    # cost), and a pinned child also makes the sampled boundaries
+    # stable across the two downstream jobs.
+    suf = toks.select(
+        "doc_id", F.collect_list("tok").over(wl).alias("sfx")
+    ).localCheckpoint(eager=False)
+    ranged = suf.repartitionByRange(n_parts, F.col("sfx")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("sfx")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # ONE interpreted-LCP evaluation per row: lcp-with-next(i) equals
+    # lcp-with-prev(i+1), so the lag-side LCP is computed once and
+    # shifted with lead() in a second projection over the SAME sort
+    # (no exchange between them → identical physical row order, so the
+    # shifted pairing is consistent even among tied suffix keys).
+    s1 = ranged.select(
+        "doc_id",
+        "__pid",
+        "sfx",
+        F.row_number().over(w).alias("__lrn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+        _lcp_col(F.col("sfx"), F.lag("sfx").over(w)).alias("__lp"),
+    )
+    is_first, is_last = F.col("__lrn") == 1, F.col("__lrn") == F.col("__cnt")
+    scored = s1.select(
+        "doc_id",
+        "__pid",
+        "__lrn",
+        # greatest() skips the NULL a partition-tail lead() produces
+        F.greatest(F.col("__lp"), F.lead("__lp").over(w)).alias("lcp"),
+        is_first.alias("__first"),
+        is_last.alias("__last"),
+        # suffix kept ONLY for partition-edge rows (driver needs it)
+        F.when(is_first | is_last, F.col("sfx")).alias("__esfx"),
+    ).localCheckpoint(eager=False)  # pinned: read by edge-collect AND main agg
+    edge_rows = (
+        scored.where(F.col("__first") | F.col("__last"))
+        .select("__pid", "__lrn", "doc_id", "lcp", "__esfx")
+        .collect()
+    )
+    by_pid: dict[int, dict[int, object]] = {}
+    for r in edge_rows:
+        by_pid.setdefault(r["__pid"], {})[r["__lrn"]] = r
+    pids = sorted(by_pid)
+    boundary: dict[tuple[int, int], int] = {}
+    for i in range(len(pids) - 1):
+        p, q = pids[i], pids[i + 1]
+        last_r = by_pid[p][max(by_pid[p])]
+        first_r = by_pid[q][min(by_pid[q])]
+        b = _py_lcp(last_r["__esfx"], first_r["__esfx"])
+        for key in ((p, last_r["__lrn"]), (q, first_r["__lrn"])):
+            boundary[key] = max(boundary.get(key, 0), b)
+    corr = [
+        (r["doc_id"], max(r["lcp"], boundary.get((r["__pid"], r["__lrn"]), 0)))
+        for r in edge_rows
+    ]
+    per_pos = scored.where(~F.col("__first") & ~F.col("__last")).select(
+        "doc_id", "lcp"
+    )
+    if corr:
+        per_pos = per_pos.unionByName(
+            spark.createDataFrame(corr, "doc_id long, lcp int")
+        )
+    return per_pos.groupBy("doc_id").agg(
+        F.max("lcp").cast("int").alias("max_dup_span"),
+        F.sum((F.col("lcp") >= min_len).cast("bigint")).alias("n_dup_starts"),
+    )
+
+
 # --------------------------------------------------- contamination check
 
 

@@ -9637,6 +9637,58 @@ def etl_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.read_version_delta(spark, path, 1, 3)
 
 
+@register(
+    "text_suffix_dup_spans",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
+sp AS (
+  SELECT doc_id, i, L,
+         array_to_string(list_slice(tk, i, i + L - 1), ' ') AS s
+  FROM tk,
+       unnest(range(1, len(tk) + 1)) AS u(i),
+       unnest(range(1, 13)) AS l(L)
+  WHERE i + L - 1 <= len(tk)
+),
+occ AS (SELECT L, s FROM sp GROUP BY L, s HAVING count(*) >= 2),
+perpos AS (
+  SELECT sp.doc_id, sp.i, max(sp.L) AS lcp
+  FROM sp JOIN occ USING (L, s)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, max(lcp) AS mx,
+         sum(CASE WHEN lcp >= 6 THEN 1 ELSE 0 END) AS ns
+  FROM perpos GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(a.mx, 0) AS INT) AS max_dup_span,
+       CAST(coalesce(a.ns, 0) AS BIGINT) AS n_dup_starts
+FROM tk t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-span profile by distributed suffix sorting
+    (operators/dedup.py::suffix_dup_spans — Lee et al. 2022's
+    exact-substring algorithm as a Spark range shuffle; SURVEY §2
+    #114c). Per document: the longest token span (capped at 12)
+    occurring ≥2 times anywhere in the corpus, and how many positions
+    start a duplicated span of ≥6 tokens — the exact counterpart of
+    the hashed-shingle stats (#114) with no hash false positives:
+    actual token strings are compared, so a hash-green run certifies
+    the whole suffix-sort + neighbor-LCP + partition-boundary repair
+    machinery value-exactly.
+
+    The ORACLE is the brute-force shingle ladder (every span length
+    1..12 materialized and counted — O(n·cap) rows, fine at oracle SF);
+    the Spark plan is the O(n log n) scale path: one range shuffle of
+    truncated suffixes, neighbor LCP as bounded Column algebra, ≤2
+    rows per partition resolved driver-side. Same answer, two
+    algorithms — the strongest kind of cross-check."""
+    return dd.suffix_dup_spans(
+        load_table(spark, sf_dir, "documents"), cap=12, min_len=6
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9668,8 +9720,9 @@ _ROTATE_TO_FRONT = [
     "olap_weighted_median_bisect", "olap_basket_affinity",
     "text_langid_confusion",
     # (a2) NEW in r9 before the window froze: the versioned-table CDC
-    # diff and incremental delta read as oracled queries (VERDICT r8 #4)
-    "etl_cdc_rows", "etl_version_delta",
+    # diff + incremental delta read (VERDICT r8 #4) and the
+    # sorted-suffix exact-substring profile (VERDICT r8 #7)
+    "etl_cdc_rows", "etl_version_delta", "text_suffix_dup_spans",
     # (b) the 9 rows-only queries whose driver row evidence dates to
     # round 2 — 6 rounds stale against the ≤3-round freshness bar
     # (VERDICT r8 #2); their value correctness lives in pytest
@@ -9677,13 +9730,12 @@ _ROTATE_TO_FRONT = [
     "ann_topk_ivf", "ann_topk_lsh", "dedup_approx_cardinality",
     "dedup_embedding_cosine_lsh", "dedup_minhash_lsh", "dedup_simhash",
     "etl_stratified_sample", "mm_binary_meta", "olap_percentiles_sketch",
-    # (c) the 11 remaining slots from the r6-evidence oracled group,
+    # (c) the 10 remaining slots from the r6-evidence oracled group,
     # oldest first (source order — the same order they registered in r1):
     "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
     "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth",
     "bi_hierarchy_levels", "bi_ancestor_chain",
     "bi_customers_no_purchase", "olap_pricing_summary",
-    "olap_shipping_priority",
     # ---- position 51+: the r10 front-of-queue ----
     # The rest of the r6-evidence oracled group (3 rounds old by r10 —
     # exactly at the freshness bar), oldest first; after them the
@@ -9691,6 +9743,7 @@ _ROTATE_TO_FRONT = [
     # 50-entry window the cycle is ~3 rounds; the per-round pytest
     # parity run (every oracle at sf0.001) stays the continuous
     # secondary gate.
+    "olap_shipping_priority",
     "olap_local_supplier_volume", "olap_returned_items",
     "olap_order_count_distribution", "olap_priority_shipping",
     "olap_rollup_sales", "olap_running_totals", "olap_sessionize",
