@@ -333,3 +333,96 @@ def hll_estimate_by_group(
         gk = tuple(r[c] for c in group_cols)
         groups.setdefault(gk, {})[r.register] = r.max_rho
     return {gk: _hll_est_from_regs(regs, p) for gk, regs in groups.items()}
+
+
+# ------------------------------------------- quantile sample sketch
+
+
+def quantile_sample_sketch(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_expr_sql: str,
+    k: int = 256,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Mergeable bottom-k VALUE sample — the quantile member of the
+    sketch family (CMS = frequency, HLL/KMV = cardinality, this =
+    distribution): per group, the ``k`` rows whose engine-portable
+    uniform hash of ``key_expr_sql`` is smallest, RETAINING the value
+    → (g, v BIGINT, hv BIGINT), ≤ k rows per group.
+
+    A bottom-k-by-uniform-hash set is a uniform random sample of the
+    group's rows (the classic sampling quantile summary — Manku et al.
+    1998/1999 lineage; "Mergeable Summaries", Agarwal et al. 2012 §3,
+    prove the merged bottom-k stays uniform), so the q-quantile of the
+    sample estimates the q-quantile of the data with rank error
+    O(1/sqrt(k)) — and unlike GK/KLL compactors the construction is a
+    pure deterministic Column program: a DuckDB oracle replays the
+    sketch BIT-FOR-BIT (hash → bottom-k → merge → rank), which the
+    random-compactor sketches cannot offer.
+
+    Scale shape: one window top-k per group (rank + filter — a k-heap
+    per partition after the group shuffle, the per_group_top_k idiom);
+    shuffle volume is the source rows once. Merging sketches from N
+    shards is a union + re-bottom-k over ≤ N·k rows per group — the
+    distributed-aggregation shape that lets 1000 executors each sketch
+    a shard and one reduce produce the global quantiles."""
+    from pyspark.sql import Window
+
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}:', {key_expr_sql})), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    s = rows.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        h.alias("hv"),
+    )
+    w = Window.partitionBy("g").orderBy("hv", "v")
+    return (
+        s.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_sample_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two quantile sample sketches: union then re-bottom-k on the
+    same (hv, v) order — closed under merge because the k smallest
+    hashes of A ∪ B are a subset of A's k smallest plus B's k smallest."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("hv", "v")
+    return (
+        a.unionByName(b)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_sample_estimate(
+    sketch: DataFrame,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+    names: tuple[str, ...] = ("p50", "p90", "p99"),
+) -> DataFrame:
+    """Quantile estimates from a (merged) sketch: the ceil(q·n)-th
+    smallest sample VALUE, ranks in exact integer arithmetic
+    ((num·n + den − 1) DIV den — no float, engine-portable) →
+    (g, n_sample BIGINT, <name> BIGINT ...)."""
+    from pyspark.sql import Window
+
+    m = sketch.withColumn(
+        "n_s", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "hv")),
+    )
+    aggs = [F.max("n_s").cast("bigint").alias("n_sample")]
+    for (num, den), nm in zip(quantiles, names):
+        r = F.expr(f"CAST(({num} * n_s + {den} - 1) DIV {den} AS BIGINT)")
+        aggs.append(
+            F.max(F.when(F.col("rn") == r, F.col("v"))).cast("bigint").alias(nm)
+        )
+    return m.groupBy("g").agg(*aggs)

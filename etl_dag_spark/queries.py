@@ -9689,6 +9689,94 @@ def text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_quantile_sketch_merge",
+    oracle="""
+WITH src AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+         (('0x' || substr(md5('qsk:' ||
+            CAST(CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS VARCHAR)),
+            1, 8))::BIGINT) AS hv,
+         l_orderkey % 2 AS half
+  FROM lineitem
+),
+sk AS (
+  SELECT g, v, hv FROM (
+    SELECT g, v, hv,
+           row_number() OVER (PARTITION BY g, half ORDER BY hv, v) AS rn
+    FROM src
+  ) WHERE rn <= 256
+),
+merged AS (
+  SELECT g, v, hv FROM (
+    SELECT g, v, hv,
+           row_number() OVER (PARTITION BY g ORDER BY hv, v) AS rn
+    FROM sk
+  ) WHERE rn <= 256
+),
+ranked AS (
+  SELECT g, v, hv,
+         count(*) OVER (PARTITION BY g) AS n_s,
+         row_number() OVER (PARTITION BY g ORDER BY v, hv) AS rn
+  FROM merged
+)
+SELECT g AS l_returnflag,
+       CAST(max(n_s) AS BIGINT) AS n_sample,
+       CAST(max(CASE WHEN rn = (1 * n_s + 1) // 2 THEN v END) AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rn = (9 * n_s + 9) // 10 THEN v END) AS BIGINT) AS p90_cents,
+       CAST(max(CASE WHEN rn = (99 * n_s + 99) // 100 THEN v END) AS BIGINT) AS p99_cents
+FROM ranked GROUP BY 1
+""",
+)
+def olap_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sample sketch, built per shard and MERGED
+    (operators/sketch.py::quantile_sample_sketch — the distribution
+    member of the CMS/HLL/KMV Column-algebra family; VERDICT r8 #7):
+    lineitem is split into two deterministic halves standing in for two
+    cluster shards, each half sketches extended-price cents per return
+    flag (bottom-256 rows by portable uniform hash, values retained),
+    the sketches merge by union + re-bottom-k, and p50/p90/p99 are read
+    off the merged sample at exact integer ranks. The oracle replays
+    hash → bottom-k → merge → rank bit-for-bit, so a hash-green run
+    certifies the whole mergeable-summary algebra — the property GK/KLL
+    random compactors cannot give an engine-portable oracle for.
+    Estimate QUALITY (rank error vs exact quantiles) is gated
+    separately in tests/test_sketch.py.
+
+    Scale shape: two window top-k passes (k-heaps after one group
+    shuffle each) over the shard scans, then a merge over ≤ 2·256 rows
+    per group — at 1000 executors each shard sketches locally and the
+    reduce sees k rows per shard, never the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = "CAST(CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS STRING)"
+    halves = [
+        li.where(F.col("l_orderkey") % 2 == i).select(
+            "l_returnflag",
+            star.cents("l_extendedprice").alias("cents"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        for i in (0, 1)
+    ]
+    sketches = [
+        sk.quantile_sample_sketch(
+            h, "l_returnflag", "cents", key, k=256, salt="qsk"
+        )
+        for h in halves
+    ]
+    merged = sk.quantile_sample_merge(sketches[0], sketches[1], k=256)
+    return sk.quantile_sample_estimate(
+        merged, names=("p50_cents", "p90_cents", "p99_cents")
+    ).select(
+        F.col("g").alias("l_returnflag"),
+        "n_sample",
+        "p50_cents",
+        "p90_cents",
+        "p99_cents",
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -9720,9 +9808,11 @@ _ROTATE_TO_FRONT = [
     "olap_weighted_median_bisect", "olap_basket_affinity",
     "text_langid_confusion",
     # (a2) NEW in r9 before the window froze: the versioned-table CDC
-    # diff + incremental delta read (VERDICT r8 #4) and the
-    # sorted-suffix exact-substring profile (VERDICT r8 #7)
+    # diff + incremental delta read (VERDICT r8 #4), the sorted-suffix
+    # exact-substring profile and the mergeable quantile sample sketch
+    # (VERDICT r8 #7)
     "etl_cdc_rows", "etl_version_delta", "text_suffix_dup_spans",
+    "olap_quantile_sketch_merge",
     # (b) the 9 rows-only queries whose driver row evidence dates to
     # round 2 — 6 rounds stale against the ≤3-round freshness bar
     # (VERDICT r8 #2); their value correctness lives in pytest
@@ -9730,12 +9820,12 @@ _ROTATE_TO_FRONT = [
     "ann_topk_ivf", "ann_topk_lsh", "dedup_approx_cardinality",
     "dedup_embedding_cosine_lsh", "dedup_minhash_lsh", "dedup_simhash",
     "etl_stratified_sample", "mm_binary_meta", "olap_percentiles_sketch",
-    # (c) the 10 remaining slots from the r6-evidence oracled group,
+    # (c) the 9 remaining slots from the r6-evidence oracled group,
     # oldest first (source order — the same order they registered in r1):
     "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
     "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth",
     "bi_hierarchy_levels", "bi_ancestor_chain",
-    "bi_customers_no_purchase", "olap_pricing_summary",
+    "bi_customers_no_purchase",
     # ---- position 51+: the r10 front-of-queue ----
     # The rest of the r6-evidence oracled group (3 rounds old by r10 —
     # exactly at the freshness bar), oldest first; after them the
@@ -9743,7 +9833,7 @@ _ROTATE_TO_FRONT = [
     # 50-entry window the cycle is ~3 rounds; the per-round pytest
     # parity run (every oracle at sf0.001) stays the continuous
     # secondary gate.
-    "olap_shipping_priority",
+    "olap_pricing_summary", "olap_shipping_priority",
     "olap_local_supplier_volume", "olap_returned_items",
     "olap_order_count_distribution", "olap_priority_shipping",
     "olap_rollup_sales", "olap_running_totals", "olap_sessionize",

@@ -253,3 +253,64 @@ def test_hll_grouped_registers_estimate_per_group(spark):
         for r in regs.where(F.col("grp") == "a").select("register", "max_rho").collect()
     }
     assert grouped_a == only_a
+
+
+# --------------------------------------------- quantile sample sketch
+
+
+def _qsk_source(spark, n=4000, groups=("A", "B")):
+    """Deterministic skewed values: group g's value at i is (i*i) % 7919
+    — a fixed non-uniform distribution with known exact quantiles."""
+    rows = [
+        (g, (i * i) % 7919, f"{g}{i}") for g in groups for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "g string, v long, key string")
+
+
+def test_quantile_sketch_merge_of_halves_equals_sketch_of_union(spark):
+    src = _qsk_source(spark)
+    a = sk.quantile_sample_sketch(
+        src.where(F.length("key") % 2 == 0), "g", "v", "key", k=64
+    )
+    b = sk.quantile_sample_sketch(
+        src.where(F.length("key") % 2 == 1), "g", "v", "key", k=64
+    )
+    whole = sk.quantile_sample_sketch(src, "g", "v", "key", k=64)
+    merged = sk.quantile_sample_merge(a, b, k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_quantile_sketch_estimates_within_rank_error(spark):
+    """k=256 gives rank error O(1/sqrt(k)) ~ 6%: every estimated
+    quantile must sit between the exact (q-0.1) and (q+0.1) quantiles."""
+    src = _qsk_source(spark)
+    est = {
+        r["g"]: r
+        for r in sk.quantile_sample_estimate(
+            sk.quantile_sample_sketch(src, "g", "v", "key", k=256)
+        ).collect()
+    }
+    vals = sorted(r.v for r in src.where(F.col("g") == "A").collect())
+    n = len(vals)
+
+    def exact(q):
+        return vals[max(0, min(n - 1, int(q * n) - 1))]
+
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        got = est["A"][name]
+        lo, hi = exact(max(0.0, q - 0.1)), exact(min(1.0, q + 0.1))
+        assert lo <= got <= hi, (name, lo, got, hi)
+    assert est["A"]["n_sample"] == 256
+
+
+def test_quantile_sketch_small_group_is_exact(spark):
+    """A group smaller than k is fully retained: estimates are the
+    EXACT order statistics."""
+    rows = [("s", v, f"k{v}") for v in [10, 20, 30, 40, 50]]
+    src = spark.createDataFrame(rows, "g string, v long, key string")
+    r = sk.quantile_sample_estimate(
+        sk.quantile_sample_sketch(src, "g", "v", "key", k=256)
+    ).collect()[0]
+    assert (r["n_sample"], r["p50"], r["p90"], r["p99"]) == (5, 30, 50, 50)
