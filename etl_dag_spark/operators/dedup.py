@@ -99,6 +99,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_verified_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    candidate_threshold: float = 0.5,
+    max_shingle_freq: int | None = 50,
+    num: int = 1,
+    den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-stage near-dup detection: CANDIDATES from the inverted
+    shingle index at a loose Jaccard bound, then VERIFICATION by full
+    edit distance — the candidate→verify pipeline production dedup
+    runs (bag-of-shingles recall first, an order-sensitive exact
+    measure as the decider: shingle Jaccard cannot distinguish a
+    reshuffled document from a near-identical one; Levenshtein can).
+
+    Keeps pairs with ``lev(text_a, text_b) · den ≤ max(len_a, len_b) ·
+    num`` (default: edit distance within 20% of the longer text) —
+    an INTEGER cross-multiplication gate, no float-threshold boundary
+    rows. → (doc_id_a, doc_id_b, lev_dist BIGINT), a < b.
+
+    Scale shape: stage 1 is :func:`ngram_jaccard_pairs` (df-capped
+    index — candidate volume bounded); stage 2 joins the candidate
+    pairs back to both texts (two SF-scaled equi-joins, unhinted) and
+    runs Levenshtein JVM-side ONLY on candidates — verification cost
+    is candidates × O(len²), never corpus²."""
+    cands = ngram_jaccard_pairs(
+        documents,
+        n=n,
+        threshold=candidate_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        max_shingle_freq=max_shingle_freq,
+    ).select("doc_id_a", "doc_id_b")
+    docs = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("__t"),
+    )
+    j = cands.join(
+        docs.select(F.col("doc_id").alias("doc_id_a"), F.col("__t").alias("__ta")),
+        "doc_id_a",
+    ).join(
+        docs.select(F.col("doc_id").alias("doc_id_b"), F.col("__t").alias("__tb")),
+        "doc_id_b",
+    )
+    return (
+        j.withColumn("lev_dist", F.levenshtein("__ta", "__tb").cast("bigint"))
+        .where(
+            F.col("lev_dist") * den
+            <= F.greatest(F.length("__ta"), F.length("__tb")).cast("bigint") * num
+        )
+        .select("doc_id_a", "doc_id_b", "lev_dist")
+    )
+
+
 # ------------------------------------------ prefix-filtered exact Jaccard
 
 

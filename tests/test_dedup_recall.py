@@ -698,3 +698,31 @@ def test_cosine_pairs_row_cap_fails_fast(spark):
     )
     with pytest.raises(ValueError, match="max_rows"):
         sim.cosine_pairs(emb, max_rows=10)
+
+
+def test_edit_verified_rejects_reshuffled_docs(spark):
+    """The point of the verify stage: a token-reshuffled document has
+    near-identical shingle-free... well, identical unigram content and
+    can clear a loose bag-of-ngrams bound, but its edit distance is
+    large; a genuinely near-identical doc passes both stages."""
+    import hashlib
+
+    # high-entropy tokens: char-level distance between different
+    # tokens is ~token length, so a block swap costs ~half the text
+    toks = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in range(40)]
+    base = " ".join(toks)
+    near = base.replace(toks[7], "zq9x7w2k")  # one-token edit
+    # reverse block order: same vocabulary, very different sequence
+    words = base.split()
+    shuffled = " ".join(words[20:] + words[:20])
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, shuffled)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.edit_verified_pairs(
+            df, candidate_threshold=0.3, max_shingle_freq=None
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
