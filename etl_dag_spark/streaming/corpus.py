@@ -326,6 +326,68 @@ def read_kmv_store(spark: SparkSession, store_path: str, k: int = 128) -> DataFr
     return spark.read.parquet(store_path).distinct().orderBy("hv").limit(k)
 
 
+def stream_quantile_sketch(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    group_col: str = "lang",
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Cumulative mergeable quantile sample sketch over a streaming
+    corpus (operators/sketch.py::quantile_sample_sketch) — the
+    streaming twin of #124c: keeps per-language DOCUMENT-LENGTH
+    quantile estimates live during ingest (the distribution monitor a
+    corpus pipeline gates on: a feed whose p90 length collapses is a
+    scraper failure, visible batches before a mean would move).
+
+    Per micro-batch the batch's ≤k-rows-per-group sketch APPENDS; the
+    fold (:func:`read_quantile_store` — bottom-k of the distinct
+    union per group) IS the sketch merge, idempotent over replayed
+    batches like the KMV store (re-unioning identical (g, v, hv) rows
+    changes nothing), so the store needs no exactly-once sink. State
+    on disk ≤ k rows per group per batch."""
+    from etl_dag_spark.functions.text import token_count_column
+    from etl_dag_spark.operators.sketch import quantile_sample_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = batch_df.select(
+            F.col(group_col),
+            token_count_column("text").alias("v"),
+            F.col("doc_id"),
+        )
+        quantile_sample_sketch(
+            rows, group_col, "v", "CAST(doc_id AS STRING)", k=k
+        ).write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_quantile_store(
+    spark: SparkSession, store_path: str, k: int = 256
+) -> DataFrame:
+    """Fold a :func:`stream_quantile_sketch` delta store to the current
+    sketch: per-group bottom-k of the distinct union == the merge of
+    every batch sketch; feed to ``quantile_sample_estimate`` for the
+    live percentiles."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("hv", "v")
+    return (
+        spark.read.parquet(store_path)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stream_weighted_sample(
     docs_stream: DataFrame,
     store_path: str,

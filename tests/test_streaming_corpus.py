@@ -814,3 +814,60 @@ def test_stream_drift_monitor_folds_and_alarms(spark, doc_stream_src, tmp_path):
     # categories present in ref but absent from the drifted feed: n_obs 0
     gone = [c for c in want if c not in (max(want), "xx_new")]
     assert all(rep[c].n_obs == 0 for c in gone)
+
+
+def test_stream_quantile_sketch_equals_one_shot_batch_sketch(
+    spark, doc_stream_src, tmp_path
+):
+    """The streaming quantile sample store folds to EXACTLY the
+    one-shot sketch of the whole corpus (mergeable bottom-k), its
+    estimates match, and replay is a no-op (distinct-union fold)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.functions.text import token_count_column
+    from etl_dag_spark.operators.sketch import (
+        quantile_sample_estimate,
+        quantile_sample_sketch,
+    )
+    from etl_dag_spark.streaming.corpus import (
+        read_document_stream,
+        read_quantile_store,
+        stream_quantile_sketch,
+    )
+
+    store = str(tmp_path / "qsk_store")
+    q = stream_quantile_sketch(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_qsk"),
+        k=64,
+    )
+    q.awaitTermination(120)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    whole = quantile_sample_sketch(
+        docs.select(
+            F.col("lang"),
+            token_count_column("text").alias("v"),
+            F.col("doc_id"),
+        ),
+        "lang",
+        "v",
+        "CAST(doc_id AS STRING)",
+        k=64,
+    )
+    want = sorted(map(tuple, whole.collect()))
+    folded = read_quantile_store(spark, store, k=64)
+    assert sorted(map(tuple, folded.collect())) == want
+    est_w = sorted(map(tuple, quantile_sample_estimate(whole).collect()))
+    est_f = sorted(map(tuple, quantile_sample_estimate(folded).collect()))
+    assert est_f == est_w
+
+    q2 = stream_quantile_sketch(
+        read_document_stream(spark, doc_stream_src),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt_qsk2"),
+        k=64,
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, read_quantile_store(spark, store, k=64).collect())) == want
