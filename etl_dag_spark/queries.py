@@ -9735,6 +9735,213 @@ def text_suffix_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_training_export",
+    oracle="""
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(floor(l.l_quantity) AS BIGINT) AS qty,
+       CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+       CAST(floor(l.l_discount * 10000) AS BIGINT) AS discount_bp,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       o.o_orderpriority AS order_priority,
+       c.c_mktsegment AS mkt_segment,
+       cn.n_name AS cust_nation,
+       cr.r_name AS cust_region,
+       p.p_brand AS part_brand,
+       sn.n_name AS supp_nation
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE (('0x' || substr(md5('texp:' ||
+        CAST(CAST(l.l_orderkey AS BIGINT) * 10 + l.l_linenumber AS VARCHAR)),
+        1, 8))::BIGINT) % 10 = 0
+""",
+)
+def etl_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized one-big-table training export at line-item grain —
+    the feature-materialization step every warehouse-to-ML pipeline
+    runs (the INVERSE of the reference's star build, ETL_DAG.py:150-176
+    / operators/star.py: model-training consumers want one wide flat
+    table, not a snowflake): 7 joins flatten facts + dims into 12 typed
+    feature columns, with a deterministic 10% row sample by portable
+    uniform hash (the export-sampling knob — at 100 TB you export a
+    slice, reproducibly, not the lake).
+
+    Scale shape: ONE fact-fact shuffle (lineitem⋈orders); customer /
+    part / supplier are SF-scaled → unhinted (AQE decides); nation and
+    region are provably bounded → broadcast hints. The sample
+    predicate is pushed below every join (filter on lineitem columns
+    only), so the joins see 10% of the fact up front. Money and
+    discount ride exact integers (cents / basis points)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = "CAST(CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS STRING)"
+    li = li.where(
+        F.expr(
+            f"CAST(conv(substring(md5(concat('texp:', {key})), 1, 8), 16, 10)"
+            " AS BIGINT) % 10 = 0"
+        )
+    ).select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.floor("l_quantity").cast("bigint").alias("qty"),
+        star.cents("l_extendedprice").alias("price_cents"),
+        F.floor(F.col("l_discount") * 10000).cast("bigint").alias("discount_bp"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.col("o_orderpriority").alias("order_priority"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_mktsegment").alias("mkt_segment")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("part_brand")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_rkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cr = r.select(
+        F.col("r_regionkey").alias("cr_key"), F.col("r_name").alias("cust_region")
+    )
+    wide = (
+        joins.join_dim(
+            joins.join_dim(
+                joins.join_dim(
+                    li.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
+                    c, F.col("o_custkey") == F.col("c_custkey"), bounded=False,
+                ),
+                p, F.col("l_partkey") == F.col("p_partkey"), bounded=False,
+            ),
+            s, F.col("l_suppkey") == F.col("s_suppkey"), bounded=False,
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_rkey") == F.col("cr_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return wide.select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        "price_cents",
+        "discount_bp",
+        "order_year",
+        "order_priority",
+        "mkt_segment",
+        "cust_nation",
+        "cust_region",
+        "part_brand",
+        "supp_nation",
+    )
+
+
+@register(
+    "etl_impute_mode",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS pr
+  FROM orders
+),
+gm AS (
+  SELECT o_orderstatus, pr AS gm_pr FROM (
+    SELECT o_orderstatus, pr,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY count(*) DESC, pr) AS rn
+    FROM o WHERE pr IS NOT NULL GROUP BY o_orderstatus, pr
+  ) WHERE rn = 1
+),
+gl AS (
+  SELECT pr AS gl_pr FROM (
+    SELECT pr, row_number() OVER (ORDER BY count(*) DESC, pr) AS rn
+    FROM o WHERE pr IS NOT NULL GROUP BY pr
+  ) WHERE rn = 1
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       coalesce(gm.gm_pr, (SELECT gl_pr FROM gl)) AS imputed_priority
+FROM o LEFT JOIN gm USING (o_orderstatus)
+WHERE o.pr IS NULL
+""",
+)
+def etl_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical mode imputation — the categorical-missing-value
+    repair every feature pipeline runs before training: rows whose
+    priority is missing (deterministic synthetic nulls, key%11==0 —
+    both engines replay the same corruption) are filled with the MODE
+    of their order-status group, falling back to the global mode when
+    a group has no observed values. Tie-break is (count DESC, value
+    ASC) — fully deterministic, no arbitrary-first-row semantics.
+    Reference parity: the DQ rule engine (ETL_DAG.py:90-142) only
+    REPORTS nulls; this is the repair step a production run applies
+    after the report.
+
+    Scale shape: the mode tables are map-side-combined aggregates to
+    |statuses|×|priorities| rows; their join back is left UNHINTED
+    (AQE broadcasts the tiny aggregate at runtime — hinting an
+    aggregate of an SF-scaled scan is banned by the hint prover); the
+    global mode is a 1-row frame crossJoin-broadcast. Only missing
+    rows are emitted."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string")
+        ).otherwise(F.col("o_orderpriority")).alias("pr"),
+    )
+    nonnull = o.where(F.col("pr").isNotNull())
+    wg = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("pr")
+    )
+    gm = (
+        nonnull.groupBy("o_orderstatus", "pr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("pr").alias("gm_pr"))
+    )
+    # global mode as a SCALAR aggregate (min_by over the count table,
+    # ordered (-cnt, pr) — same (count DESC, value ASC) tie-break as
+    # the SQL's rank filter) so the crossJoin side is a provably 1-row
+    # frame the hint prover accepts; a rank-filtered frame would be
+    # small only by an order-statistic argument and must stay unhinted
+    gl = (
+        nonnull.groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.min_by(
+                "pr", F.struct((-F.col("cnt")).alias("nc"), F.col("pr"))
+            ).alias("gl_pr")
+        )
+    )
+    return (
+        o.where(F.col("pr").isNull())
+        .join(gm, "o_orderstatus", "left")
+        .crossJoin(F.broadcast(gl))  # 1-row global-mode frame
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce(F.col("gm_pr"), F.col("gl_pr")).alias("imputed_priority"),
+        )
+    )
+
+
+@register(
     "olap_quantile_sketch_merge",
     oracle="""
 WITH src AS (
@@ -9858,6 +10065,7 @@ _ROTATE_TO_FRONT = [
     # (VERDICT r8 #7)
     "etl_cdc_rows", "etl_version_delta", "text_suffix_dup_spans",
     "olap_quantile_sketch_merge", "dedup_edit_verified",
+    "etl_training_export", "etl_impute_mode",
     # (b) the 9 rows-only queries whose driver row evidence dates to
     # round 2 — 6 rounds stale against the ≤3-round freshness bar
     # (VERDICT r8 #2); their value correctness lives in pytest
@@ -9865,11 +10073,10 @@ _ROTATE_TO_FRONT = [
     "ann_topk_ivf", "ann_topk_lsh", "dedup_approx_cardinality",
     "dedup_embedding_cosine_lsh", "dedup_minhash_lsh", "dedup_simhash",
     "etl_stratified_sample", "mm_binary_meta", "olap_percentiles_sketch",
-    # (c) the 8 remaining slots from the r6-evidence oracled group,
+    # (c) the 6 remaining slots from the r6-evidence oracled group,
     # oldest first (source order — the same order they registered in r1):
     "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
     "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth",
-    "bi_hierarchy_levels", "bi_ancestor_chain",
     # ---- position 51+: the r10 front-of-queue ----
     # The rest of the r6-evidence oracled group (3 rounds old by r10 —
     # exactly at the freshness bar), oldest first; after them the
@@ -9877,7 +10084,7 @@ _ROTATE_TO_FRONT = [
     # 50-entry window the cycle is ~3 rounds; the per-round pytest
     # parity run (every oracle at sf0.001) stays the continuous
     # secondary gate.
-    "bi_customers_no_purchase",
+    "bi_hierarchy_levels", "bi_ancestor_chain", "bi_customers_no_purchase",
     "olap_pricing_summary", "olap_shipping_priority",
     "olap_local_supplier_volume", "olap_returned_items",
     "olap_order_count_distribution", "olap_priority_shipping",
