@@ -61,6 +61,13 @@ SNAPSHOT_QUERIES = [
     # zero-shuffle scan-speed projection
     "olap_attribution_last_touch",
     "etl_pseudonymize",
+    # r9: the suffix sort (range exchange + __pid-local windows, never
+    # a single-partition global sort; the pre-range pin hides lineage
+    # so the LogicalRDD leaf is the evidence), and the wide training
+    # export (sample filter at the lineitem scan, bounded dims
+    # broadcast, SF-scaled dims decided by AQE)
+    "text_suffix_dup_spans",
+    "etl_training_export",
 ]
 
 # Node headers worth pinning: strategy-bearing operators. Detail
