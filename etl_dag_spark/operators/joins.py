@@ -106,6 +106,99 @@ def asof_join(
     return carried.where(F.col("__is_left") == 1).drop("__is_left")
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """For every left row: the right row NEAREST in time (either
+    direction) in the same ``key`` group — the sensor-fusion variant of
+    :func:`asof_join` (kdb's ``aj`` is backward-only; aligning two
+    irregular instrument feeds wants nearest-in-absolute-time).
+    Ties at equal |Δt| prefer the EARLIER (backward) right row; among
+    right rows sharing a timestamp, backward picks the greatest
+    ``right_order``, forward the least (deterministic both ways).
+
+    Returns ``left``'s columns + ``payload_cols`` + ``__delta``
+    (matched ``right_ts`` − ``left_ts``, signed; NULL when the key
+    group has no right rows at all).
+
+    Scale shape: the same ONE union + ONE key-partitioned window sort
+    as asof_join — the backward candidate is ``last(ignorenulls)``
+    over the preceding frame and the forward candidate
+    ``first(ignorenulls)`` over the following frame of the SAME sort
+    (CollapseWindow: one sort, two frames), then a per-row arbitration
+    expression. Never a range/cross join — heavy-key users cost
+    O(rows log rows), not O(rows²)."""
+    left_cols = left.columns
+    l2 = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__ord"),
+        F.lit(None).cast("long").alias("__rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r2 = right.select(
+        *[
+            F.col(key).alias(c)
+            if c == key
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        (F.col(right_order) if right_order is not None else F.lit(0))
+        .cast("long")
+        .alias("__ord"),
+        F.col(right_ts).cast("long").alias("__rt"),
+        *payload_cols,
+    )
+    unioned = l2.unionByName(r2)
+    # right(0) sorts before left(1) at equal __t → an exactly-equal
+    # timestamp lands in the BACKWARD frame (Δ = 0)
+    order = [F.col("__t"), F.col("__is_left"), F.col("__ord")]
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *left_cols,
+        "__t",
+        "__is_left",
+        F.last("__rt", ignorenulls=True).over(wb).alias("__bt"),
+        F.first("__rt", ignorenulls=True).over(wf).alias("__ft"),
+        *[F.last(c, ignorenulls=True).over(wb).alias(f"__b_{c}") for c in payload_cols],
+        *[F.first(c, ignorenulls=True).over(wf).alias(f"__f_{c}") for c in payload_cols],
+    ).where(F.col("__is_left") == 1)
+    bd = F.col("__t").cast("long") - F.col("__bt")  # ≥ 0
+    fd = F.col("__ft") - F.col("__t").cast("long")  # > 0
+    use_back = F.col("__bt").isNotNull() & (
+        F.col("__ft").isNull() | (bd <= fd)
+    )
+    return carried.select(
+        *left_cols,
+        *[
+            F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+            for c in payload_cols
+        ],
+        F.when(use_back, -bd)
+        .otherwise(F.when(F.col("__ft").isNotNull(), fd))
+        .cast("long")
+        .alias("__delta"),
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -9986,6 +9986,161 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_nearest_event_join",
+    oracle="""
+WITH c AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT CAST(event_id AS BIGINT) AS p_id,
+         CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.event_id, c.user_id, p.p_id, p.pt - c.t AS d,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(p.pt - c.t),
+                    CASE WHEN p.pt <= c.t THEN 0 ELSE 1 END,
+                    CASE WHEN p.pt <= c.t THEN -p.p_id ELSE p.p_id END
+         ) AS rn
+  FROM c LEFT JOIN p USING (user_id)
+)
+SELECT event_id, user_id, p_id AS nearest_purchase_id,
+       CAST(d AS BIGINT) AS delta_us
+FROM j WHERE rn = 1
+""",
+)
+def olap_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join (operators/joins.py::nearest_join): every
+    click matched to the user's purchase NEAREST in time in EITHER
+    direction — the bidirectional companion of the backward as-of join
+    (#39; kdb's aj / pandas merge_asof(direction='nearest') semantics,
+    what sensor fusion and ad-attribution diagnostics actually want).
+    Ties at equal |Δt| take the earlier purchase; same-timestamp
+    purchases break deterministically by id. Clicks from users with no
+    purchases keep NULL match + NULL delta.
+
+    The Spark plan is the union + one-key-window-sort shape (backward
+    candidate = last(ignorenulls) over the preceding frame, forward =
+    first(ignorenulls) over the following frame of the SAME sort —
+    CollapseWindow makes it one sort) with a per-row arbitration;
+    the ORACLE is the quadratic per-user argmin with an explicit
+    tie-break ladder — same answer from two different algorithms.
+    Time in integer µs on both sides (the TIMESTAMP-precision rule)."""
+    ev = load_events(spark, sf_dir)
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("ts_ns DIV 1000").alias("t"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("bigint").alias("p_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("ts_ns DIV 1000").alias("pt"),
+    )
+    out = joins.nearest_join(
+        c, p, "user_id", "t", "pt", ["p_id"], right_order="p_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("p_id").alias("nearest_purchase_id"),
+        F.col("__delta").alias("delta_us"),
+    )
+
+
+@register(
+    "olap_spend_gini",
+    oracle="""
+WITH spend AS (
+  SELECT n_name, c_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT n_name, c,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY c, c_custkey)
+              AS BIGINT) AS i
+  FROM spend
+),
+agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s_c,
+         CAST(sum(i * c) AS BIGINT) AS s_ic
+  FROM rk GROUP BY 1
+)
+SELECT n_name AS nation, n AS n_customers,
+       CAST(2 * s_ic - (n + 1) * s_c AS DOUBLE)
+         / CAST(n * s_c AS DOUBLE) AS gini
+FROM agg
+""",
+)
+def olap_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the inequality
+    companion to the HHI concentration report (#143): how unevenly the
+    nation's revenue is distributed over its purchasing customers
+    (0 = all equal, →1 = one whale). Computed by the exact rank
+    formula Gini = (2·Σi·cᵢ − (n+1)·Σc)/(n·Σc) over cents ranked
+    (spend ASC, custkey ASC — deterministic ties), INTEGER numerators
+    and ONE double division per nation. Σi·cᵢ stays inside int64
+    through ~sf100 (6e5 customers/nation × 2^31 max cents ≈ 2^62 —
+    documented bound, the moments-query style).
+
+    Scale shape: one custkey-keyed map-side-combined aggregate (the
+    only SF-scaled shuffle), a per-nation window rank (25 bounded
+    groups — Spark's window sort distributes per nation), then a
+    3-column nation aggregate."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", star.cents("o_totalprice").alias("cents"))
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("n_name").orderBy("c", "c_custkey")
+    rk = spend.select(
+        "n_name", "c", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    return (
+        rk.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s_c"),
+            F.sum(F.col("i") * F.col("c")).cast("bigint").alias("s_ic"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_customers"),
+            (
+                (2 * F.col("s_ic") - (F.col("n") + 1) * F.col("s_c")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("s_c")).cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
+@register(
     "olap_seasonal_decompose",
     oracle=f"""
 WITH ev AS (
@@ -10382,6 +10537,7 @@ _ROTATE_TO_FRONT = [
     "etl_training_export", "etl_impute_mode",
     "olap_seasonal_decompose", "olap_churn_hazard",
     "text_vocab_coverage", "etl_benford_audit",
+    "olap_nearest_event_join", "olap_spend_gini",
     # (b) the 9 rows-only queries whose driver row evidence dates to
     # round 2 — 6 rounds stale against the ≤3-round freshness bar
     # (VERDICT r8 #2); their value correctness lives in pytest
@@ -10389,17 +10545,16 @@ _ROTATE_TO_FRONT = [
     "ann_topk_ivf", "ann_topk_lsh", "dedup_approx_cardinality",
     "dedup_embedding_cosine_lsh", "dedup_minhash_lsh", "dedup_simhash",
     "etl_stratified_sample", "mm_binary_meta", "olap_percentiles_sketch",
-    # (c) the 2 remaining slots from the r6-evidence oracled group,
-    # oldest first (source order — the same order they registered in r1):
-    "etl_country_iso3", "etl_star_fact",
     # ---- position 51+: the r10 front-of-queue ----
     # The rest of the r6-evidence oracled group (3 rounds old by r10 —
     # exactly at the freshness bar), oldest first; after them the
     # r7/r8-evidence groups re-rotate. With ~160 oracles and a
     # 50-entry window the cycle is ~3 rounds; the per-round pytest
     # parity run (every oracle at sf0.001) stays the continuous
-    # secondary gate.
-    "etl_dates_dim", "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels", "bi_ancestor_chain", "bi_customers_no_purchase",
+    # secondary gate. 13 new-in-r9 oracled queries filled the slots the
+    # r6-evidence backfill would have taken, so that whole group (below,
+    # oldest first) heads the r10 queue at exactly the freshness bar.
+    "etl_country_iso3", "etl_star_fact", "etl_dates_dim", "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels", "bi_ancestor_chain", "bi_customers_no_purchase",
     "olap_pricing_summary", "olap_shipping_priority",
     "olap_local_supplier_volume", "olap_returned_items",
     "olap_order_count_distribution", "olap_priority_shipping",

@@ -91,3 +91,36 @@ def test_asof_join_is_single_shuffle(spark, frames):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # composed from union+window, not a join
+
+
+def test_nearest_join_arbitration(spark):
+    """Backward/forward arbitration: nearer side wins, equal |dt| takes
+    the earlier right row, same-ts right rows break by right_order
+    (backward max, forward min), and a key with no right rows keeps
+    NULL payload + NULL delta."""
+    from etl_dag_spark.operators.joins import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "b", 50), (4, "c", 10)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 90, 901),   # 10 before left1
+            ("a", 110, 902),  # 10 after left1 → tie, backward wins
+            ("a", 200, 903),  # 5 before left2
+            ("a", 200, 904),  # same ts: backward picks max id (904)
+            ("b", 80, 905),   # forward-only for left3
+        ],
+        "k string, rt long, rid long",
+    )
+    got = {
+        r["lid"]: (r["rid"], r["__delta"])
+        for r in nearest_join(
+            left, right, "k", "t", "rt", ["rid"], right_order="rid"
+        ).collect()
+    }
+    assert got[1] == (901, -10)   # tie → earlier (backward)
+    assert got[2] == (904, -5)    # same-ts backward → max rid
+    assert got[3] == (905, 30)    # forward only
+    assert got[4] == (None, None)  # no right rows for key c
