@@ -9985,6 +9985,160 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_PERMS = 16
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+),
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s FROM sh_all
+  JOIN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 50) ok USING (s)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+         CAST(doc_id_b AS BIGINT) AS doc_id_b,
+         CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_id_a
+  JOIN sizes nb ON nb.doc_id = doc_id_b
+  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)
+        >= CAST(0.5 AS DOUBLE)
+),
+mh AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5('mh' || CAST(i AS VARCHAR) || ':' || s),
+              1, 8))::BIGINT) AS hv
+  FROM sh_all, unnest(range(0, {_MH_PERMS})) AS p(i)
+  GROUP BY 1, 2
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(sum(CASE WHEN a.hv = b.hv THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match_perms,
+       c.jaccard
+FROM cand c
+JOIN mh a ON a.doc_id = c.doc_id_a
+JOIN mh b ON b.doc_id = c.doc_id_b AND b.i = a.i
+GROUP BY 1, 2, 4
+""",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator calibration with a VALUE-EXACT oracle: for
+    every exact-Jaccard ≥ 0.5 pair (df-capped inverted index — the
+    same candidate machinery as #22), the number of agreeing MinHash
+    permutations out of 16, next to the exact Jaccard.
+    E[n_match/16] = J is the Broder estimator the production
+    LSH path (#23) relies on — but that path hashes with xxhash64 and
+    can only be rows-only checked; this md5-bridge twin replays the
+    SAME math with an engine-portable hash, so the driver certifies
+    the signature → band → agreement algebra bit-for-bit. (The
+    estimator-quality band itself — |est − J| concentration — is
+    gated in tests/test_dedup_recall.py for the production path.)
+
+    Scale shape: signatures are ONE map-side-combined groupBy over the
+    (non-distinct — min() is dedup-insensitive) shingle stream with
+    16 min-aggregates; candidates are df-cap-bounded; the
+    signature join-backs are corpus-to-signature equi-joins, unhinted."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, n=3, distinct=False)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(
+                    f"CAST(conv(substring(md5(concat('mh{i}:', s)), 1, 8),"
+                    " 16, 10) AS BIGINT)"
+                )
+            ).alias(f"h{i}")
+            for i in range(_MH_PERMS)
+        ]
+    )
+    cands = dd.ngram_jaccard_pairs(
+        d, n=3, threshold=0.5, max_shingle_freq=50
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_PERMS)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_MH_PERMS)
+    )
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            agree.cast("bigint").alias("n_match_perms"),
+            "jaccard",
+        )
+    )
+
+
+@register(
+    "olap_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue_cents,
+       CAST(max(revenue_cents) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS peak_cents,
+       CAST(max(revenue_cents) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - revenue_cents AS BIGINT) AS drawdown_cents
+FROM daily
+""",
+)
+def olap_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak / drawdown profile of daily order revenue — the
+    finance-style hypertable rollup (peak-to-trough monitoring; the
+    OHLC family's risk companion, #117c): per calendar day, revenue in
+    exact integer cents, the running peak so far, and the drawdown
+    below that peak. All INTEGER window arithmetic (running MAX of
+    integer cents — no float cumulation, per the CLAUDE.md float-window
+    rule), day keys as 'yyyy-MM-dd' strings of the TIMESTAMP_NTZ order
+    date (TZ-independent).
+
+    Scale shape: one day-keyed map-side-combined aggregate over the
+    scan (the only SF-scaled shuffle) feeding windows over the
+    calendar-bounded daily series."""
+    # floor per row FIRST, then integer sum (never cents-of-sum)
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            star.cents("o_totalprice").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("revenue_cents").over(w).cast("bigint")
+    return daily.select(
+        "day",
+        "revenue_cents",
+        peak.alias("peak_cents"),
+        (peak - F.col("revenue_cents")).cast("bigint").alias("drawdown_cents"),
+    )
+
+
 @register(
     "olap_nearest_event_join",
     oracle="""
@@ -10551,9 +10705,13 @@ _ROTATE_TO_FRONT = [
     # r7/r8-evidence groups re-rotate. With ~160 oracles and a
     # 50-entry window the cycle is ~3 rounds; the per-round pytest
     # parity run (every oracle at sf0.001) stays the continuous
-    # secondary gate. 13 new-in-r9 oracled queries filled the slots the
-    # r6-evidence backfill would have taken, so that whole group (below,
-    # oldest first) heads the r10 queue at exactly the freshness bar.
+    # secondary gate. FIRST the queries added late in r9 after the
+    # window froze at 50 (parity/pytest evidence this round, driver-
+    # hashed in r10 — the same late-addition deferral r7/r8 used):
+    "dedup_minhash_estimate", "olap_max_drawdown",
+    # then the r6-evidence oracled group (oldest first — 13 new-in-r9
+    # queries filled the slots its backfill would have taken, so it
+    # heads the rest of the r10 queue at exactly the freshness bar):
     "etl_country_iso3", "etl_star_fact", "etl_dates_dim", "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels", "bi_ancestor_chain", "bi_customers_no_purchase",
     "olap_pricing_summary", "olap_shipping_priority",
     "olap_local_supplier_volume", "olap_returned_items",
