@@ -30,11 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # the scale-smoke subset: one scan-agg, two shuffle-join OLAP classes,
 # one multi-dim-join class, one explode-heavy text query, one
-# banded-LSH dedup, one iterative fixpoint (connected components), and
-# one Arrow-stage op (pHash over real raster bytes) — the shapes whose
-# cost must scale ~linearly with data volume (explode/band dedup,
-# fixpoint sweeps, and Python-stage batching are where superlinear
-# surprises live, so the smoke set probes one of each)
+# banded-LSH dedup, one iterative fixpoint (connected components), one
+# Arrow-stage op (pHash over real raster bytes), and one range-shuffle
+# sort (the suffix sort) — the shapes whose cost must scale ~linearly
+# with data volume (explode/band dedup, fixpoint sweeps, Python-stage
+# batching, and global range sorts are where superlinear surprises
+# live, so the smoke set probes one of each)
 SF1_QUERIES = [
     "olap_pricing_summary",
     "bi_revenue_by_category",
@@ -44,6 +45,7 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_cluster",
     "mm_phash_dedup",
+    "text_suffix_dup_spans",
 ]
 
 
