@@ -9895,13 +9895,18 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.explode(F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")).alias("t"),
     )
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("t"))
+    # top-k by orderBy+limit (TakeOrderedAndProject: per-partition
+    # k-heap), NEVER an unpartitioned row_number window — the token
+    # vocabulary scales with the corpus (Heaps' law) and a global-sort
+    # window would serialize it through one task; the (cnt DESC, t)
+    # total order makes the limit's selection deterministic, matching
+    # the oracle's rank filter exactly
     vocab = (
         tk.where(F.col("doc_id") % 2 == 0)
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") <= 2000)
+        .orderBy(F.col("cnt").desc(), F.col("t"))
+        .limit(2000)
         .select("t", F.lit(True).alias("__in_v"))
     )
     return (
