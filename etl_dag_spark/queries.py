@@ -1725,6 +1725,22 @@ def sql_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_monthly_trend",
+    oracle=ORACLES["bi_monthly_trend"],
+)
+def sql_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's BI question 3 (BI_Questions.sql:27-37, trailing
+    12-month monthly trend) run as RAW SQL text through spark.sql —
+    completing the raw-SQL surface: all three reference BI queries now
+    run nearly verbatim (#52). Shares the DataFrame registry entry's
+    oracle, so the SQL text is certified value-identical to the
+    DataFrame plan."""
+    from etl_dag_spark.sql import MONTHLY_TREND_SQL, run_sql
+
+    return run_sql(spark, sf_dir, MONTHLY_TREND_SQL)
+
+
+@register(
     "sql_top_customers",
     oracle=ORACLES["bi_top_customers"],
 )
@@ -10713,7 +10729,7 @@ _ROTATE_TO_FRONT = [
     # secondary gate. FIRST the queries added late in r9 after the
     # window froze at 50 (parity/pytest evidence this round, driver-
     # hashed in r10 — the same late-addition deferral r7/r8 used):
-    "dedup_minhash_estimate", "olap_max_drawdown",
+    "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):

@@ -59,6 +59,25 @@ WHERE r.top_rank <= 5
 """
 
 
+# BI_Questions.sql:27-37 (DATE_TRUNC trend, trailing 12 months
+# anchored at MAX(o_orderdate); Snowflake DATE_TRUNC('month', …) →
+# date_format 'yyyy-MM'). CAST(100.0 AS DOUBLE): a bare 100.0 literal
+# is DECIMAL in Spark SQL (unlike the DataFrame API's Python float).
+MONTHLY_TREND_SQL = """
+WITH anchor AS (
+    SELECT date_format(max(o_orderdate) - INTERVAL 11 MONTH, 'yyyy-MM')
+             AS from_month
+    FROM orders
+)
+SELECT date_format(o_orderdate, 'yyyy-MM') AS sales_month,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
+         AS total_sales
+FROM orders, anchor
+WHERE date_format(o_orderdate, 'yyyy-MM') >= from_month
+GROUP BY sales_month
+"""
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(sql)
