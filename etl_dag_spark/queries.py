@@ -10006,6 +10006,108 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_feature_hash",
+    oracle="""
+WITH f AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         (('0x' || substr(md5('fh:' || col || '=' || val), 1, 8))::BIGINT) % 16
+           AS bucket
+  FROM (
+    SELECT o_custkey, 'priority' AS col, o_orderpriority AS val FROM orders
+    UNION ALL
+    SELECT o_custkey, 'status', o_orderstatus FROM orders
+  )
+)
+SELECT o_custkey, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM f GROUP BY 1, 2
+""",
+)
+def etl_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical encoder (Weinberger et al. 2009 —
+    feature hashing): each (column, value) pair of an order's
+    categorical fields maps to one of 16 buckets by the engine-portable
+    uniform hash, and the per-customer bucket counts ARE the fixed-width
+    feature vector (exploded sparse form: one row per non-zero bucket)
+    — the vocabulary-free encoding a 100 TB feature pipeline uses
+    because it needs no fitted dictionary, no second pass, and no
+    driver state. 'col=val' namespacing keeps same-valued different
+    columns from colliding by construction.
+
+    Scale shape: a 2-arm union of column-pruned scans, one hash
+    projection, one map-side-combined (custkey, bucket) aggregate —
+    nothing else. All integers."""
+    o = load_table(spark, sf_dir, "orders")
+    arms = [
+        o.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.lit(name).alias("col"),
+            F.col(src).alias("val"),
+        )
+        for name, src in (("priority", "o_orderpriority"), ("status", "o_orderstatus"))
+    ]
+    f = arms[0].unionByName(arms[1]).select(
+        "o_custkey",
+        F.expr(
+            "CAST(conv(substring(md5(concat('fh:', col, '=', val)), 1, 8),"
+            " 16, 10) AS BIGINT) % 16"
+        ).alias("bucket"),
+    )
+    return f.groupBy("o_custkey", F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+@register(
+    "etl_target_encode",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM o GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(g.s - o.c AS DOUBLE) / nullif(g.n - 1, 0) AS loo_mean_cents
+FROM o JOIN g USING (o_orderpriority)
+""",
+)
+def etl_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical →
+    numeric feature (each row's category replaced by the mean target of
+    the OTHER rows in its class; plain mean encoding leaks the row's
+    own label, LOO is the standard fix): per order, the LOO mean of
+    order value cents within its priority class. Integer sums, ONE
+    double division per row; singleton classes map to NULL explicitly
+    on both sides (nullif — the x/0 engine-divergence trap).
+
+    Scale shape: one map-side-combined class aggregate (|classes|
+    rows), its join-back unhinted (AQE broadcasts the tiny frame), one
+    scan of the fact — no window, no per-class sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderpriority",
+        star.cents("o_totalprice").alias("c"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return o.join(g, "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            (F.col("s") - F.col("c")).cast("double")
+            / F.nullif((F.col("n") - 1).cast("bigint"), F.lit(0).cast("bigint"))
+        ).alias("loo_mean_cents"),
+    )
+
+
 _MH_PERMS = 16
 
 
@@ -10730,6 +10832,7 @@ _ROTATE_TO_FRONT = [
     # window froze at 50 (parity/pytest evidence this round, driver-
     # hashed in r10 — the same late-addition deferral r7/r8 used):
     "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
+    "etl_feature_hash", "etl_target_encode",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
