@@ -10007,6 +10007,71 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_readability",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({tokens_sql("text")}) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / n_sentences)
+         - CAST(84.6 AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / n_words)
+         AS flesch_score
+FROM m
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document — the readability
+    feature educational-quality corpus filters (the FineWeb-Edu class
+    of gates) threshold on: 206.835 − 1.015·(words/sentence) −
+    84.6·(syllables/word), with sentences = runs of [.!?] (min 1) and
+    syllables approximated by vowel-group runs — the standard
+    dictionary-free proxy. Integer counts (regexp run counting is
+    identical Java-regex/RE2 for these character-class patterns),
+    every literal CAST AS DOUBLE (a bare 206.835 is DECIMAL in both
+    SQL dialects), and a FIXED left-to-right arithmetic chain with one
+    division per ratio — deterministic across engines.
+
+    Scale shape: a pure projection over the scan — three regexp
+    passes per row, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = token_count_column("text")
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    m = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        ).alias("flesch_score"),
+    )
+
+
+@register(
     "etl_feature_hash",
     oracle="""
 WITH f AS (
@@ -10832,7 +10897,7 @@ _ROTATE_TO_FRONT = [
     # window froze at 50 (parity/pytest evidence this round, driver-
     # hashed in r10 — the same late-addition deferral r7/r8 used):
     "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
-    "etl_feature_hash", "etl_target_encode",
+    "etl_feature_hash", "etl_target_encode", "text_readability",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
