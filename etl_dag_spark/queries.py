@@ -10007,6 +10007,97 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_peak_concurrency",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+flagged AS (
+  SELECT user_id, event_id, tsn,
+         CASE WHEN lag(tsn) OVER w IS NULL
+                   OR tsn > lag(tsn) OVER w + 1800000000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+),
+sess AS (
+  SELECT user_id, tsn,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM flagged
+),
+iv AS (SELECT user_id, sid, min(tsn) AS s, max(tsn) AS e
+       FROM sess GROUP BY 1, 2),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e + 1, -1 FROM iv
+),
+run AS (
+  SELECT t, d,
+         CAST(sum(d) OVER (ORDER BY t, d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS conc
+  FROM deltas
+)
+SELECT CAST(t // 1000 // 86400000000 AS BIGINT) AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) AS BIGINT) AS n_changes
+FROM run GROUP BY 1
+""",
+)
+def olap_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap gauge
+    (TimescaleDB's gauge/interval aggregation class; 'how many users
+    were on simultaneously' is the capacity-planning readout): user
+    sessions (same 30-min-gap lag/cumsum derivation as #19) become a
+    +1/−1 event sweep, the running concurrency is an EXACT GLOBAL
+    integer cumsum, and each calendar day reports its maximum over the
+    day's change points (days with no session boundary emit no row —
+    event-sweep semantics, documented). Δ rows at the same instant
+    process ends-before-starts ((t, d ASC) total order) so back-to-back
+    sessions never double-count.
+
+    Scale shape: the global cumsum rides windows.global_running_sum —
+    range-partition on the sweep key, local sums, broadcast prefix
+    offsets, PINNED per the _ranged_row_number discipline — never a
+    single-partition sort; everything upstream reuses the user_id
+    clustering (sessionize window → (user, sid) groupBy with no extra
+    Exchange). All integer nanoseconds; day keys integer µs DIV."""
+    gap_ns = 30 * 60 * 1_000_000_000
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts_ns")
+    wo = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("ts_ns").over(wo).isNull()
+            | (F.col("ts_ns") > F.lag("ts_ns").over(wo) + gap_ns),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("ns").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts_ns").alias("s"), F.max("ts_ns").alias("e")
+    )
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    run = win.global_running_sum(
+        deltas, order=[F.col("t"), F.col("d")], value_col="d", out_col="conc"
+    )
+    return (
+        run.groupBy(
+            F.expr("CAST((t DIV 1000) DIV 86400000000 AS BIGINT)").alias("day")
+        )
+        .agg(
+            F.max("conc").cast("bigint").alias("peak_concurrency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        )
+    )
+
+
+@register(
     "text_readability",
     oracle=f"""
 WITH m AS (
@@ -10898,6 +10989,7 @@ _ROTATE_TO_FRONT = [
     # hashed in r10 — the same late-addition deferral r7/r8 used):
     "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
     "etl_feature_hash", "etl_target_encode", "text_readability",
+    "olap_peak_concurrency",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
