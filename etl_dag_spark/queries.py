@@ -10007,6 +10007,90 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_quality_ensemble",
+    oracle=f"""
+WITH {_CLS_SQL_CTES},
+{_RULE_CTE},
+rw AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY doc_id, t),
+rws AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word
+        FROM rw GROUP BY 1),
+rsh AS (SELECT doc_id, unnest({shingles_sql("text", 2, distinct=False)}) AS s
+        FROM documents),
+rg AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS nd
+       FROM rsh GROUP BY 1),
+rep AS (
+  SELECT rws.doc_id,
+         (CAST(rws.top_word AS DOUBLE) / rws.n_tokens <= CAST(0.14 AS DOUBLE)
+          AND CASE WHEN rg.total IS NULL OR rg.total = 0 THEN 0.0
+               ELSE CAST(rg.total - rg.nd AS DOUBLE) / rg.total END
+              <= CAST(0.065 AS DOUBLE)) AS v_rep
+  FROM rws LEFT JOIN rg ON rws.doc_id = rg.doc_id
+),
+v AS (
+  SELECT r.doc_id,
+         ru.s_rule >= CAST(0.5 AS DOUBLE) AS v_rule,
+         c.s_cls >= 0 AS v_cls,
+         r.v_rep
+  FROM rep r
+  JOIN rule ru ON ru.doc_id = r.doc_id
+  JOIN cls c ON c.doc_id = r.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, v_rule, v_cls, v_rep,
+       CAST((CASE WHEN v_rule THEN 1 ELSE 0 END)
+            + (CASE WHEN v_cls THEN 1 ELSE 0 END)
+            + (CASE WHEN v_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+       ((CASE WHEN v_rule THEN 1 ELSE 0 END)
+        + (CASE WHEN v_cls THEN 1 ELSE 0 END)
+        + (CASE WHEN v_rep THEN 1 ELSE 0 END)) >= 2 AS kept
+FROM v
+""",
+)
+def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ENSEMBLE — the classifier-committee gating recent
+    corpus pipelines run (an ensemble of independent quality signals
+    votes, majority keeps; single-gate filtering is brittle exactly
+    where one signal's blind spot lies): the heuristic rule score
+    (≥ 0.5), the hashed linear classifier (≥ 0), and the Gopher
+    repetition filter each cast a vote; kept = ≥ 2 of 3. All three
+    are the SHARED registered definitions (_rule_score_frame /
+    _cls_score_frame / the #70 keep verdict), so the committee this
+    query certifies is the committee the individual gates implement —
+    by construction, not by copy. Kappa (#109b) measures whether two
+    gates agree; this op is what production does with the answer.
+
+    Scale shape: three independent single-scan gate frames (each
+    map-side combined as documented on its own query) joined on
+    doc_id; integer vote arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    rule = _rule_score_frame(d).select(
+        "doc_id", (F.col("s_rule") >= 0.5).alias("v_rule")
+    )
+    cls = _cls_score_frame(d).select(
+        "doc_id", (F.col("s_cls") >= 0).alias("v_cls")
+    )
+    rep = text_repetition_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("v_rep")
+    )
+    n = (
+        F.col("v_rule").cast("int")
+        + F.col("v_cls").cast("int")
+        + F.col("v_rep").cast("int")
+    )
+    return (
+        rep.join(rule, "doc_id")
+        .join(cls, "doc_id")
+        .select(
+            "doc_id",
+            "v_rule",
+            "v_cls",
+            "v_rep",
+            n.cast("bigint").alias("n_votes"),
+            (n >= 2).alias("kept"),
+        )
+    )
+
+
+@register(
     "olap_peak_concurrency",
     oracle="""
 WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
@@ -10989,7 +11073,7 @@ _ROTATE_TO_FRONT = [
     # hashed in r10 — the same late-addition deferral r7/r8 used):
     "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
     "etl_feature_hash", "etl_target_encode", "text_readability",
-    "olap_peak_concurrency",
+    "olap_peak_concurrency", "pipeline_quality_ensemble",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
