@@ -10007,6 +10007,112 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_seasonal_naive_backtest",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, n,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(pred) AS BIGINT) AS n_days_scored,
+       CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err_total,
+       CAST(sum(abs(n - pred)) AS DOUBLE) / count(pred) AS mae
+FROM lagged WHERE pred IS NOT NULL
+GROUP BY 1
+""",
+)
+def olap_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecaster
+    must beat (ŷ_d = y_{{d−7}}, same weekday last week) scored
+    retrospectively per event type: days with a 7-back observation get
+    |actual − predicted|, reported as integer total and MAE (one
+    double division). The honest-baseline measurement a capacity
+    forecast is judged against before anything fancier ships.
+
+    Caveat (documented): lag(7 ROWS) is 7 OBSERVED days back — on a
+    day-gapless series (this feed) that is exactly one week; a gappy
+    feed would first pass through the #117 gap-filler.
+
+    Scale shape: one (type, day)-keyed map-side-combined aggregate
+    over the scan, then lag windows over the calendar-bounded daily
+    series (|types| bounded groups); integer error arithmetic."""
+    daily = (
+        load_events(spark, sf_dir)
+        .select(
+            "event_type", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("pred", F.lag("n", 7).over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("n") - F.col("pred"))
+    return lagged.groupBy("event_type").agg(
+        F.count("pred").cast("bigint").alias("n_days_scored"),
+        F.sum(err).cast("bigint").alias("abs_err_total"),
+        (F.sum(err).cast("double") / F.count("pred")).alias("mae"),
+    )
+
+
+@register(
+    "bi_customer_ltv",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT o_custkey AS customer_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS total_cents,
+       CAST(max(day) - min(day) AS BIGINT) AS active_span_days,
+       CAST(CASE WHEN count(*) > 1
+                 THEN (max(day) - min(day)) // (count(*) - 1) END AS BIGINT)
+         AS avg_gap_days
+FROM o GROUP BY 1
+""",
+)
+def bi_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value profile — the account-health readout a
+    CRM builds on the reference's star (order count, lifetime spend in
+    exact cents, active span, mean inter-order gap): the per-customer
+    base for the RFM segmentation (#11c) and dormant-customer (Q22)
+    policies. avg_gap = span DIV (n−1) in INTEGER days (span and count
+    are non-negative, so DIV == floor in both engines); single-order
+    customers map to NULL explicitly. Day keys are calendar epoch-day
+    integers of the DATE-truncated NTZ order date (datediff ↔
+    date_diff — TZ-free on both sides; unix_micros rejects NTZ).
+
+    Scale shape: ONE custkey-keyed map-side-combined aggregate over a
+    two-column pruned scan — nothing else."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+        star.cents("o_totalprice").alias("c"),
+    )
+    n = F.count(F.lit(1))
+    span = F.max("day") - F.min("day")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        n.cast("bigint").alias("n_orders"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+        span.cast("bigint").alias("active_span_days"),
+        F.when(n > 1, F.expr("CAST((max(day) - min(day)) DIV (count(1) - 1) AS BIGINT)"))
+        .alias("avg_gap_days"),
+    )
+
+
+@register(
     "pipeline_quality_ensemble",
     oracle=f"""
 WITH {_CLS_SQL_CTES},
@@ -11074,6 +11180,7 @@ _ROTATE_TO_FRONT = [
     "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
     "etl_feature_hash", "etl_target_encode", "text_readability",
     "olap_peak_concurrency", "pipeline_quality_ensemble",
+    "olap_seasonal_naive_backtest", "bi_customer_ltv",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
