@@ -1023,6 +1023,25 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_binary_payload(docs))
 
 
+@register("mm_video_scene_cuts")  # binary-seam decode → rows-only; constructed cuts in pytest
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality shot-boundary profile: binary payload →
+    frame-sample → per-frame 64-bin histogram → adjacent-frame L1
+    cuts (operators/multimodal.py::detect_scene_cuts; Zhang et al.
+    1993 histogram-difference shot detection). The per-doc cut count
+    and indices are the keyframe-selection signal a video-curation
+    pipeline shards on — more cuts = more distinct visual content per
+    clip. Rows-only (binary decode is not SQL-expressible); the
+    constructed-payload behavior is pinned in
+    tests/test_multimodal_transforms.py."""
+    from etl_dag_spark.operators.multimodal import detect_scene_cuts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_scene_cuts(attach_binary_payload(docs)).select(
+        "doc_id", "n_frames", "n_cuts"
+    )
+
+
 @register("mm_phash_dedup")  # perceptual hash over decode stub → rows-only; planted dups in pytest
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-modality dedup end-to-end: binary payload → pHash
@@ -11181,6 +11200,7 @@ _ROTATE_TO_FRONT = [
     "etl_feature_hash", "etl_target_encode", "text_readability",
     "olap_peak_concurrency", "pipeline_quality_ensemble",
     "olap_seasonal_naive_backtest", "bi_customer_ltv",
+    "mm_video_scene_cuts",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):

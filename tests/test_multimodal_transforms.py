@@ -72,3 +72,20 @@ def test_extract_features_unit_norm_and_joinable(spark):
     # the output column feeds the ANN operators directly
     top = brute_force_topk(emb, F.col("doc_id") == 7, k=1, id_col="doc_id", vec_col="embedding")
     assert [r.neighbor_id for r in top.collect()] == [99]
+
+
+def test_scene_cuts_flag_abrupt_content_change(spark):
+    """A payload whose byte content flips halfway has exactly one cut
+    at the boundary frame; a uniform payload has none (histogram-diff
+    shot detection, Zhang et al. 1993)."""
+    from etl_dag_spark.operators.multimodal import detect_scene_cuts
+
+    two_scene = b"\x00" * 4096 + b"\xff" * 4096
+    uniform = b"\x7f" * 8192
+    df = spark.createDataFrame(
+        [(1, two_scene), (2, uniform)], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in detect_scene_cuts(df, n_frames=8).collect()}
+    assert got[1].n_cuts == 1 and got[1].cut_indices == [4]
+    assert got[2].n_cuts == 0 and got[2].cut_indices == []
+    assert got[1].n_frames == 8
