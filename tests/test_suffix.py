@@ -83,3 +83,24 @@ def test_random_corpus_all_partitionings_agree(spark, num_partitions):
 
 def test_single_token_and_whitespace_docs(spark):
     _run(spark, {1: "solo", 2: "solo", 3: "x"}, cap=4, min_len=1)
+
+
+def test_long_shared_span_exceeding_cap_saturates(spark):
+    """A shared span longer than cap reports exactly cap (truncated
+    suffix keys saturate), and positions inside the long span count as
+    dup starts."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    texts = {1: shared + " tail one", 2: "head " + shared}
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["max_dup_span"], r["n_dup_starts"])
+        for r in suffix_dup_spans(
+            df, cap=6, min_len=6, num_partitions=5
+        ).collect()
+    }
+    # every window of 6 tokens inside the 20-token shared run is dup;
+    # doc1 has starts at positions 0..14 of the run (15), doc2 the same
+    assert got[1][0] == 6 and got[2][0] == 6
+    assert got[1][1] == 15 and got[2][1] == 15
