@@ -49,3 +49,87 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUT = (
+    "user_id bigint, session_start_us bigint,"
+    " session_end_us bigint, n_events bigint"
+)
+SESSION_STATE = "start_us bigint, last_us bigint, n bigint"
+
+
+def _update_sessions(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int = 1_800_000_000,
+) -> Iterator[pd.DataFrame]:
+    rows = []
+    if state.hasTimedOut:
+        # watermark passed last_seen + gap with no new events: the
+        # session is definitively closed — emit and clear
+        if state.exists:
+            s, l, n = state.get
+            rows.append((key[0], s, l, n))
+        state.remove()
+    else:
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["ts_us"])
+        ts.sort()
+        s, l, n = state.get if state.exists else (None, None, 0)
+        for t in ts:
+            if s is None:
+                s, l, n = t, t, 1
+            elif t - l > gap_us:
+                rows.append((key[0], s, l, n))  # closed by a later event
+                s, l, n = t, t, 1
+            else:
+                l, n = max(l, t), n + 1
+        if s is not None:
+            state.update((s, l, n))
+            # EventTimeTimeout expects epoch MILLISECONDS
+            state.setTimeoutTimestamp(l // 1000 + gap_us // 1000)
+    yield pd.DataFrame(
+        rows,
+        columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+    )
+
+
+def closed_user_sessions(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """CLOSED session emitter — the canonical ``applyInPandasWithState``
+    + EventTimeTimeout shape the built-in ``session_window`` aggregate
+    cannot express: a session row is emitted EXACTLY ONCE, either when
+    a later event arrives past the gap (inline close) or when the
+    WATERMARK passes last_seen + gap with no successor (timeout close)
+    — the at-most-once downstream contract a billing/alerting consumer
+    needs, vs. session_window's per-window aggregate updates. Emits
+    (user_id, session_start_us, session_end_us, n_events), append mode.
+
+    Sessions still open when the stream pauses stay in the state store
+    (RocksDB-backed on a cluster) and close on a later run — state is
+    the operator's, not the trigger's. Input needs ``user_id`` +
+    ``ts_utc`` (TIMESTAMP, the streaming reader's column); event time
+    rides integer µs inside the operator."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .select(
+            "user_id", F.unix_micros("ts_utc").alias("ts_us"), "ts_utc"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            functools.partial(
+                _update_sessions, gap_us=gap_seconds * 1_000_000
+            ),
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

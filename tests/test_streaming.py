@@ -206,3 +206,52 @@ def test_stream_stream_join_equals_batch(spark, stream_src):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_closed_sessions_emit_once_via_inline_and_timeout(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: a session closes
+    EXACTLY once — inline when a later event arrives past the gap, or
+    by watermark timeout when no successor comes; still-open sessions
+    emit nothing."""
+    import time as _time
+
+    from etl_dag_spark.streaming.stateful import closed_user_sessions
+
+    t0 = 1_700_000_000_000_000  # µs
+    src = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, us bigint").select(
+            "user_id", F.timestamp_micros("us").alias("ts_utc")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, t0), (1, t0 + 10_000_000), (3, t0 + 5_000_000)])
+    _time.sleep(1.05)  # distinct mtimes: oldest file first
+    write([(1, t0 + 3_600_000_000), (2, t0 + 3_600_000_000)])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_utc timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        closed_user_sessions(stream, gap_seconds=60, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("closed_sessions").collect()
+    }
+    # u1's first session closed INLINE by the t0+1h event; u3 closed by
+    # TIMEOUT (watermark t0+1h-10s >> t0+5s+60s); u1's second session
+    # and u2's are still open -> absent
+    assert got == {
+        1: (t0, t0 + 10_000_000, 2),
+        3: (t0 + 5_000_000, t0 + 5_000_000, 1),
+    }
+    spark.sql("DROP TABLE IF EXISTS closed_sessions")
