@@ -10026,6 +10026,119 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_t_closeness",
+    oracle="""
+WITH base AS (
+  SELECT c_mktsegment AS segment, n_name AS nation,
+         o_orderpriority AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS gv FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+cls AS (SELECT segment, nation, v, CAST(count(*) AS BIGINT) AS cv
+        FROM base GROUP BY 1, 2, 3),
+cn AS (SELECT segment, nation, CAST(sum(cv) AS BIGINT) AS nc
+       FROM cls GROUP BY 1, 2),
+j AS (
+  SELECT cls.segment, cls.nation, cn.nc, cls.cv, g.gv, tot.n
+  FROM cls
+  JOIN cn ON cn.segment = cls.segment AND cn.nation = cls.nation
+  JOIN g ON g.v = cls.v
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT segment, nation, max(nc) AS nc, max(n) AS n,
+         CAST(sum(abs(cv * n - gv * nc))
+              + (max(n) - sum(gv)) * max(nc) AS BIGINT) AS tvd_num
+  FROM j GROUP BY 1, 2
+)
+SELECT segment, nation, CAST(nc AS BIGINT) AS n_orders, tvd_num,
+       CAST(tvd_num AS DOUBLE) / (2 * nc * n) AS t_closeness,
+       (5 * tvd_num <= 2 * nc * n) AS meets_t02
+FROM agg
+""",
+)
+def etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    member of the re-identification trilogy with k-anonymity (#133c)
+    and l-diversity (#133d), same quasi-identifiers (segment, nation)
+    and sensitive attribute (order priority): per equivalence class,
+    the variational distance (the categorical EMD of the paper) between
+    the class-conditional sensitive distribution and the global one —
+    a class can pass k and l yet leak through a SKEWED distribution,
+    which only t-closeness catches. Integer throughout: tvd_num =
+    Σ_present |cv·N − gv·nc| + (N − Σ_present gv)·nc (the absent-value
+    decomposition — Σgv over all values is N, so missing (class, value)
+    pairs contribute gv·nc without materializing a cross join);
+    t = num/(2·nc·N) is ONE double division, and meets_t02 gates by
+    integer cross-multiplication (5·num ≤ 2·nc·N), no float boundary.
+
+    Scale shape: one (class, value) map-side-combined aggregate over
+    the joined scan, bounded-side joins back (unhinted equi-joins on
+    aggregates — AQE broadcasts), the global total a scalar crossJoin
+    broadcast."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("v"),
+        )
+    )
+    cls = base.groupBy("segment", "nation", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cv")
+    )
+    cn = cls.groupBy("segment", "nation").agg(
+        F.sum("cv").cast("bigint").alias("nc")
+    )
+    g = cls.groupBy("v").agg(F.sum("cv").cast("bigint").alias("gv"))
+    tot = cls.agg(F.sum("cv").cast("bigint").alias("n"))
+    j = (
+        cls.join(cn, ["segment", "nation"])
+        .join(g, "v")
+        .crossJoin(F.broadcast(tot))  # scalar total
+    )
+    agg = j.groupBy("segment", "nation").agg(
+        F.max("nc").alias("nc"),
+        F.max("n").alias("n"),
+        (
+            F.sum(F.abs(F.col("cv") * F.col("n") - F.col("gv") * F.col("nc")))
+            + (F.max("n") - F.sum("gv")) * F.max("nc")
+        )
+        .cast("bigint")
+        .alias("tvd_num"),
+    )
+    return agg.select(
+        "segment",
+        "nation",
+        F.col("nc").cast("bigint").alias("n_orders"),
+        "tvd_num",
+        (
+            F.col("tvd_num").cast("double") / (2 * F.col("nc") * F.col("n"))
+        ).alias("t_closeness"),
+        (5 * F.col("tvd_num") <= 2 * F.col("nc") * F.col("n")).alias(
+            "meets_t02"
+        ),
+    )
+
+
+@register(
     "olap_seasonal_naive_backtest",
     oracle=f"""
 WITH daily AS (
@@ -11200,7 +11313,7 @@ _ROTATE_TO_FRONT = [
     "etl_feature_hash", "etl_target_encode", "text_readability",
     "olap_peak_concurrency", "pipeline_quality_ensemble",
     "olap_seasonal_naive_backtest", "bi_customer_ltv",
-    "mm_video_scene_cuts",
+    "mm_video_scene_cuts", "etl_t_closeness",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
