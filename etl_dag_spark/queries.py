@@ -11261,11 +11261,10 @@ def olap_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (130 oracled as of late round 7), so each round the oracled
-# group is rotated: whatever sat outside the previous round's window
-# goes first, maximizing cumulative cross-round hash evidence
-# (everything rotated out this round is hash-green in r6). Re-keying
-# here preserves source order without moving 2000 lines.
+# window holds (183 oracled as of late round 9), so each round the
+# oracled group is rotated: whatever sat outside the previous round's
+# window goes first, maximizing cumulative cross-round hash evidence.
+# Re-keying here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
     # ---- round-9 window (positions 1-50) ----
     # (a) the 28 queries added mid-r8 after the r8 window froze — 26
