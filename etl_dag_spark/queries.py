@@ -10616,9 +10616,11 @@ cand AS (
         >= CAST(0.5 AS DOUBLE)
 ),
 mh AS (
+  -- 4 independent 32-bit permutations per md5 (128 bits = 4 slices):
+  -- 4x fewer digest evaluations for the same 16-perm signature
   SELECT doc_id, i,
-         min(('0x' || substr(md5('mh' || CAST(i AS VARCHAR) || ':' || s),
-              1, 8))::BIGINT) AS hv
+         min(('0x' || substr(md5('mh' || CAST(i // 4 AS VARCHAR) || ':' || s),
+              1 + 8 * (i % 4), 8))::BIGINT) AS hv
   FROM sh_all, unnest(range(0, {_MH_PERMS})) AS p(i)
   GROUP BY 1, 2
 )
@@ -10651,12 +10653,15 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature join-backs are corpus-to-signature equi-joins, unhinted."""
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(d, n=3, distinct=False)
+    # perm i reads 32-bit slice i%4 of md5('mh<i DIV 4>:'||s): one
+    # digest feeds 4 permutations (codegen subexpression elimination
+    # shares the 4 md5 calls across the 16 min-aggregates)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
                 F.expr(
-                    f"CAST(conv(substring(md5(concat('mh{i}:', s)), 1, 8),"
-                    " 16, 10) AS BIGINT)"
+                    f"CAST(conv(substring(md5(concat('mh{i // 4}:', s)),"
+                    f" {1 + 8 * (i % 4)}, 8), 16, 10) AS BIGINT)"
                 )
             ).alias(f"h{i}")
             for i in range(_MH_PERMS)
