@@ -10026,6 +10026,113 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_growth_accounting",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+gmax AS (SELECT max(day) AS mx FROM act),
+w AS (
+  SELECT user_id, day,
+         lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM act
+),
+flags AS (
+  SELECT day,
+         CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained,
+         CAST(sum(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+  FROM w GROUP BY 1
+),
+churn AS (
+  SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS churned
+  FROM w CROSS JOIN gmax
+  WHERE (next_day IS NULL AND day < mx) OR next_day > day + 1
+  GROUP BY 1
+)
+SELECT coalesce(f.day, c.day) AS day,
+       coalesce(f.new_users, 0) AS new_users,
+       coalesce(f.retained, 0) AS retained,
+       coalesce(f.resurrected, 0) AS resurrected,
+       CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
+FROM flags f FULL OUTER JOIN churn c ON f.day = c.day
+""",
+)
+def olap_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the DAU decomposition every growth team
+    reports (the social-capital framework): each day's active users
+    split into NEW (first day ever), RETAINED (also active yesterday),
+    RESURRECTED (active before, but not yesterday), plus CHURNED
+    (active yesterday, absent today — attributed to the day the user
+    went dark, bounded by the observation window so the last day never
+    fabricates churn). The identity DAU(d) = new + retained +
+    resurrected and DAU(d) = DAU(d−1) + new + resurrected − churned
+    holds row-by-row — all integer counts.
+
+    Scale shape: ONE distinct (user, day) aggregate over the scan (the
+    only SF-scaled shuffle), a user-partitioned lag/lead window riding
+    that aggregate's clustering, then day-keyed map-side-combined
+    aggregates over the calendar-bounded flag stream; the global max
+    day is a scalar crossJoin broadcast."""
+    act = (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id", F.expr(f"(ts_ns DIV 1000) DIV {_DAY_US}").alias("day")
+        )
+        .distinct()
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    w = act.select(
+        "user_id",
+        "day",
+        F.lag("day").over(wo).alias("prev_day"),
+        F.lead("day").over(wo).alias("next_day"),
+    )
+    flags = w.groupBy("day").agg(
+        F.sum(F.col("prev_day").isNull().cast("int"))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum((F.col("prev_day") == F.col("day") - 1).cast("int"))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            (
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.col("day") - 1)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    gmax = act.agg(F.max("day").alias("mx"))
+    churn = (
+        w.crossJoin(F.broadcast(gmax))  # scalar max-day frame
+        .where(
+            (F.col("next_day").isNull() & (F.col("day") < F.col("mx")))
+            | (F.col("next_day") > F.col("day") + 1)
+        )
+        .groupBy((F.col("day") + 1).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    )
+    return (
+        flags.join(churn, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+            F.coalesce("retained", F.lit(0)).cast("bigint").alias("retained"),
+            F.coalesce("resurrected", F.lit(0))
+            .cast("bigint")
+            .alias("resurrected"),
+            F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
+        )
+    )
+
+
+@register(
     "etl_t_closeness",
     oracle="""
 WITH base AS (
@@ -11317,7 +11424,7 @@ _ROTATE_TO_FRONT = [
     "etl_feature_hash", "etl_target_encode", "text_readability",
     "olap_peak_concurrency", "pipeline_quality_ensemble",
     "olap_seasonal_naive_backtest", "bi_customer_ltv",
-    "mm_video_scene_cuts", "etl_t_closeness",
+    "mm_video_scene_cuts", "etl_t_closeness", "olap_growth_accounting",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
