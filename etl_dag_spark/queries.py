@@ -10026,6 +10026,100 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_source_divergence",
+    oracle=f"""
+WITH tk AS (
+  SELECT source, unnest({tokens_sql("text")}) AS t FROM documents
+),
+c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+pres AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(abs(a.c * nb.n - b.c * na.n)) AS BIGINT) AS d_both,
+         CAST(sum(a.c) AS BIGINT) AS ca_both,
+         CAST(sum(b.c) AS BIGINT) AS cb_both
+  FROM c a
+  JOIN c b ON a.t = b.t AND a.source < b.source
+  JOIN n na ON na.source = a.source
+  JOIN n nb ON nb.source = b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(d_both + (na.n - ca_both) * nb.n + (nb.n - cb_both) * na.n
+            AS BIGINT) AS tvd_num,
+       CAST(d_both + (na.n - ca_both) * nb.n + (nb.n - cb_both) * na.n
+            AS DOUBLE) / (2 * na.n * nb.n) AS tvd
+FROM pres
+JOIN n na ON na.source = source_a
+JOIN n nb ON nb.source = source_b
+""",
+)
+def dedup_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix divergence — pairwise variational distance (total
+    variation, the categorical EMD) between every two corpus dumps'
+    unigram distributions: the domain-mixing planning measurement
+    (which crawls are near-duplicates of each other DISTRIBUTIONALLY,
+    vs the KMV set-overlap matrix #124b which measures shared content;
+    two dumps can share few documents yet be the same distribution —
+    temperature sampling #76b treats them as one domain either way).
+    Integer numerator via the same absent-token decomposition as the
+    t-closeness audit (tokens present in only one source contribute
+    c·n_other without a full outer join); ONE double division per
+    pair. Σ|c_a·n_b − c_b·n_a| ≤ 2·n_a·n_b stays inside int64 through
+    ~sf1000 on this corpus shape (documented bound, moments style).
+
+    Scale shape: one (source, token) map-side-combined aggregate, a
+    token-keyed self-equi-join (vocabulary-scaled, unhinted — Heaps'
+    law), |sources|²-bounded output."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_column("text")).alias("t")
+    )
+    c = tk.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = c.select(
+        F.col("source").alias("source_a"), "t", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("source_b"), "t", F.col("c").alias("cb")
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    both = (
+        a.join(b, "t")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(na, "source_a")
+        .join(nb, "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("bigint")
+            .alias("d_both"),
+            F.sum("ca").cast("bigint").alias("ca_both"),
+            F.sum("cb").cast("bigint").alias("cb_both"),
+        )
+    )
+    num = (
+        F.col("d_both")
+        + (F.col("na") - F.col("ca_both")) * F.col("nb")
+        + (F.col("nb") - F.col("cb_both")) * F.col("na")
+    )
+    return (
+        both.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            num.cast("bigint").alias("tvd_num"),
+            (num.cast("double") / (2 * F.col("na") * F.col("nb"))).alias(
+                "tvd"
+            ),
+        )
+    )
+
+
+@register(
     "olap_growth_accounting",
     oracle=f"""
 WITH act AS (
@@ -11425,6 +11519,7 @@ _ROTATE_TO_FRONT = [
     "olap_peak_concurrency", "pipeline_quality_ensemble",
     "olap_seasonal_naive_backtest", "bi_customer_ltv",
     "mm_video_scene_cuts", "etl_t_closeness", "olap_growth_accounting",
+    "dedup_source_divergence",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
