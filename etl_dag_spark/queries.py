@@ -10025,6 +10025,121 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHIP_QS = {"p50_days": 0.5, "p90_days": 0.9}
+
+
+@register(
+    "olap_ship_latency",
+    oracle=win.percentile_oracle_sql(
+        "(SELECT o_orderpriority, "
+        "date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))"
+        " AS lat_days"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "o_orderpriority",
+        "lat_days",
+        _SHIP_QS,
+    ),
+)
+def olap_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order priority — the
+    fulfillment-SLA readout (does 1-URGENT actually ship faster?):
+    exact interpolated p50/p90 of (ship date − order date) in calendar
+    days, through the shared exact-percentiles operator (#37 — spelled-
+    out lo+(hi−lo)·frac so both engines produce bit-identical doubles).
+    Day diffs via datediff ↔ date_diff on DATE-truncated NTZ stamps
+    (TZ-free).
+
+    Scale shape: one fact⋈fact equi-join (lineitem⋈orders on orderkey,
+    unhinted — AQE), then the percentile operator's single
+    priority-partitioned window sort (|priorities| bounded groups)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lat_days"
+        ),
+    )
+    return win.exact_percentiles(j, "o_orderpriority", "lat_days", _SHIP_QS)
+
+
+@register(
+    "text_code_detect",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[{{}}();=<>]')) AS BIGINT)
+           AS n_symbols,
+         CAST(len(list_filter({tokens_sql("text")},
+              x -> x IN ('def', 'return', 'import', 'const', 'function',
+                         'var', 'class', 'void', 'int', 'for')))
+           AS BIGINT) AS n_keywords
+  FROM documents
+)
+SELECT doc_id, n_chars, n_symbols, n_keywords,
+       CAST(CASE WHEN n_chars > 0 THEN n_symbols * 10000 // n_chars
+                 ELSE 0 END AS BIGINT) AS symbol_bp,
+       (n_chars > 0 AND (n_symbols * 10000 // n_chars >= 300
+                         OR n_keywords >= 3)) AS is_code
+FROM m
+""",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing heuristic — the corpus-router that sends
+    source code to a code pipeline and prose to the text pipeline
+    (StarCoder-class corpora are built behind exactly this gate):
+    per document, the density of code punctuation (braces, parens,
+    semicolons, =, angle brackets) in
+    integer basis points plus exact code-keyword token hits; is_code
+    gates on either signal. Pure integer arithmetic; the symbol count
+    is a character-class regexp identical under Java regex and RE2;
+    keyword matching is exact token equality over the shared
+    whitespace tokenizer.
+
+    Scale shape: a pure projection over the scan (one regexp pass +
+    one bounded array filter per row) — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    kw = "'def','return','import','const','function','var','class','void','int','for'"
+    n_chars = F.length("text").cast("bigint")
+    n_sym = F.size(
+        F.expr("regexp_extract_all(text, '[{}();=<>]', 0)")
+    ).cast("bigint")
+    n_kw = F.size(
+        F.expr(
+            f"filter(split(regexp_replace(trim(text), ' +', ' '), ' '),"
+            f" x -> x IN ({kw}))"
+        )
+    ).cast("bigint")
+    m = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_symbols"),
+        n_kw.alias("n_keywords"),
+    )
+    sym_bp = F.when(
+        F.col("n_chars") > 0,
+        F.expr("CAST(n_symbols * 10000 DIV n_chars AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_symbols",
+        "n_keywords",
+        sym_bp.alias("symbol_bp"),
+        (
+            (F.col("n_chars") > 0)
+            & (
+                (sym_bp >= 300) | (F.col("n_keywords") >= 3)
+            )
+        ).alias("is_code"),
+    )
+
+
 @register(
     "dedup_source_divergence",
     oracle=f"""
@@ -11519,7 +11634,7 @@ _ROTATE_TO_FRONT = [
     "olap_peak_concurrency", "pipeline_quality_ensemble",
     "olap_seasonal_naive_backtest", "bi_customer_ltv",
     "mm_video_scene_cuts", "etl_t_closeness", "olap_growth_accounting",
-    "dedup_source_divergence",
+    "dedup_source_divergence", "olap_ship_latency", "text_code_detect",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
