@@ -10025,6 +10025,76 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_pareto_revenue",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT CAST(sum(c) OVER (ORDER BY c DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM spend
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS total
+      FROM spend)
+SELECT t.n AS n_customers,
+       CAST(sum(CASE WHEN 5 * r.cum < 4 * t.total THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS n_top,
+       CAST((sum(CASE WHEN 5 * r.cum < 4 * t.total THEN 1 ELSE 0 END) + 1)
+            * 10000 // t.n AS BIGINT) AS top_share_bp
+FROM r CROSS JOIN t
+GROUP BY t.n
+""",
+)
+def olap_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration — 'what fraction of customers produce 80%
+    of revenue' (the 80/20 readout every revenue review opens with):
+    customers ranked by lifetime cents (spend DESC, custkey — total
+    order), the EXACT GLOBAL integer running sum finds the smallest
+    prefix holding ≥ 80% — its size is count(rows strictly below the
+    threshold) + 1, so no explicit rank is materialized; the gate is
+    integer cross-multiplication (5·cum < 4·total — no float
+    boundary), shares in integer basis points.
+
+    Scale shape: the cumsum rides windows.global_running_sum (range
+    partition + broadcast prefix offsets, pinned — never a
+    single-partition sort); the totals are a scalar crossJoin
+    broadcast; one count-aggregate closes it."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", star.cents("o_totalprice").alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    run = win.global_running_sum(
+        spend,
+        order=[F.col("c").desc(), F.col("o_custkey")],
+        value_col="c",
+        out_col="cum",
+    )
+    t = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    below = F.sum((5 * F.col("cum") < 4 * F.col("total")).cast("int"))
+    return (
+        run.crossJoin(F.broadcast(t))  # scalar (n, total)
+        .groupBy(F.col("n").alias("n_customers"))
+        .agg((below + 1).cast("bigint").alias("n_top"))
+        .select(
+            "n_customers",
+            "n_top",
+            F.expr("CAST(n_top * 10000 DIV n_customers AS BIGINT)").alias(
+                "top_share_bp"
+            ),
+        )
+    )
+
+
 _SHIP_QS = {"p50_days": 0.5, "p90_days": 0.9}
 
 
@@ -11635,6 +11705,7 @@ _ROTATE_TO_FRONT = [
     "olap_seasonal_naive_backtest", "bi_customer_ltv",
     "mm_video_scene_cuts", "etl_t_closeness", "olap_growth_accounting",
     "dedup_source_divergence", "olap_ship_latency", "text_code_detect",
+    "olap_pareto_revenue",
     # then the r6-evidence oracled group (oldest first — 13 new-in-r9
     # queries filled the slots its backfill would have taken, so it
     # heads the rest of the r10 queue at exactly the freshness bar):
