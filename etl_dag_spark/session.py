@@ -52,13 +52,33 @@ def quiet_benign_logs(spark: SparkSession) -> None:
     It is cosmetic — the task already succeeded — but it pollutes
     err.log, the channel a real regression would surface in.
 
-    Implementation: raise the DAGScheduler logger to FATAL through
-    Log4j2. Real job failures are NOT masked by this — they propagate
-    as Python exceptions through the action that triggered them; only
-    the redundant scheduler-side log line is dropped. Call from bench /
-    driver-sim style harnesses; interactive sessions can keep it."""
+    Implementation: attach a Log4j2 ``StringMatchFilter`` scoped to the
+    exact message class (DENY on match, NEUTRAL otherwise) to a
+    dedicated DAGScheduler ``LoggerConfig`` — NOT a blanket level
+    change, so the scheduler's real ERROR/WARN output (stage failures,
+    barrier/executor-loss diagnostics) still reaches stderr, and so do
+    all other loggers. The config is additive: non-matching events
+    flow to the root appenders unchanged. Call from bench / driver-sim
+    style harnesses; interactive sessions can keep it."""
     jvm = spark.sparkContext._jvm
-    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.scheduler.DAGScheduler",
-        jvm.org.apache.logging.log4j.Level.FATAL,
-    )
+    name = "org.apache.spark.scheduler.DAGScheduler"
+    result = jvm.org.apache.logging.log4j.core.Filter.Result
+    b = jvm.org.apache.logging.log4j.core.filter.StringMatchFilter.newBuilder()
+    b.setMatchString("Failed to update accumulator")
+    b.setOnMatch(result.DENY)
+    b.setOnMismatch(result.NEUTRAL)
+    filt = b.build()
+    filt.start()
+    ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+    cfg = ctx.getConfiguration()
+    lc = cfg.getLoggerConfig(name)
+    if lc.getName() != name:
+        # events currently route through an ancestor config (root):
+        # create a dedicated additive config so the filter touches only
+        # this logger's events
+        lc = jvm.org.apache.logging.log4j.core.config.LoggerConfig(
+            name, lc.getLevel(), True
+        )
+        cfg.addLogger(name, lc)
+    lc.addFilter(filt)
+    ctx.updateLoggers()
