@@ -73,6 +73,29 @@ def _cents_sql(x: str) -> str:
     return f"CAST(floor(({x}) * 100) AS BIGINT)"
 
 
+# Versioned-table fixtures (etl_cdc_rows / etl_version_delta) are
+# deterministic functions of (kind, sf_dir): build each ONE manifest
+# log per process, reuse it across repeated invocations (bench runs
+# every query twice; driver/driver-sim may interleave), and remove it
+# at interpreter exit — repeated rounds must not accumulate /tmp disk
+# (ADVICE r9).
+_VERSIONED_TMP: dict[tuple[str, str], str] = {}
+
+
+def _cached_version_table(kind: str, sf_dir: str, build) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (kind, sf_dir)
+    if key not in _VERSIONED_TMP:
+        path = tempfile.mkdtemp(prefix=f"{kind}_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build(path)
+        _VERSIONED_TMP[key] = path  # cache only a fully-built log
+    return _VERSIONED_TMP[key]
+
+
 _REV_CENTS_SQL = _cents_sql("l_extendedprice * (1.0 - l_discount)")
 
 
@@ -9651,8 +9674,6 @@ def etl_cdc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE full-outer join co-partitioned on the key — both sides
     SF-scaled, no hints, AQE picks the join; the change classification
     is pure Column arithmetic on the joined row."""
-    import tempfile
-
     from etl_dag_spark.sources import versions as ver
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -9666,11 +9687,15 @@ def etl_cdc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_cents")
         + F.when(F.col("o_orderkey") % 7 == 0, F.lit(500)).otherwise(F.lit(0)),
     )
-    # the temp table outlives this function: the returned frame reads
-    # its files lazily (driver collects later); OS tmp reaps it
-    path = tempfile.mkdtemp(prefix="etl_cdc_rows_")
-    ver.write_version(v1, path)
-    ver.write_version(v2, path)
+
+    def build(path: str) -> None:
+        ver.write_version(v1, path)
+        ver.write_version(v2, path)
+
+    # one cached manifest log per (kind, sf_dir), removed at exit —
+    # the returned frame reads its files lazily (driver collects
+    # before interpreter shutdown)
+    path = _cached_version_table("etl_cdc_rows", sf_dir, build)
     return ver.cdc_rows(spark, path, 1, 2, key_cols=["o_orderkey"])
 
 
@@ -9697,8 +9722,6 @@ def etl_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     job reading a day's appends and re-scanning the table; the diff is
     resolved driver-side from two manifests (file LISTS, not data) and
     the read plan is a plain parquet scan of the delta files."""
-    import tempfile
-
     from etl_dag_spark.sources import versions as ver
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -9706,14 +9729,17 @@ def etl_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("o_custkey"),
         star.cents("o_totalprice").alias("price_cents"),
     )
-    path = tempfile.mkdtemp(prefix="etl_version_delta_")
-    ver.write_version(o.where(F.col("o_orderkey") % 3 == 0), path)
-    ver.write_version(
-        o.where(F.col("o_orderkey") % 3 == 1), path, op="append"
-    )
-    ver.write_version(
-        o.where(F.col("o_orderkey") % 3 == 2), path, op="append"
-    )
+
+    def build(path: str) -> None:
+        ver.write_version(o.where(F.col("o_orderkey") % 3 == 0), path)
+        ver.write_version(
+            o.where(F.col("o_orderkey") % 3 == 1), path, op="append"
+        )
+        ver.write_version(
+            o.where(F.col("o_orderkey") % 3 == 2), path, op="append"
+        )
+
+    path = _cached_version_table("etl_version_delta", sf_dir, build)
     return ver.read_version_delta(spark, path, 1, 3)
 
 

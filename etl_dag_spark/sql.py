@@ -78,6 +78,124 @@ GROUP BY sales_month
 """
 
 
+# sql_definitions.sql:54-84 (first approach), re-typed nearly verbatim:
+# Spark 4.x runs WITH RECURSIVE natively, so the reference's recursive
+# CTE needs NO rewrite — only its employees(EmployeeID, Name, ManagerID)
+# table mapped onto the region→nation→customer tree (the same node/edge
+# encoding the DataFrame twin bi_hierarchy_levels uses; regions are the
+# NULL-manager roots). Output aliased to the shared oracle's columns:
+# the reference walks UP from each root employee, so its RootEmployeeID
+# is the descendant (node_id) and the recursion cursor the ancestor.
+HIERARCHY_LEVELS_SQL = """
+WITH RECURSIVE employees AS (
+    SELECT CAST(r_regionkey AS BIGINT) AS EmployeeID,
+           r_name AS Name,
+           CAST(NULL AS BIGINT) AS ManagerID
+    FROM region
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), n_name,
+           CAST(n_regionkey AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT CAST(c_custkey + 1000 AS BIGINT), c_name,
+           CAST(c_nationkey + 100 AS BIGINT)
+    FROM customer
+),
+Employee_Hierarchy_Tab AS (
+    SELECT
+        EmployeeID,
+        Name,
+        ManagerID,
+        0 AS Level,
+        EmployeeID AS RootEmployeeID
+    FROM employees
+
+    UNION ALL
+
+    SELECT
+        e.EmployeeID,
+        e.Name,
+        e.ManagerID,
+        eh.Level + 1 AS Level,
+        eh.RootEmployeeID
+    FROM employees e
+    INNER JOIN Employee_Hierarchy_Tab eh
+      ON e.EmployeeID = eh.ManagerID
+)
+SELECT
+    eht.EmployeeID AS ancestor_id,
+    eht.Name AS ancestor_name,
+    eht.RootEmployeeID AS node_id,
+    e.Name AS node_name,
+    CAST(eht.Level AS INT) AS level
+FROM Employee_Hierarchy_Tab eht
+INNER JOIN employees e
+  ON eht.RootEmployeeID = e.EmployeeID
+"""
+
+# sql_definitions.sql:93-121 (second approach, ManagerChain
+# concatenation), re-typed nearly verbatim over the same employees
+# mapping; ' -> ' separator and (node_id, chain, depth) aliases match
+# the shared bi_ancestor_chain oracle. The reference's final
+# `WHERE ManagerID IS NULL` keeps complete (root-reaching) chains only.
+ANCESTOR_CHAIN_SQL = """
+WITH RECURSIVE employees AS (
+    SELECT CAST(r_regionkey AS BIGINT) AS EmployeeID,
+           r_name AS Name,
+           CAST(NULL AS BIGINT) AS ManagerID
+    FROM region
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), n_name,
+           CAST(n_regionkey AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT CAST(c_custkey + 1000 AS BIGINT), c_name,
+           CAST(c_nationkey + 100 AS BIGINT)
+    FROM customer
+),
+EmployeeHierarchy AS (
+    SELECT
+        EmployeeID,
+        Name AS Employee_Name,
+        ManagerID,
+        Name AS ManagerChain,
+        1 AS Hierarchy_Level
+    FROM employees
+
+    UNION ALL
+
+    SELECT
+        eh.EmployeeID,
+        eh.Employee_Name,
+        e.ManagerID,
+        eh.ManagerChain || ' -> ' || e.Name,
+        eh.Hierarchy_Level + 1
+    FROM EmployeeHierarchy eh
+    JOIN employees e ON eh.ManagerID = e.EmployeeID
+)
+SELECT
+    EmployeeID AS node_id,
+    ManagerChain AS chain,
+    CAST(Hierarchy_Level AS INT) AS depth
+FROM EmployeeHierarchy
+WHERE ManagerID IS NULL
+"""
+
+# sql_definitions.sql:133-139 (SQL question 2), re-typed nearly
+# verbatim: Orders → orders, Payments → purchase events (the data
+# model's payment record), CustomerID → o_custkey/user_id. DISTINCT
+# matches the one-row-per-customer contract of the DataFrame twin.
+CUSTOMERS_NO_PURCHASE_SQL = """
+SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS customer_id
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1
+    FROM events p
+    WHERE p.user_id = o.o_custkey AND p.event_type = 'purchase'
+)
+"""
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(sql)

@@ -73,23 +73,38 @@ def _update_sessions(
             rows.append((key[0], s, l, n))
         state.remove()
     else:
-        ts: list[int] = []
-        for pdf in pdfs:
-            ts.extend(int(v) for v in pdf["ts_us"])
-        ts.sort()
-        s, l, n = state.get if state.exists else (None, None, 0)
-        for t in ts:
-            if s is None:
-                s, l, n = t, t, 1
-            elif t - l > gap_us:
-                rows.append((key[0], s, l, n))  # closed by a later event
-                s, l, n = t, t, 1
+        # Fold the stored session and the batch's events together as
+        # INTERVALS (event t = [t, t, 1], state = [start, last, n]) and
+        # sweep in start order. This makes late-but-in-watermark data
+        # correct in both directions (ADVICE r9): an event within gap
+        # BEFORE the stored start extends the session backward
+        # (start = min), and an event more than gap before it forms its
+        # own earlier session — closed inline here, because the stored
+        # session is its gap-exceeding successor. (As with any inline
+        # close, an even later batch could in principle carry an event
+        # belonging to an already-emitted session; holding every closed
+        # session until the watermark passes would need list-valued
+        # state — out of scope for this single-session-state operator.)
+        iv = [
+            (int(t), int(t), 1) for pdf in pdfs for t in pdf["ts_us"]
+        ]
+        if state.exists:
+            iv.append(tuple(state.get))
+        iv.sort()
+        cur: list[int] | None = None
+        for s2, l2, n2 in iv:
+            if cur is None:
+                cur = [s2, l2, n2]
+            elif s2 - cur[1] > gap_us:
+                rows.append((key[0], cur[0], cur[1], cur[2]))
+                cur = [s2, l2, n2]
             else:
-                l, n = max(l, t), n + 1
-        if s is not None:
-            state.update((s, l, n))
+                cur[1] = max(cur[1], l2)
+                cur[2] += n2
+        if cur is not None:
+            state.update((cur[0], cur[1], cur[2]))
             # EventTimeTimeout expects epoch MILLISECONDS
-            state.setTimeoutTimestamp(l // 1000 + gap_us // 1000)
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
     yield pd.DataFrame(
         rows,
         columns=["user_id", "session_start_us", "session_end_us", "n_events"],
@@ -108,9 +123,13 @@ def closed_user_sessions(
     needs, vs. session_window's per-window aggregate updates. Emits
     (user_id, session_start_us, session_end_us, n_events), append mode.
 
-    Sessions still open when the stream pauses stay in the state store
-    (RocksDB-backed on a cluster) and close on a later run — state is
-    the operator's, not the trigger's. Input needs ``user_id`` +
+    Late-but-in-watermark data is folded as intervals (r10): an event
+    within gap BEFORE the stored session start extends it backward;
+    an event more than gap before it opens its own earlier session,
+    closed inline. Sessions still open when the stream pauses stay in
+    the state store (RocksDB-backed on a cluster) and close on a later
+    run — state is the operator's, not the trigger's. Input needs
+    ``user_id`` +
     ``ts_utc`` (TIMESTAMP, the streaming reader's column); event time
     rides integer µs inside the operator."""
     import functools

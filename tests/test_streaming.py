@@ -255,3 +255,64 @@ def test_closed_sessions_emit_once_via_inline_and_timeout(spark, tmp_path):
         3: (t0 + 5_000_000, t0 + 5_000_000, 1),
     }
     spark.sql("DROP TABLE IF EXISTS closed_sessions")
+
+
+def test_closed_sessions_fold_late_events_backward(spark, tmp_path):
+    """ADVICE r9: a late-but-in-watermark event earlier than the stored
+    session start must extend the session BACKWARD (start = min), and
+    an event more than gap before the stored start must open its own
+    earlier session (closed inline by the stored successor) — not be
+    absorbed into the current one."""
+    import time as _time
+
+    from etl_dag_spark.streaming.stateful import closed_user_sessions
+
+    t0 = 1_700_000_000_000_000  # µs
+    src = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, us bigint").select(
+            "user_id", F.timestamp_micros("us").alias("ts_utc")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: u1 session [t0, t0+10s], u2 session [t0]
+    write([(1, t0), (1, t0 + 10_000_000), (2, t0)])
+    _time.sleep(1.05)
+    # batch 2 (late, inside the 600s watermark): u1 event 50s BEFORE
+    # its stored start (within gap 60s -> backward extension); u2 event
+    # 300s before its stored start (> gap -> separate earlier session)
+    write([(1, t0 - 50_000_000), (2, t0 - 300_000_000)])
+    _time.sleep(1.05)
+    # batch 3: u1 event 2h later inline-closes u1's merged session
+    write([(1, t0 + 7_200_000_000)])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_utc timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        closed_user_sessions(stream, gap_seconds=60, watermark="600 seconds")
+        .writeStream.format("memory")
+        .queryName("closed_sessions_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("closed_sessions_late").collect()
+    )
+    assert got == [
+        # u1: late event folded backward into [t0-50s, t0+10s], 3 events
+        (1, t0 - 50_000_000, t0 + 10_000_000, 3),
+        # u2: the >gap-early event became its own one-event session,
+        # closed inline by the stored [t0] session — NOT absorbed
+        (2, t0 - 300_000_000, t0 - 300_000_000, 1),
+        # u2's stored [t0] session closed by watermark timeout (batch 3
+        # pushed the global watermark to t0+6600s > t0+gap); u1's
+        # t0+2h session is still open (timeout t0+7260s) -> absent
+        (2, t0, t0, 1),
+    ]
+    spark.sql("DROP TABLE IF EXISTS closed_sessions_late")
