@@ -1088,11 +1088,12 @@ def simhash_signatures(
     bits_per_band: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash as ``bands`` long columns b0..b{bands-1}, each holding a
     ``bits_per_band``-bit slice of the hash.
 
-    Bit i of the hash is the sign of Σ_tokens (2·bit_i(xxhash64(tok))−1).
+    Bit i of the hash is the sign of Σ_tokens (2·bit_i(hash(tok))−1).
     Shape: explode tokens → 64 ``sum()`` bit-counter aggregates per doc
     (codegen hash-agg, map-side partial — shuffle is O(docs × bits)) →
     assemble band ints with plain arithmetic. Banding into multiple ints
@@ -1100,16 +1101,44 @@ def simhash_signatures(
     ANSI mode and is the layout LSH needs anyway. Tokenization always
     yields ≥1 token (empty text → one empty-string token), so no doc
     drops out of the groupBy.
+
+    ``hash_fn``: ``"xxhash64"`` (JVM-native, fastest) or ``"md5"`` —
+    the engine-portable bridge (CLAUDE.md hash scheme: 32-bit slices of
+    the hex digest) that a DuckDB oracle can replay bit-for-bit; one
+    digest per token feeds up to 128 bits via codegen subexpression
+    elimination, so the cost delta is one md5 per token.
     """
     total_bits = bands * bits_per_band
-    tok_rows = documents.select(
+    ids = documents.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.explode(tokens_column(text_col)).alias("t"),
-    ).select("doc_id", F.xxhash64("t").alias("h"))
-    sums = [
-        F.sum((F.bit_get(F.col("h"), F.lit(i)) * 2 - 1).cast("long")).alias(f"s{i}")
-        for i in range(total_bits)
-    ]
+    )
+    if hash_fn == "md5":
+        if total_bits > 128:
+            raise ValueError("md5 bridge provides at most 128 bits")
+        n_slices = (total_bits + 31) // 32
+        tok_rows = ids.select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"CAST(conv(substring(md5(concat('sh:', t)),"
+                    f" {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+                ).alias(f"h{j}")
+                for j in range(n_slices)
+            ],
+        )
+        sums = [
+            F.sum(
+                (F.bit_get(F.col(f"h{i // 32}"), F.lit(i % 32)) * 2 - 1).cast("long")
+            ).alias(f"s{i}")
+            for i in range(total_bits)
+        ]
+    else:
+        tok_rows = ids.select("doc_id", F.xxhash64("t").alias("h"))
+        sums = [
+            F.sum((F.bit_get(F.col("h"), F.lit(i)) * 2 - 1).cast("long")).alias(f"s{i}")
+            for i in range(total_bits)
+        ]
     bitsums = tok_rows.groupBy("doc_id").agg(*sums)
     band_cols = []
     for b in range(bands):
@@ -1186,6 +1215,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 2000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash over text: banded candidates + hamming
     verify via :func:`banded_hamming_pairs`.
@@ -1194,7 +1224,7 @@ def simhash_pairs(
     """
     sig = simhash_signatures(
         documents, bands=bands, bits_per_band=bits_per_band,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, hash_fn=hash_fn,
     )
     return banded_hamming_pairs(
         sig, bands=bands, max_hamming=max_hamming, max_bucket_size=max_bucket_size

@@ -560,6 +560,155 @@ def attach_wav_payload(documents: DataFrame, rate: int = 4000) -> DataFrame:
     )
 
 
+def raster_frame_length(payload: bytes, pos: int = 0) -> int | None:
+    """Byte length of the single BMP / P6 / P5 raster starting at
+    ``pos`` inside ``payload``, or ``None`` if no well-formed raster
+    starts there. This is the frame-boundary parse a multi-frame
+    raster stream (our container-free stand-in for a video file)
+    needs: BMP declares its total size in the file header; PPM/PGM
+    end exactly ``w*h*ch`` bytes after the maxval whitespace."""
+    head = payload[pos : pos + 2]
+    try:
+        if head == b"BM" and len(payload) - pos >= 54:
+            size = int.from_bytes(payload[pos + 2 : pos + 6], "little")
+            if 54 <= size <= len(payload) - pos:
+                return size
+            return None
+        if head in (b"P5", b"P6"):
+            p, fields = pos + 2, []
+            while len(fields) < 3 and p < len(payload):
+                c = payload[p : p + 1]
+                if c == b"#":
+                    p = payload.index(b"\n", p) + 1
+                elif c.isspace():
+                    p += 1
+                else:
+                    end = p
+                    while end < len(payload) and not payload[end : end + 1].isspace():
+                        end += 1
+                    fields.append(int(payload[p:end]))
+                    p = end
+            p += 1  # single whitespace after maxval
+            w, h, maxval = fields
+            if not (0 < maxval <= 255 and w > 0 and h > 0):
+                return None
+            ch = 3 if head == b"P6" else 1
+            end = p - pos + w * h * ch
+            if pos + end <= len(payload):
+                return end
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+def split_raster_stream(payload: bytes) -> list[bytes] | None:
+    """Split a concatenation of BMP/P6/P5 rasters into per-frame byte
+    slices — the video seam's demuxer. Returns ``None`` unless the
+    payload is EXACTLY a sequence of well-formed rasters (so opaque
+    bytes fall through to the stub path rather than half-decoding)."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        ln = raster_frame_length(payload, pos)
+        if ln is None:
+            return None
+        frames.append(payload[pos : pos + ln])
+        pos += ln
+    return frames or None
+
+
+def encode_bmp_gray(gray) -> bytes:
+    """Minimal 24-bpp BI_RGB bottom-up BMP writer over a 2-D uint8
+    grayscale array (each pixel duplicated into B=G=R, so the decoder's
+    BT.601 luma returns the input exactly: 0.114+0.587+0.299 = 1).
+    Product-side twin of the test-suite encoder — used by
+    :func:`attach_video_payload` to synthesize REAL raster frames."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = np.repeat(g[:, :, None], 3, axis=2)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    px = rows[::-1].tobytes()  # bottom-up
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(px)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + dib + px
+
+
+def attach_video_payload(
+    documents: DataFrame, frame_hw: int = 16, n_frames: int = 8
+) -> DataFrame:
+    """Test-harness adapter (the video twin of
+    :func:`attach_wav_payload`): synthesize a REAL multi-frame BMP
+    stream per document — ``n_frames`` 24-bpp rasters back to back,
+    carrying ``1 + doc_id % 3`` scenes of smooth sinusoid imagery whose
+    frequency/phase derive deterministically from (doc_id, scene) —
+    so the demux → decode → luma-histogram path runs on genuine pixels
+    end-to-end on distributed data. Documents with doc_id % 7 == 0
+    instead carry their utf-8 text bytes (opaque), exercising the stub
+    fallback in the same pass."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:frame_hw, 0:frame_hw]
+
+        def scene_frame(did: int, scene: int) -> bytes:
+            # one smooth image per (doc, scene); frames within a scene
+            # are identical and ADJACENT scenes differ in brightness
+            # level by ≥50 luma (disjoint histogram support → L1 ≈ 2,
+            # robustly above any sane cut threshold) — frequency/phase
+            # vary per (doc, scene) for spatial realism only
+            fy = 0.5 + ((did * 7 + scene * 13) % 5)
+            fx = 0.5 + ((did * 11 + scene * 17) % 5)
+            ph = ((did + scene * 31) % 8) / 8.0 * 2 * np.pi
+            level = 40.0 + ((did + scene) % 4) * 50.0
+            img = level + 30.0 * np.sin(
+                2 * np.pi * (fy * y + fx * x) / frame_hw + ph
+            )
+            return encode_bmp_gray(np.clip(np.round(img), 0, 255))
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                if did % 7 == 0:
+                    payloads.append(str(text).encode("utf-8"))
+                    continue
+                n_scenes = 1 + did % 3
+                # scene s covers frames [s*n/n_scenes, (s+1)*n/n_scenes);
+                # frames within a scene are identical — encode each
+                # scene once
+                enc = {s: scene_frame(did, s) for s in range(n_scenes)}
+                payloads.append(
+                    b"".join(
+                        enc[(i * n_scenes) // n_frames]
+                        for i in range(n_frames)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, "doc_id bigint, payload binary"
+    )
+
+
 SCENE_SCHEMA = "doc_id bigint, n_frames int, n_cuts int, cut_indices array<int>"
 
 
@@ -568,17 +717,24 @@ def detect_scene_cuts(
 ) -> DataFrame:
     """Shot-boundary / scene-cut detection over the video seam — the
     classic histogram-difference method (Zhang, Kankanhalli & Smoliar
-    1993: a cut is an adjacent-frame color-histogram L1 distance above
-    a threshold): each payload is frame-sampled exactly like
-    :func:`sample_frames` (evenly-spaced chunks standing in for the
-    codec's keyframe decode — on real raster bytes the byte histogram
-    IS the pixel histogram), each frame reduced to a normalized 64-bin
-    byte histogram, and frame transitions with L1 distance >
-    ``threshold`` (range [0, 2]) flagged as cuts.
+    1993: a cut is an adjacent-frame histogram L1 distance above a
+    threshold). A payload that parses as a multi-frame raster stream
+    (:func:`split_raster_stream` — concatenated BMP/PPM/PGM frames,
+    the container-free video stand-in) is DECODED for real: each frame
+    through :func:`decode_image` to BT.601 luma, then a normalized
+    64-bin luma histogram (r10 — the histogram runs on pixels, not
+    container bytes, so re-encoding a frame (BMP ↔ PGM, bottom-up ↔
+    top-down) does not move it). Opaque payloads keep the
+    deterministic byte-chunk stand-in: evenly-spaced chunks sampled
+    like :func:`sample_frames`, 64-bin byte histograms. Frame
+    transitions with L1 distance > ``threshold`` (range [0, 2]) are
+    cuts.
 
     → (doc_id, n_frames, n_cuts, cut_indices) where cut_indices holds
-    the POST-cut frame index. Deterministic; all arithmetic per-doc
-    inside one Arrow batch (no cross-row float accumulation).
+    the POST-cut frame index and n_frames is the DECODED frame count
+    for raster streams (``n_frames`` chunks for opaque payloads).
+    Deterministic; all arithmetic per-doc inside one Arrow batch (no
+    cross-row float accumulation).
 
     Scale shape: one projection → repartition (a single-file source
     must not serialize the Python stage through one task, §6b-10) →
@@ -592,32 +748,46 @@ def detect_scene_cuts(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def _hist(chunk: bytes) -> "np.ndarray":
+        def _byte_hist(chunk: bytes) -> "np.ndarray":
             if not chunk:
                 return np.zeros(64)
             b = np.frombuffer(chunk, dtype=np.uint8)
             h = np.bincount(b >> 2, minlength=64).astype(np.float64)
             return h / h.sum()
 
+        def _luma_hist(img: "np.ndarray") -> "np.ndarray":
+            # round before quantizing: BT.601 weights sum to exactly 1,
+            # so equal-channel pixels return their gray value ± float
+            # fuzz — rounding keeps BMP/PGM renderings bin-identical
+            q = np.clip(np.round(img), 0, 255).astype(np.uint8) >> 2
+            h = np.bincount(q.ravel(), minlength=64).astype(np.float64)
+            return h / h.sum()
+
+        def _doc_hists(raw: bytes) -> list["np.ndarray"]:
+            frames = split_raster_stream(raw)
+            if frames is not None:
+                decoded = [decode_image(f) for f in frames]
+                if all(d is not None for d in decoded):
+                    return [_luma_hist(d) for d in decoded]
+            chunk = max(len(raw) // n_frames, 1)
+            return [
+                _byte_hist(raw[i * chunk : (i + 1) * chunk] or b"\x00")
+                for i in range(n_frames)
+            ]
+
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "n_frames": [], "n_cuts": [], "cut_indices": []
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                chunk = max(len(raw) // n_frames, 1)
-                frames = [
-                    raw[i * chunk : (i + 1) * chunk] or b"\x00"
-                    for i in range(n_frames)
-                ]
-                hists = [_hist(f) for f in frames]
+                hists = _doc_hists(bytes(payload))
                 cuts = [
                     i
-                    for i in range(1, n_frames)
+                    for i in range(1, len(hists))
                     if float(np.abs(hists[i] - hists[i - 1]).sum()) > threshold
                 ]
                 out["doc_id"].append(doc_id)
-                out["n_frames"].append(n_frames)
+                out["n_frames"].append(len(hists))
                 out["n_cuts"].append(len(cuts))
                 out["cut_indices"].append(cuts)
             yield pd.DataFrame(

@@ -828,11 +828,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("dedup_simhash")  # approximate → rows-only driver check; recall in pytest
+def _simhash_oracle_sql(
+    bands: int = 4,
+    bits_per_band: int = 16,
+    max_hamming: int = 3,
+    max_bucket_size: int = 2000,
+) -> str:
+    """DuckDB replay of the ENTIRE simhash pipeline (md5-bridge hash →
+    per-bit token majority → band ints → bucket-capped banded candidates
+    → hamming verify) — generated from the same parameters as the Spark
+    plan so the two sides cannot drift."""
+    band_exprs = []
+    for b in range(bands):
+        terms = [
+            (
+                f"CASE WHEN sum(2 * ((h{(b * bits_per_band + k) // 32} >> "
+                f"{(b * bits_per_band + k) % 32}) & 1) - 1) > 0 "
+                f"THEN {1 << k} ELSE 0 END"
+            )
+            for k in range(bits_per_band)
+        ]
+        band_exprs.append(
+            "CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{b}"
+        )
+    n_slices = (bands * bits_per_band + 31) // 32
+    slice_exprs = ",\n         ".join(
+        f"('0x' || substr(md5('sh:' || t), {1 + 8 * j}, 8))::BIGINT AS h{j}"
+        for j in range(n_slices)
+    )
+    bucket_case = (
+        "CASE band "
+        + " ".join(f"WHEN {b} THEN b{b}" for b in range(bands - 1))
+        + f" ELSE b{bands - 1} END"
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(l.b{b}, r.b{b}))" for b in range(bands)
+    )
+    all_bands = ", ".join(f"b{b}" for b in range(bands))
+    band_select = ",\n         ".join(band_exprs)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents
+),
+th AS (
+  SELECT doc_id,
+         {slice_exprs}
+  FROM tok
+),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {band_select}
+  FROM th GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, {all_bands}, band, {bucket_case} AS bucket
+  FROM sig, unnest(range(0, {bands})) AS u(band)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
+  ) WHERE bsz <= {max_bucket_size}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b,
+         CAST({hamming} AS BIGINT) AS hamming
+  FROM capped l JOIN capped r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT doc_id_a, doc_id_b, hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 64 bits), banded LSH
-    candidates."""
-    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    candidates + bucket cap — VALUE-EXACT oracled since r10 (VERDICT
+    r9 #5): the registered query hashes tokens through the md5 bridge
+    (32-bit digest slices, CLAUDE.md scheme) so DuckDB replays the
+    per-token bit majority, band assembly, bucket-capped candidate
+    join, and hamming verify bit-for-bit. The xxhash64 production
+    hash path stays the default for library callers and keeps its
+    planted-recall gate in tests/test_dedup_recall.py — identical
+    algebra, faster hash."""
+    return dd.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
+    )
 
 
 @register(
@@ -1046,21 +1127,28 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_binary_payload(docs))
 
 
-@register("mm_video_scene_cuts")  # binary-seam decode → rows-only; constructed cuts in pytest
+@register("mm_video_scene_cuts")  # binary-seam decode → rows-only; real-raster cuts in pytest
 def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-modality shot-boundary profile: binary payload →
-    frame-sample → per-frame 64-bin histogram → adjacent-frame L1
-    cuts (operators/multimodal.py::detect_scene_cuts; Zhang et al.
-    1993 histogram-difference shot detection). The per-doc cut count
-    and indices are the keyframe-selection signal a video-curation
-    pipeline shards on — more cuts = more distinct visual content per
-    clip. Rows-only (binary decode is not SQL-expressible); the
-    constructed-payload behavior is pinned in
+    """Video-modality shot-boundary profile over REAL pixels (r10):
+    each document carries a synthesized multi-frame BMP stream
+    (attach_video_payload — genuine 24-bpp rasters, 1-3 scenes), which
+    detect_scene_cuts demuxes (split_raster_stream), decodes
+    (decode_image → BT.601 luma) and profiles with per-frame 64-bin
+    LUMA histograms → adjacent-frame L1 cuts (Zhang et al. 1993
+    histogram-difference shot detection). Docs with doc_id % 7 == 0
+    carry opaque utf-8 bytes and exercise the byte-chunk stub fallback
+    in the same pass. The per-doc cut count and indices are the
+    keyframe-selection signal a video-curation pipeline shards on.
+    Rows-only (binary decode is not SQL-expressible); two-scene/
+    one-cut real-raster behavior and encoding-invariance are pinned in
     tests/test_multimodal_transforms.py."""
-    from etl_dag_spark.operators.multimodal import detect_scene_cuts
+    from etl_dag_spark.operators.multimodal import (
+        attach_video_payload,
+        detect_scene_cuts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return detect_scene_cuts(attach_binary_payload(docs)).select(
+    return detect_scene_cuts(attach_video_payload(docs)).select(
         "doc_id", "n_frames", "n_cuts"
     )
 
@@ -1791,6 +1879,53 @@ def sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_dag_spark.sql import TOP_CUSTOMERS_SQL, run_sql
 
     return run_sql(spark, sf_dir, TOP_CUSTOMERS_SQL)
+
+
+@register(
+    "sql_hierarchy_levels",
+    oracle=ORACLES["bi_hierarchy_levels"],
+)
+def sql_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's recursive hierarchy expansion
+    (sql_definitions.sql:54-84, first approach) run as RAW SQL text —
+    Spark 4.x executes WITH RECURSIVE natively, so the reference
+    user's CTE runs without rewrite (only the employees table is
+    mapped onto the region→nation→customer tree). Shares
+    bi_hierarchy_levels' oracle: the recursive SQL text is certified
+    value-identical to the iterative-frontier DataFrame plan (#12),
+    completing the verbatim surface for the reference's SQL file."""
+    from etl_dag_spark.sql import HIERARCHY_LEVELS_SQL, run_sql
+
+    return run_sql(spark, sf_dir, HIERARCHY_LEVELS_SQL)
+
+
+@register(
+    "sql_ancestor_chain",
+    oracle=ORACLES["bi_ancestor_chain"],
+)
+def sql_ancestor_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second recursive approach — path-to-root
+    ManagerChain concatenation (sql_definitions.sql:93-121) — as raw
+    Spark SQL through the native recursive CTE; shares
+    bi_ancestor_chain's oracle (#13)."""
+    from etl_dag_spark.sql import ANCESTOR_CHAIN_SQL, run_sql
+
+    return run_sql(spark, sf_dir, ANCESTOR_CHAIN_SQL)
+
+
+@register(
+    "sql_customers_no_purchase",
+    oracle=ORACLES["bi_customers_no_purchase"],
+)
+def sql_customers_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NOT EXISTS anti-join (sql_definitions.sql:
+    133-139, SQL question 2) as raw SQL — Spark plans the correlated
+    NOT EXISTS as a left-anti hash join, same as the DataFrame twin
+    (#14). With this the reference's ENTIRE SQL surface
+    (BI_Questions.sql + sql_definitions.sql) runs through run_sql."""
+    from etl_dag_spark.sql import CUSTOMERS_NO_PURCHASE_SQL, run_sql
+
+    return run_sql(spark, sf_dir, CUSTOMERS_NO_PURCHASE_SQL)
 
 
 @register(
@@ -11683,48 +11818,10 @@ def olap_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window goes first, maximizing cumulative cross-round hash evidence.
 # Re-keying here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # ---- round-9 window (positions 1-50) ----
-    # (a) the 28 queries added mid-r8 after the r8 window froze — 26
-    # oracled + 2 rows-only (etl_embedding_pca, mm_audio_fingerprint) —
-    # never driver-checked; first hash/row evidence this round
-    # (VERDICT r8 #1, executing the rotation exactly as queued there):
-    "etl_filter_agreement", "text_url_normalize", "etl_l_diversity",
-    "olap_event_transitions", "etl_drift_chisq", "etl_token_budget_select",
-    "etl_curriculum_shards", "etl_embedding_pca",
-    "text_html_extract", "olap_supplier_hhi",
-    "olap_trade_triangles", "etl_data_card", "etl_rank_agreement",
-    "etl_score_calibration", "text_trigram_backoff", "mm_audio_fingerprint",
-    "etl_winsorize", "olap_mad_outliers", "etl_universe_sample",
-    "etl_hard_negatives", "olap_time_weighted_avg", "olap_ohlc_bars",
-    "olap_gap_fill_locf", "etl_fuzzy_name_pairs", "olap_median_bisect",
-    "olap_weighted_median_bisect", "olap_basket_affinity",
-    "text_langid_confusion",
-    # (a2) NEW in r9 before the window froze: the versioned-table CDC
-    # diff + incremental delta read (VERDICT r8 #4), the sorted-suffix
-    # exact-substring profile and the mergeable quantile sample sketch
-    # (VERDICT r8 #7)
-    "etl_cdc_rows", "etl_version_delta", "text_suffix_dup_spans",
-    "olap_quantile_sketch_merge", "dedup_edit_verified",
-    "etl_training_export", "etl_impute_mode",
-    "olap_seasonal_decompose", "olap_churn_hazard",
-    "text_vocab_coverage", "etl_benford_audit",
-    "olap_nearest_event_join", "olap_spend_gini",
-    # (b) the 9 rows-only queries whose driver row evidence dates to
-    # round 2 — 6 rounds stale against the ≤3-round freshness bar
-    # (VERDICT r8 #2); their value correctness lives in pytest
-    # recall/tolerance gates, the driver refreshes row counts + err:
-    "ann_topk_ivf", "ann_topk_lsh", "dedup_approx_cardinality",
-    "dedup_embedding_cosine_lsh", "dedup_minhash_lsh", "dedup_simhash",
-    "etl_stratified_sample", "mm_binary_meta", "olap_percentiles_sketch",
-    # ---- position 51+: the r10 front-of-queue ----
-    # The rest of the r6-evidence oracled group (3 rounds old by r10 —
-    # exactly at the freshness bar), oldest first; after them the
-    # r7/r8-evidence groups re-rotate. With ~160 oracles and a
-    # 50-entry window the cycle is ~3 rounds; the per-round pytest
-    # parity run (every oracle at sf0.001) stays the continuous
-    # secondary gate. FIRST the queries added late in r9 after the
-    # window froze at 50 (parity/pytest evidence this round, driver-
-    # hashed in r10 — the same late-addition deferral r7/r8 used):
+    # ---- round-10 window (positions 1-50) ----
+    # (a) the 17 queries added late in r9 after its window froze — 16
+    # oracled + rows-only mm_video_scene_cuts — queued first exactly as
+    # VERDICT r9 #1 recorded; first driver hash/row evidence this round:
     "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
     "etl_feature_hash", "etl_target_encode", "text_readability",
     "olap_peak_concurrency", "pipeline_quality_ensemble",
@@ -11732,25 +11829,41 @@ _ROTATE_TO_FRONT = [
     "mm_video_scene_cuts", "etl_t_closeness", "olap_growth_accounting",
     "dedup_source_divergence", "olap_ship_latency", "text_code_detect",
     "olap_pareto_revenue",
-    # then the r6-evidence oracled group (oldest first — 13 new-in-r9
-    # queries filled the slots its backfill would have taken, so it
-    # heads the rest of the r10 queue at exactly the freshness bar):
-    "etl_country_iso3", "etl_star_fact", "etl_dates_dim", "bi_revenue_by_category", "bi_monthly_trend", "bi_yoy_growth", "bi_hierarchy_levels", "bi_ancestor_chain", "bi_customers_no_purchase",
+    # (a2) NEW in r10: the three verbatim sql_definitions.sql entries
+    # (native WITH RECURSIVE ×2 + NOT EXISTS — VERDICT r9 #3) and
+    # dedup_simhash, upgraded from rows-only to a full value-exact
+    # md5-bridge oracle (VERDICT r9 #5) so its first HASH evidence
+    # lands this round:
+    "sql_hierarchy_levels", "sql_ancestor_chain",
+    "sql_customers_no_purchase", "dedup_simhash",
+    # (b) 29 of the 45 r6-evidence oracles (3 rounds stale — at the
+    # freshness bar; VERDICT r9 #2), oldest-registered first. All 45
+    # do not fit behind the 21 mandatory entries above in a 50-slot
+    # window; the remaining 16 are position 51+ and head the r11 queue
+    # (the per-round pytest parity run — every oracle at sf0.001 —
+    # stays the continuous secondary gate for them):
+    "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
+    "bi_revenue_by_category", "bi_monthly_trend", "bi_hierarchy_levels",
+    "bi_ancestor_chain", "bi_customers_no_purchase",
     "olap_pricing_summary", "olap_shipping_priority",
-    "olap_local_supplier_volume", "olap_returned_items",
-    "olap_order_count_distribution", "olap_priority_shipping",
     "olap_rollup_sales", "olap_running_totals", "olap_sessionize",
-    "stream_windowed_counts", "olap_cube_sales", "olap_topk_per_group",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "stream_windowed_counts", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "ann_topk_bruteforce", "text_fingerprint",
+    "olap_cube_sales", "olap_topk_per_group", "text_bpe_tokens",
     "olap_set_ops", "etl_dq_referential", "etl_profile_orders",
     "olap_ntile_quartiles", "etl_value_histogram",
-    "olap_above_customer_avg",
+    "olap_above_customer_avg", "olap_order_id_list",
+    # ---- position 51+: the r11 front-of-queue ----
+    # the 16 r6-evidence oracles the r10 window could not hold
+    # (4 rounds old by r11 — they MUST lead the next rotation):
+    "olap_local_supplier_volume", "olap_returned_items",
+    "olap_order_count_distribution", "olap_priority_shipping",
+    "bi_yoy_growth", "etl_host_cap",
     "olap_nation_trade", "olap_promo_revenue",
     "olap_late_shipment_priority", "olap_small_qty_revenue",
     "olap_disjunctive_revenue", "olap_dormant_customers",
-    "olap_cumulative_new_users", "olap_cohort_retention",
-    "olap_market_share", "text_top_ngrams", "text_fingerprint",
-    "text_bpe_tokens", "etl_host_cap",
+    "text_top_ngrams", "olap_cumulative_new_users",
+    "olap_cohort_retention", "olap_market_share",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
