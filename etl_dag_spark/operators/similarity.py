@@ -521,10 +521,14 @@ def lsh_topk(
     powers = (1 << np.arange(n_planes)).astype(np.int64)
 
     def buckets_of(mat: np.ndarray) -> np.ndarray:
-        """→ (rows × n_tables) bucket ids."""
+        """→ (rows × n_tables) bucket ids. Plane dots accumulate
+        SEQUENTIALLY (_seq_dot_block, never BLAS) so the sign decisions
+        are bit-identical to the DuckDB oracle's literal-plane replay —
+        a GEMM's pairwise summation can flip a near-zero sign."""
         return np.stack(
             [
-                ((mat @ planes[t].T >= 0).astype(np.int64) * powers[None, :]).sum(axis=1)
+                ((_seq_dot_block(mat, planes[t]) >= 0).astype(np.int64)
+                 * powers[None, :]).sum(axis=1)
                 for t in range(n_tables)
             ],
             axis=1,

@@ -1005,10 +1005,80 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, F.col("vec_id") % 10 == 0, k=10)
 
 
-@register("ann_topk_lsh")  # approximate → rows-only driver check; recall in pytest
+def _ann_lsh_oracle_sql(
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB replay of the ENTIRE hyperplane-LSH top-k pipeline: the
+    seeded hyperplanes are embedded as E-notation DOUBLE literals
+    (generated by the SAME _hyperplanes call the Spark operator uses),
+    bucket signs accumulate sequentially exactly like the operator's
+    _seq_dot_block, candidates must share a bucket in ≥1 of the
+    ``n_tables`` tables, and scoring reuses the proven-portable
+    cosine_sql + round-6 + (sim DESC, id) rank contract of
+    ann_topk_bruteforce. Partition-invariance of the operator's local
+    top-(k+8) heaps makes the global rank ≤ k set the oracle's."""
+    from etl_dag_spark.operators.similarity import _hyperplanes
+
+    def dot_lit(vec: str, plane: list[float]) -> str:
+        terms = " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {p:.17e}"
+            for i, p in enumerate(plane)
+        )
+        return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+    def bucket(vec: str, t: int) -> str:
+        planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
+        cases = " + ".join(
+            f"CASE WHEN {dot_lit(vec, planes[p])} >= 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        return f"({cases})"
+
+    cb_buckets = ",\n         ".join(
+        f"{bucket('embedding', t)} AS b{t}" for t in range(n_tables)
+    )
+    share = " OR ".join(f"cb.b{t} = qb.b{t}" for t in range(n_tables))
+    qb_cols = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding,
+         {cb_buckets}
+  FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qv, {qb_cols}
+  FROM cb WHERE vec_id % 10 = 0
+),
+scored AS (
+  SELECT qb.query_id, cb.vec_id AS neighbor_id,
+         round({cosine_sql("qb.qv", "cb.embedding")}, 6) AS sim
+  FROM cb JOIN qb
+    ON cb.vec_id <> qb.query_id AND ({share})
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
+"""
+
+
+@register("ann_topk_lsh", oracle=_ann_lsh_oracle_sql())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed approximate top-10 (scale path for
-    ann_topk_bruteforce)."""
+    ann_topk_bruteforce) — VALUE-EXACT oracled since r10 (VERDICT r9
+    #5 second target): the DuckDB oracle replays the seeded
+    hyperplanes as literals, the sequential bucket-sign dots, the
+    any-table bucket-share candidate rule, and the rounded cosine rank
+    bit-for-bit (_ann_lsh_oracle_sql). The r10 driver window was
+    already full when this upgrade landed, so its first driver-hash
+    evidence arrives with the r11 rotation; until then it is
+    parity-gated (driver_sim + tests) like every oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_topk(emb, F.col("vec_id") % 10 == 0, k=10, n_planes=8, dim=64)
 
