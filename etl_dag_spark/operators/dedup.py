@@ -678,12 +678,20 @@ def minhash_signatures(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signatures as ``k`` long columns h0..h{k-1}.
 
-    Shape: explode distinct word n-gram shingles → xxhash64 reduced to
+    Shape: explode distinct word n-gram shingles → base hash reduced to
     31 bits → ``groupBy(doc_id)`` with k ``min()`` aggregates, one per
-    permutation (a·x+b) mod 2^61−1 (all within int64, ANSI-safe).
+    permutation (a·x+b) mod 2^61−1 (all within int64, ANSI-safe:
+    a, x < 2^31 so a·x+b < 2^63).
+
+    ``hash_fn``: ``"xxhash64"`` (JVM-native, fastest — the library
+    default) or ``"md5"`` — the engine-portable 32-bit-digest-slice
+    bridge (CLAUDE.md scheme) that lets a DuckDB oracle replay the
+    signatures bit-for-bit; the permutation algebra is pure int64
+    arithmetic either way.
 
     Everything is whole-stage-codegen (hash + min aggregates) — no
     interpreted lambda per permutation. At scale the map-side partial
@@ -693,9 +701,13 @@ def minhash_signatures(
     drop out (they cannot be near-dups under this measure).
     """
     a_coef, b_coef = _perm_coeffs(k, seed)
+    if hash_fn == "md5":
+        base = F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        base = F.xxhash64("s")
     sh_rows = shingle_rows(
         documents, n=n, id_col=id_col, text_col=text_col, distinct=False
-    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_HASH_SPACE)).alias("h"))
+    ).select("doc_id", F.pmod(base, F.lit(_HASH_SPACE)).alias("h"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{j}")
         for j, (a, b) in enumerate(zip(a_coef, b_coef))
@@ -711,29 +723,38 @@ def minhash_band_buckets(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH band buckets as rows: (doc_id, band, bucket) — ``bands``
-    rows per document, where ``bucket`` hashes the band's slice of the
-    MinHash signature. The banded layout is both the candidate-join key
-    and the natural bucketed-storage layout for a persistent signature
-    store (:func:`incremental_minhash_dedup`)."""
+    rows per document, where ``bucket`` identifies the band's slice of
+    the MinHash signature. The banded layout is both the candidate-join
+    key and the natural bucketed-storage layout for a persistent
+    signature store (:func:`incremental_minhash_dedup`).
+
+    In ``hash_fn="xxhash64"`` mode (default) the bucket is the 64-bit
+    hash of the slice (compact shuffle key). In ``"md5"`` mode the
+    bucket is the slice's comma-joined VALUE STRING — collision-free
+    and exactly replayable by a DuckDB oracle (the hash is a shuffle
+    optimization, not semantics); the heavier key is acceptable on the
+    oracle-registered path."""
     rows_per_band = k // bands
     sig = minhash_signatures(
-        documents, n=n, k=k, seed=seed, id_col=id_col, text_col=text_col
+        documents, n=n, k=k, seed=seed, id_col=id_col, text_col=text_col,
+        hash_fn=hash_fn,
     )
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{j}").cast("string")
-                        for j in range(i * rows_per_band, (i + 1) * rows_per_band)
-                    ],
-                )
-            ).alias("bucket"),
+
+    def slice_key(i: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"h{j}").cast("string")
+                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+            ],
         )
+        return joined if hash_fn == "md5" else F.xxhash64(joined)
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"), slice_key(i).alias("bucket"))
         for i in range(bands)
     ]
     return sig.select(
@@ -752,6 +773,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -760,9 +782,12 @@ def minhash_lsh_pairs(
     buckets, so the shuffle is O(docs × bands) instead of the inverted
     index's O(docs × shingles). With k=64, bands=16 (r=4) the collision
     probability at jaccard 0.8 is ≈ 1−(1−0.8⁴)¹⁶ ≈ 0.9997.
+    ``hash_fn="md5"`` makes the whole pipeline engine-portable (see
+    :func:`minhash_signatures` / :func:`minhash_band_buckets`).
     """
     banded = minhash_band_buckets(
-        documents, n=n, k=k, bands=bands, seed=seed, id_col=id_col, text_col=text_col
+        documents, n=n, k=k, bands=bands, seed=seed, id_col=id_col,
+        text_col=text_col, hash_fn=hash_fn,
     )
 
     # cap pathological buckets (stop-phrase storms) — required at scale

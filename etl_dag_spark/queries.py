@@ -780,11 +780,110 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.edit_verified_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_minhash_lsh")  # approximate → rows-only driver check; recall in pytest
+def _minhash_lsh_pairs_sql(
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> str:
+    """Shared DuckDB CTE chain replaying the md5-mode MinHash-LSH
+    pipeline end-to-end — 31-bit md5-bridge shingle hash, the k seeded
+    (a·x+b) mod 2^61−1 permutations as literal int64 algebra, value-
+    string band buckets, the bucket-size cap, and exact-Jaccard
+    verification — ending in ``mverified(doc_id_a, doc_id_b, jaccard)``.
+    Generated from the same constants as the Spark operator
+    (operators/dedup.py::minhash_lsh_pairs) so the sides cannot drift;
+    used by both dedup_minhash_lsh and dedup_cluster_lsh."""
+    from etl_dag_spark.operators.dedup import (
+        _HASH_SPACE,
+        _MERSENNE_P,
+        _perm_coeffs,
+    )
+
+    a_coef, b_coef = _perm_coeffs(k, seed)
+    mins = ",\n         ".join(
+        f"min(({a_coef[j]} * h + {b_coef[j]}) % {_MERSENNE_P}) AS h{j}"
+        for j in range(k)
+    )
+    rpb = k // bands
+
+    def slice_concat(i: int) -> str:
+        cols = ", ".join(f"h{j}::VARCHAR" for j in range(i * rpb, (i + 1) * rpb))
+        return f"concat_ws(',', {cols})"
+
+    bucket = (
+        "CASE band "
+        + " ".join(f"WHEN {i} THEN {slice_concat(i)}" for i in range(bands - 1))
+        + f" ELSE {slice_concat(bands - 1)} END"
+    )
+    return f"""sh_all AS (
+  SELECT doc_id, unnest({shingles_sql("text", n)}) AS s FROM documents
+),
+hh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {_HASH_SPACE} AS h
+  FROM sh_all
+),
+msig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hh GROUP BY doc_id
+),
+mbanded AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, band, {bucket} AS bucket
+  FROM msig, unnest(range(0, {bands})) AS u(band)
+),
+mcapped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM mbanded
+  ) WHERE bsz <= {max_bucket_size}
+),
+mcand AS (
+  SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM mcapped l JOIN mcapped r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh_all),
+msizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+mcommon AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
+  FROM mcand c
+  JOIN dsh a ON a.doc_id = c.doc_id_a
+  JOIN dsh b ON b.doc_id = c.doc_id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+mverified AS (
+  SELECT m.doc_id_a, m.doc_id_b,
+         CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+  FROM mcommon m
+  JOIN msizes na ON na.doc_id = m.doc_id_a
+  JOIN msizes nb ON nb.doc_id = m.doc_id_b
+  WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)
+        >= CAST({threshold} AS DOUBLE)
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_minhash_lsh_pairs_sql()}
+SELECT doc_id_a, doc_id_b, jaccard FROM mverified
+""",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64perm)+LSH(16 bands) near-dup pairs, verified at exact
-    Jaccard ≥ 0.8 — the 100 TB-scale path for dedup_ngram_jaccard."""
-    return dd.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    Jaccard ≥ 0.8 — the 100 TB-scale path for dedup_ngram_jaccard.
+    VALUE-EXACT oracled since r10: the registered query runs the md5
+    hash mode (31-bit digest-slice base hash + value-string band
+    buckets) so _minhash_lsh_pairs_sql replays signatures, banding,
+    bucket cap, candidates and exact-Jaccard verify bit-for-bit; the
+    xxhash64 mode stays the library default (incremental store,
+    streaming twins) with its recall gate in tests. First driver hash
+    lands with the r11 rotation (the r10 window was already full)."""
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8, hash_fn="md5"
+    )
 
 
 @register("dedup_incremental")  # stateful multi-step → rows-only; invariance in pytest
@@ -2899,14 +2998,36 @@ def olap_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("dedup_cluster_lsh")  # LSH candidates → rows-only; agreement vs exact path in pytest
+@register(
+    "dedup_cluster_lsh",
+    oracle=f"""
+WITH RECURSIVE {_minhash_lsh_pairs_sql()},
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM mverified
+  UNION
+  SELECT doc_id_b AS u, doc_id_a AS v FROM mverified
+),
+reach(node, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+       (node = min(r)) AS is_canonical
+FROM reach GROUP BY node
+""",
+)
 def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB clustering path: near-dup pairs from MinHash-LSH
     (linear candidate generation) instead of the exact inverted index,
-    then the same connected-components labeling. Agreement with the
-    exact-pair clustering is asserted in tests."""
+    then the same connected-components labeling. VALUE-EXACT oracled
+    since r10: the md5-mode LSH pairs replay through
+    _minhash_lsh_pairs_sql and the components through the same
+    recursive-CTE reachability oracle as dedup_cluster. Agreement with
+    the exact-pair clustering additionally asserted in tests; first
+    driver hash lands with the r11 rotation (r10 window full)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    pairs = dd.minhash_lsh_pairs(docs, n=3, threshold=0.8, hash_fn="md5")
     return dd.cluster_pairs(pairs, docs)
 
 
