@@ -301,3 +301,90 @@ def test_per_group_top_k_matches_pandas(spark, case):
         for rank, (_, row) in enumerate(grp.head(k).iterrows(), start=1):
             want[(g, int(row["id"]))] = rank
     assert got == want
+
+
+# ------------------------------------------------ raster stream (r10)
+
+
+@st.composite
+def raster_stream_case(draw):
+    import numpy as np
+
+    frames = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.sampled_from(["bmp", "pgm", "ppm"]))
+        h = draw(st.integers(1, 9))
+        w = draw(st.integers(1, 9))
+        if kind == "ppm":
+            arr = np.array(
+                draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3
+                    )
+                ),
+                dtype=np.uint8,
+            ).reshape(h, w, 3)
+        else:
+            arr = np.array(
+                draw(st.lists(st.integers(0, 255), min_size=h * w, max_size=h * w)),
+                dtype=np.uint8,
+            ).reshape(h, w)
+        frames.append((kind, arr))
+    return frames
+
+
+@given(case=raster_stream_case())
+@settings(**_SETTINGS)
+def test_split_raster_stream_roundtrips_any_frame_mix(case):
+    """Any concatenation of well-formed BMP/PGM/PPM frames demuxes back
+    into exactly the original frame byte slices, and every frame decodes
+    to the luma of its source raster (BT.601 for color)."""
+    from etl_dag_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp_gray,
+        split_raster_stream,
+    )
+
+    def enc(kind, arr):
+        if kind == "bmp":
+            return encode_bmp_gray(arr)
+        if kind == "pgm":
+            h, w = arr.shape
+            return f"P5\n{w} {h}\n255\n".encode() + arr.tobytes()
+        h, w, _ = arr.shape
+        return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+    encoded = [enc(k, a) for k, a in case]
+    stream = b"".join(encoded)
+    frames = split_raster_stream(stream)
+    assert frames == encoded
+    for raw, (kind, arr) in zip(frames, case):
+        img = decode_image(raw)
+        assert img is not None
+        if kind == "ppm":
+            want = (
+                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            )
+        else:
+            want = arr.astype(np.float64)
+        assert img.shape == want.shape
+        assert np.allclose(img, want, atol=1e-9)
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(**_SETTINGS)
+def test_split_raster_stream_rejects_trailing_junk(junk):
+    """A stream is either EXACTLY a sequence of rasters or None — no
+    half-splits: appending any non-raster tail poisons the whole
+    payload (it falls back to the opaque stub path)."""
+    from etl_dag_spark.operators.multimodal import (
+        encode_bmp_gray,
+        split_raster_stream,
+    )
+
+    frame = encode_bmp_gray(np.full((4, 4), 7, dtype=np.uint8))
+    got = split_raster_stream(frame + junk)
+    if junk and split_raster_stream(junk) is None:
+        assert got is None
+    else:
+        assert got is not None and got[0] == frame
