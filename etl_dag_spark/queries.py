@@ -12004,7 +12004,7 @@ def olap_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked) must therefore register ahead of rows-only ones, whose
 # driver row carries no signal — their correctness lives in pytest
 # (recall/tolerance/agreement). More queries are oracled than the
-# window holds (183 oracled as of late round 9), so each round the
+# window holds (195 oracled as of round 10), so each round the
 # oracled group is rotated: whatever sat outside the previous round's
 # window goes first, maximizing cumulative cross-round hash evidence.
 # Re-keying here preserves source order without moving 2000 lines.
