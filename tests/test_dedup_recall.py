@@ -100,7 +100,13 @@ def test_prefix_index_is_a_strict_subsample(spark, corpus):
     assert prefix_rows < 0.3 * full
 
 
-def test_minhash_lsh_recall_vs_exact(spark, corpus):
+import pytest
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_minhash_lsh_recall_vs_exact(spark, corpus, hash_fn):
+    # both hash modes must clear the same recall bar: xxhash64 is the
+    # library default, md5 the oracle-registered engine-portable mode
     documents, _ = corpus
     exact = {
         (r.doc_id_a, r.doc_id_b)
@@ -108,21 +114,28 @@ def test_minhash_lsh_recall_vs_exact(spark, corpus):
     }
     approx = {
         (r.doc_id_a, r.doc_id_b)
-        for r in dd.minhash_lsh_pairs(documents, n=3, threshold=0.8).collect()
+        for r in dd.minhash_lsh_pairs(
+            documents, n=3, threshold=0.8, hash_fn=hash_fn
+        ).collect()
     }
     # verification step makes precision exact; banding controls recall
     assert approx <= exact
     assert len(approx & exact) / len(exact) >= 0.9
     # every verified pair really is >= the threshold
-    for r in dd.minhash_lsh_pairs(documents, n=3, threshold=0.8).collect():
+    for r in dd.minhash_lsh_pairs(
+        documents, n=3, threshold=0.8, hash_fn=hash_fn
+    ).collect():
         assert r.jaccard >= 0.8
 
 
-def test_simhash_finds_planted_pairs_and_no_random_ones(spark, corpus):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash_finds_planted_pairs_and_no_random_ones(spark, corpus, hash_fn):
     documents, planted = corpus
     got = {
         (r.doc_id_a, r.doc_id_b)
-        for r in dd.simhash_pairs(documents, max_hamming=3).collect()
+        for r in dd.simhash_pairs(
+            documents, max_hamming=3, hash_fn=hash_fn
+        ).collect()
     }
     found = sum(1 for p in planted if p in got)
     assert found / len(planted) >= 0.8  # one appended token ⇒ tiny hamming
