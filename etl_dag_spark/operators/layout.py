@@ -86,6 +86,36 @@ def zorder_value(
     return z
 
 
+def zordered_frame(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int,
+    bits: int = 8,
+) -> DataFrame:
+    """``df`` re-laid-out as ``n_partitions`` partitions clustered on
+    the Z-curve of ``cols``: one bounds aggregate (2 scalars per
+    column), range-repartition on the Z value (distributed range
+    boundaries from a sample — no global sort through one task) +
+    in-partition sort. Writing the result produces files whose min/max
+    footers each cover a tight hyper-cube, so scans with predicates on
+    ANY clustered column prune most files. Shared by
+    :func:`write_zordered` (raw directory) and
+    ``sources.versions.compact_version`` (OPTIMIZE ZORDER)."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [bounds[f"__lo{i}"] for i in range(len(cols))]
+    maxs = [bounds[f"__hi{i}"] for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxs, bits=bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     cols: list[str],
@@ -94,26 +124,8 @@ def write_zordered(
     bits: int = 8,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the
-    Z-curve of ``cols``: range-repartition on the Z value (distributed
-    range boundaries from a sample — no global sort through one task)
-    + in-partition sort, so every file's min/max footer covers a tight
-    hyper-cube and scans with predicates on any clustered column prune
-    most files."""
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__lo{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"__hi{i}") for i, c in enumerate(cols)],
-    ).first()
-    mins = [bounds[f"__lo{i}"] for i in range(len(cols))]
-    maxs = [bounds[f"__hi{i}"] for i in range(len(cols))]
-    z = zorder_value(cols, mins, maxs, bits=bits)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    Z-curve of ``cols`` (see :func:`zordered_frame`)."""
+    zordered_frame(df, cols, n_files, bits=bits).write.mode("overwrite").parquet(path)
 
 
 def files_overlapping_point(path: str, col: str, value) -> tuple[int, int]:

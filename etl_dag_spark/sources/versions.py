@@ -335,6 +335,8 @@ def compact_version(
     path: str,
     target_files: int = 1,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot's many small files (the
     debris a streaming ingest leaves — one file set per micro-batch)
@@ -344,8 +346,28 @@ def compact_version(
     vacuum); readers of the new version scan fewer, larger files —
     the table-maintenance half of the small-file problem
     (operators/layout.py::compact_parquet is the raw-directory form).
+
+    ``zorder_by`` — OPTIMIZE ZORDER (the Delta ``OPTIMIZE ... ZORDER
+    BY`` capability): cluster the rewrite on the Z-curve of these
+    columns (operators/layout.py::zordered_frame — range shuffle, no
+    global single-task sort) and record their per-file min/max in the
+    manifest, so a later ``read_version(between=...)`` on ANY clustered
+    column prunes files at the MANIFEST level. At 100 TB this is what
+    turns a streaming table's append debris into a layout where a
+    narrow two-column predicate opens a handful of files.
+
     Returns the committed version."""
     current = read_version(spark, path)
+    if zorder_by:
+        from etl_dag_spark.operators.layout import zordered_frame
+
+        frame = zordered_frame(
+            current, zorder_by, target_files, bits=zorder_bits
+        )
+        # clustered columns always get manifest stats — the pruning is
+        # the point of the layout
+        stats = list(dict.fromkeys([*zorder_by, *(stats_cols or [])]))
+        return write_version(frame, path, op="overwrite", stats_cols=stats)
     return write_version(
         current.coalesce(target_files),
         path,

@@ -288,3 +288,52 @@ def test_cdc_across_overwrite_classifies_every_change(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="key_cols"):
         cdc_rows(spark, path, 1, 2)
+
+
+def test_optimize_zorder_clusters_and_prunes_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER (r10): compacting with zorder_by rewrites the
+    snapshot z-clustered and records clustered-column stats, so
+    read_version(between=...) prunes files on EITHER column at the
+    manifest level; rows are identical and old versions untouched."""
+    from etl_dag_spark.sources.versions import compact_version
+
+    path = str(tmp_path / "zopt_tbl")
+    # ingest debris: 4 appends, each randomly ordered in (x, y)
+    for i in range(4):
+        batch = (
+            spark.range(i * 1024, (i + 1) * 1024)
+            .select(
+                F.col("id").alias("rid"),
+                F.pmod(F.xxhash64(F.col("id")), F.lit(64)).alias("x"),
+                F.pmod(F.xxhash64(F.col("id") + 7), F.lit(64)).alias("y"),
+            )
+            .repartition(4)
+        )
+        write_version(batch, path, op="append" if i else "overwrite")
+
+    before = read_version(spark, path)
+    n_before = len(before.inputFiles())
+    rows_before = sorted(
+        (r.rid, r.x, r.y) for r in before.collect()
+    )
+    # pre-compaction: no stats were recorded -> between keeps all files
+    assert len(
+        read_version(spark, path, between=("x", 3, 4)).inputFiles()
+    ) == n_before
+
+    v = compact_version(spark, path, target_files=16, zorder_by=["x", "y"])
+    after = read_version(spark, path)
+    assert sorted((r.rid, r.x, r.y) for r in after.collect()) == rows_before
+    assert len(after.inputFiles()) == 16
+    # pre-compaction snapshot still time-travels with its own files
+    assert len(read_version(spark, path, v - 1).inputFiles()) == n_before
+
+    # a narrow predicate on EITHER z-ordered column opens a strict
+    # minority of the 16 files (z-order: both columns prune; margins
+    # generous for range-sampling jitter, cf. test_layout)
+    for col in ("x", "y"):
+        pruned = read_version(spark, path, between=(col, 3, 4))
+        assert len(pruned.inputFiles()) <= 8, (col, len(pruned.inputFiles()))
+        assert sorted((r.rid, r.x, r.y) for r in pruned.collect()) == [
+            t for t in rows_before if 3 <= (t[1] if col == "x" else t[2]) <= 4
+        ]
