@@ -871,3 +871,59 @@ def test_stream_quantile_sketch_equals_one_shot_batch_sketch(
     )
     q2.awaitTermination(120)
     assert sorted(map(tuple, read_quantile_store(spark, store, k=64).collect())) == want
+
+
+def test_stream_ingest_then_optimize_zorder_full_lakehouse_loop(
+    spark, doc_stream_src, tmp_path
+):
+    """The complete maintenance loop a streaming lake table lives by
+    (r10): micro-batch appends leave small-file debris -> OPTIMIZE
+    ZORDER compacts the tip into a z-clustered layout with manifest
+    stats -> narrow reads prune files; every pre-optimize snapshot
+    still time-travels on its own (un-rewritten) files."""
+    from etl_dag_spark.sources.versions import (
+        compact_version,
+        history,
+        read_version,
+    )
+    from etl_dag_spark.streaming.corpus import (
+        read_document_stream,
+        stream_versioned_ingest,
+    )
+
+    table = str(tmp_path / "vtable_z")
+    q = stream_versioned_ingest(
+        read_document_stream(spark, doc_stream_src),
+        table_path=table,
+        checkpoint_dir=str(tmp_path / "ckpt_z"),
+    )
+    q.awaitTermination(120)
+
+    tip_before = history(table)[-1]["version"]
+    debris = read_version(spark, table)
+    n_debris_files = len(debris.inputFiles())
+    want = sorted(r.doc_id for r in debris.select("doc_id").collect())
+
+    v = compact_version(
+        spark, table, target_files=16, zorder_by=["doc_id", "n_chars"]
+    )
+    assert v == tip_before + 1
+    after = read_version(spark, table)
+    assert sorted(r.doc_id for r in after.select("doc_id").collect()) == want
+    assert len(after.inputFiles()) == 16
+
+    # manifest-level pruning on the clustered id column: a narrow id
+    # range (1/32 of the domain) opens at most half the 16 files (the
+    # z-curve scatters an id slice across a few hyper-cubes — the
+    # test_layout margin, generous for range-sampling jitter)
+    lo, hi = want[0], want[len(want) // 32]
+    pruned = read_version(spark, table, between=("doc_id", lo, hi))
+    assert len(pruned.inputFiles()) <= 8
+    assert sorted(r.doc_id for r in pruned.select("doc_id").collect()) == [
+        d for d in want if lo <= d <= hi
+    ]
+
+    # the streaming history is intact: pre-optimize snapshots read
+    # their original debris files, untouched by the rewrite
+    assert len(read_version(spark, table, tip_before).inputFiles()) == n_debris_files
+    assert read_version(spark, table, 1).count() < len(want)
