@@ -12055,6 +12055,11 @@ _ROTATE_TO_FRONT = [
     "olap_disjunctive_revenue", "olap_dormant_customers",
     "text_top_ngrams", "olap_cumulative_new_users",
     "olap_cohort_retention", "olap_market_share",
+    # then the three queries upgraded rows-only → value-exact LATE in
+    # r10 after the window was full (ann LSH + the minhash-LSH pair):
+    # their driver evidence is still the r9 rows-only check, so their
+    # first HASH rows belong in the r11 window right after the r6 group
+    "ann_topk_lsh", "dedup_minhash_lsh", "dedup_cluster_lsh",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
