@@ -337,6 +337,8 @@ def compact_version(
     stats_cols: list[str] | None = None,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 8,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot's many small files (the
     debris a streaming ingest leaves — one file set per micro-batch)
@@ -356,7 +358,22 @@ def compact_version(
     turns a streaming table's append debris into a layout where a
     narrow two-column predicate opens a handful of files.
 
+    ``txn_id`` / ``writer_id`` — same idempotence token as
+    :func:`write_version`: a replayed OPTIMIZE (e.g. from a restarted
+    streaming maintenance loop) is a manifest no-op instead of a
+    duplicate rewrite.
+
     Returns the committed version."""
+    if txn_id is not None:
+        # early replay check against the tip's txn map: skip the whole
+        # rewrite, not just the duplicate commit (write_version's own
+        # check runs AFTER the data files are written)
+        versions = _versions(path)
+        if versions:
+            tip = _load_manifest(path, versions[-1])
+            txns = dict(tip.get("txns") or {})
+            if txns.get(writer_id or "_default") == txn_id:
+                return versions[-1]
     current = read_version(spark, path)
     if zorder_by:
         from etl_dag_spark.operators.layout import zordered_frame
@@ -367,12 +384,17 @@ def compact_version(
         # clustered columns always get manifest stats — the pruning is
         # the point of the layout
         stats = list(dict.fromkeys([*zorder_by, *(stats_cols or [])]))
-        return write_version(frame, path, op="overwrite", stats_cols=stats)
+        return write_version(
+            frame, path, op="overwrite", stats_cols=stats,
+            txn_id=txn_id, writer_id=writer_id,
+        )
     return write_version(
         current.coalesce(target_files),
         path,
         op="overwrite",
         stats_cols=stats_cols,
+        txn_id=txn_id,
+        writer_id=writer_id,
     )
 
 

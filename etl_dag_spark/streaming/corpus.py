@@ -458,6 +458,9 @@ def stream_versioned_ingest(
     docs_stream: DataFrame,
     table_path: str,
     checkpoint_dir: str,
+    optimize_every: int | None = None,
+    optimize_target_files: int = 8,
+    zorder_by: list[str] | None = None,
 ) -> "pyspark.sql.streaming.StreamingQuery":
     """Streaming ingest into the snapshot-versioned table
     (``sources/versions.py``) — the versioned-lake sink: every
@@ -474,8 +477,20 @@ def stream_versioned_ingest(
     (both failure modes of the pre-r9 tip-only check). Every batch
     boundary is a time-travelable snapshot: a poisoned feed rolls back
     by reading version N−1; the data files a replayed attempt orphaned
-    are invisible to every reader and reclaimed by vacuum."""
-    from etl_dag_spark.sources.versions import write_version
+    are invisible to every reader and reclaimed by vacuum.
+
+    ``optimize_every=N`` — AUTO-OPTIMIZE (r10): after every Nth
+    micro-batch, compact the tip (``zorder_by`` → OPTIMIZE ZORDER with
+    manifest stats) so the table never accumulates unbounded
+    small-file debris — the Delta auto-compaction maintenance loop.
+    The OPTIMIZE commit carries its own ``txn_id=f"optimize-{batch_id}"``
+    under a SEPARATE ``<writer>:optimize`` identity: the per-writer txn
+    map holds only each writer's LAST token, so sharing the ingest
+    writer would let a replayed append slip past its own check after an
+    interleaved OPTIMIZE. A crash between append and OPTIMIZE replays
+    both — the append no-ops, the OPTIMIZE (early-checked against the
+    tip) runs exactly once."""
+    from etl_dag_spark.sources.versions import compact_version, write_version
 
     writer = f"stream:{os.path.abspath(checkpoint_dir)}"
 
@@ -489,6 +504,15 @@ def stream_versioned_ingest(
             txn_id=f"batch-{batch_id}",
             writer_id=writer,
         )
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            compact_version(
+                batch_df.sparkSession,
+                table_path,
+                target_files=optimize_target_files,
+                zorder_by=zorder_by,
+                txn_id=f"optimize-{batch_id}",
+                writer_id=f"{writer}:optimize",
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -927,3 +927,67 @@ def test_stream_ingest_then_optimize_zorder_full_lakehouse_loop(
     # their original debris files, untouched by the rewrite
     assert len(read_version(spark, table, tip_before).inputFiles()) == n_debris_files
     assert read_version(spark, table, 1).count() < len(want)
+
+
+def test_stream_auto_optimize_compacts_and_replays_exactly_once(
+    spark, doc_stream_src, tmp_path
+):
+    """AUTO-OPTIMIZE (r10): with optimize_every=2 the ingest interleaves
+    OPTIMIZE ZORDER commits between appends; the final corpus is exact,
+    and a crash-replay of BOTH the last append and its OPTIMIZE is a
+    manifest no-op under their separate writer identities."""
+    import os as _os
+
+    from etl_dag_spark.sources.versions import (
+        compact_version,
+        history,
+        read_version,
+        write_version,
+    )
+    from etl_dag_spark.streaming.corpus import (
+        read_document_stream,
+        stream_versioned_ingest,
+    )
+
+    table = str(tmp_path / "vtable_auto")
+    ckpt = str(tmp_path / "ckpt_auto")
+    q = stream_versioned_ingest(
+        read_document_stream(spark, doc_stream_src),
+        table_path=table,
+        checkpoint_dir=ckpt,
+        optimize_every=2,
+        optimize_target_files=4,
+        zorder_by=["doc_id", "n_chars"],
+    )
+    q.awaitTermination(180)
+
+    h = history(table)
+    ops = [m["op"] for m in h]
+    # the 4-file source yields 4 appends (maxFilesPerTrigger=1) with an
+    # OPTIMIZE overwrite after every 2nd
+    assert ops.count("overwrite") == 2, h
+    assert ops.count("append") == 4, h
+
+    want = sorted(
+        r.doc_id for r in spark.read.parquet(doc_stream_src).select("doc_id").collect()
+    )
+    tip_df = read_version(spark, table)
+    assert sorted(r.doc_id for r in tip_df.select("doc_id").collect()) == want
+    assert len(tip_df.inputFiles()) == 4  # compacted tip
+
+    # crash replay: re-commit the last append AND its OPTIMIZE with the
+    # same txn ids -> both are no-ops, history/version unchanged
+    tip = h[-1]["version"]
+    writer = f"stream:{_os.path.abspath(ckpt)}"
+    last_batch = sum(1 for o in ops if o == "append") - 1
+    v1 = write_version(
+        tip_df, table, op="append",
+        txn_id=f"batch-{last_batch}", writer_id=writer,
+    )
+    v2 = compact_version(
+        spark, table, target_files=4, zorder_by=["doc_id", "n_chars"],
+        txn_id=f"optimize-{last_batch}", writer_id=f"{writer}:optimize",
+    )
+    assert v1 == v2 == tip
+    assert [m["version"] for m in history(table)] == [m["version"] for m in h]
+    assert read_version(spark, table).count() == len(want)
