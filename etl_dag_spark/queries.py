@@ -12009,44 +12009,9 @@ def olap_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window goes first, maximizing cumulative cross-round hash evidence.
 # Re-keying here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # ---- round-10 window (positions 1-50) ----
-    # (a) the 17 queries added late in r9 after its window froze — 16
-    # oracled + rows-only mm_video_scene_cuts — queued first exactly as
-    # VERDICT r9 #1 recorded; first driver hash/row evidence this round:
-    "dedup_minhash_estimate", "olap_max_drawdown", "sql_monthly_trend",
-    "etl_feature_hash", "etl_target_encode", "text_readability",
-    "olap_peak_concurrency", "pipeline_quality_ensemble",
-    "olap_seasonal_naive_backtest", "bi_customer_ltv",
-    "mm_video_scene_cuts", "etl_t_closeness", "olap_growth_accounting",
-    "dedup_source_divergence", "olap_ship_latency", "text_code_detect",
-    "olap_pareto_revenue",
-    # (a2) NEW in r10: the three verbatim sql_definitions.sql entries
-    # (native WITH RECURSIVE ×2 + NOT EXISTS — VERDICT r9 #3) and
-    # dedup_simhash, upgraded from rows-only to a full value-exact
-    # md5-bridge oracle (VERDICT r9 #5) so its first HASH evidence
-    # lands this round:
-    "sql_hierarchy_levels", "sql_ancestor_chain",
-    "sql_customers_no_purchase", "dedup_simhash",
-    # (b) 29 of the 45 r6-evidence oracles (3 rounds stale — at the
-    # freshness bar; VERDICT r9 #2), oldest-registered first. All 45
-    # do not fit behind the 21 mandatory entries above in a 50-slot
-    # window; the remaining 16 are position 51+ and head the r11 queue
-    # (the per-round pytest parity run — every oracle at sf0.001 —
-    # stays the continuous secondary gate for them):
-    "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
-    "bi_revenue_by_category", "bi_monthly_trend", "bi_hierarchy_levels",
-    "bi_ancestor_chain", "bi_customers_no_purchase",
-    "olap_pricing_summary", "olap_shipping_priority",
-    "olap_rollup_sales", "olap_running_totals", "olap_sessionize",
-    "stream_windowed_counts", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "ann_topk_bruteforce", "text_fingerprint",
-    "olap_cube_sales", "olap_topk_per_group", "text_bpe_tokens",
-    "olap_set_ops", "etl_dq_referential", "etl_profile_orders",
-    "olap_ntile_quartiles", "etl_value_histogram",
-    "olap_above_customer_avg", "olap_order_id_list",
-    # ---- position 51+: the r11 front-of-queue ----
-    # the 16 r6-evidence oracles the r10 window could not hold
-    # (4 rounds old by r11 — they MUST lead the next rotation):
+    # ---- round-11 window (positions 1-50) ----
+    # (a) the 16 r6-evidence oracles the r10 window could not hold —
+    # 4 rounds stale, keyed first exactly as VERDICT r10 #1 mandated:
     "olap_local_supplier_volume", "olap_returned_items",
     "olap_order_count_distribution", "olap_priority_shipping",
     "bi_yoy_growth", "etl_host_cap",
@@ -12055,11 +12020,32 @@ _ROTATE_TO_FRONT = [
     "olap_disjunctive_revenue", "olap_dormant_customers",
     "text_top_ngrams", "olap_cumulative_new_users",
     "olap_cohort_retention", "olap_market_share",
-    # then the three queries upgraded rows-only → value-exact LATE in
-    # r10 after the window was full (ann LSH + the minhash-LSH pair):
-    # their driver evidence is still the r9 rows-only check, so their
-    # first HASH rows belong in the r11 window right after the r6 group
+    # (b) first driver-HASH rows for the three flagship LSH queries
+    # upgraded rows-only -> value-exact late in r10 (VERDICT r10 #1):
     "ann_topk_lsh", "dedup_minhash_lsh", "dedup_cluster_lsh",
+    # (c) the 31 oldest-registered of the 43 oracles still carrying r7
+    # evidence (VERDICT r10 #2) — fills the window to exactly 50; the
+    # remaining 12 are position 51+ and head the r12 queue:
+    "bi_top_customers", "dedup_prefix_jaccard", "olap_pivot_events",
+    "etl_country_fuzzy", "dedup_contamination", "text_rarity_score",
+    "text_line_dedup", "olap_top_supplier", "text_search_ranked",
+    "etl_uniform_sample", "olap_funnel_stages", "olap_revenue_forecast",
+    "olap_nation_profit", "olap_min_cost_supplier",
+    "olap_important_parts", "olap_supplier_part_counts",
+    "olap_excess_suppliers", "olap_sole_suppliers", "etl_dataset_split",
+    "pipeline_filter_report", "dedup_containment",
+    "etl_embedding_outliers", "text_bigram_lm", "text_tfidf_keywords",
+    "text_quality_classifier", "etl_chunk_documents",
+    "olap_hll_registers", "olap_hll_registers_by_type",
+    "text_countmin_hitters", "dedup_winnowing", "text_dup_span_stats",
+    # ---- position 51+: the r12 front-of-queue ----
+    # the 12 r7-evidence oracles that did not fit this round
+    # (oldest-registered first — they MUST lead the r12 rotation):
+    "text_bigram_novelty", "etl_join_key_skew", "olap_gap_fill",
+    "olap_event_anomalies", "etl_pseudonymize", "etl_k_anonymity",
+    "olap_ab_test", "olap_sales_trend", "olap_attribution_last_touch",
+    "olap_attribution_linear", "olap_trending_parts",
+    "etl_span_corruption",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

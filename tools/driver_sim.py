@@ -5,8 +5,10 @@ runs entry(), then every queries() entry at the given SF dir, compares
 each against oracle_sql() via DuckDB exactly like the driver's t2 gate
 (row count + sorted column names + order-insensitive value comparison).
 
-Usage: python tools/driver_sim.py [sf_dir]
-(for a hostile-timezone probe, set the TZ env var before launching:
+Usage: python tools/driver_sim.py [sf_dir] [--window N]
+(--window N restricts the run to the FIRST N queries() entries in dict
+ order — the slice the real driver's correctness gate records; for a
+ hostile-timezone probe, set the TZ env var before launching:
  TZ=Pacific/Kiritimati python tools/driver_sim.py)
 """
 
@@ -42,7 +44,13 @@ def values_equal(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    window = 0
+    if "--window" in argv:
+        i = argv.index("--window")
+        window = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -71,6 +79,9 @@ def main() -> int:
     from etl_dag_spark.operators.hierarchy import release_persisted
 
     queries, oracles = ent.queries(), ent.oracle_sql()
+    if window:
+        queries = dict(list(queries.items())[:window])
+        print(f"driver-sim: restricted to first {len(queries)} entries (driver window)")
     n_pass = n_fail = 0
     for name, fn in sorted(queries.items()):
         t0 = time.time()
