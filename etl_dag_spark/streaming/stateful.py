@@ -55,7 +55,19 @@ SESSION_OUT = (
     "user_id bigint, session_start_us bigint,"
     " session_end_us bigint, n_events bigint"
 )
-SESSION_STATE = "start_us bigint, last_us bigint, n bigint"
+# List-valued state (r11): EVERY session not yet provably final stays
+# in state — the open one AND any gap-closed predecessors the watermark
+# has not passed. A session [s, l] is emitted only once the watermark
+# exceeds l + gap: from then on no admissible event (ts >= watermark)
+# can merge into it, so emission is exactly-once AND correct under any
+# late-but-in-watermark arrival order. This removes the r10 inline-
+# close anomaly (an already-emitted session receiving a still-later
+# in-watermark event) and the ADVICE r10 crash class (storing a
+# timeout at or behind the current watermark): anything whose timeout
+# would not be in the future is emitted immediately instead.
+SESSION_STATE = (
+    "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
+)
 
 
 def _update_sessions(
@@ -64,47 +76,50 @@ def _update_sessions(
     state: GroupState,
     gap_us: int = 1_800_000_000,
 ) -> Iterator[pd.DataFrame]:
-    rows = []
-    if state.hasTimedOut:
-        # watermark passed last_seen + gap with no new events: the
-        # session is definitively closed — emit and clear
-        if state.exists:
-            s, l, n = state.get
-            rows.append((key[0], s, l, n))
-        state.remove()
+    # Fold the held sessions and the batch's events together as
+    # INTERVALS (event t = [t, t, 1], session = [start, last, n]) and
+    # sweep in start order — late-but-in-watermark data is correct in
+    # both directions: an event within gap BEFORE a held start extends
+    # it backward (start = min), one more than gap before it forms its
+    # own earlier session. On a timeout invocation pdfs is empty and
+    # this reduces to re-evaluating the held sessions against the
+    # advanced watermark.
+    iv = [(int(t), int(t), 1) for pdf in pdfs for t in pdf["ts_us"]]
+    if state.exists:
+        iv.extend(
+            (int(s), int(l), int(n)) for s, l, n in zip(*state.get)
+        )
+    iv.sort()
+    merged: list[list[int]] = []
+    for s2, l2, n2 in iv:
+        if merged and s2 - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], l2)
+            merged[-1][2] += n2
+        else:
+            merged.append([s2, l2, n2])
+    # A session is final iff watermark (ms) strictly exceeds every µs
+    # instant that could still merge into it: last + gap < wm * 1000.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    rows = [
+        (key[0], s, l, n) for s, l, n in merged if l + gap_us < wm_us
+    ]
+    keep = [t for t in merged if t[1] + gap_us >= wm_us]
+    if keep:
+        state.update(
+            (
+                [t[0] for t in keep],
+                [t[1] for t in keep],
+                [t[2] for t in keep],
+            )
+        )
+        # EventTimeTimeout expects epoch MILLISECONDS; fire as soon as
+        # the earliest held session can become final. keep guarantees
+        # last + gap >= wm_us, so the timeout is strictly in the future.
+        state.setTimeoutTimestamp(
+            min(t[1] + gap_us for t in keep) // 1000 + 1
+        )
     else:
-        # Fold the stored session and the batch's events together as
-        # INTERVALS (event t = [t, t, 1], state = [start, last, n]) and
-        # sweep in start order. This makes late-but-in-watermark data
-        # correct in both directions (ADVICE r9): an event within gap
-        # BEFORE the stored start extends the session backward
-        # (start = min), and an event more than gap before it forms its
-        # own earlier session — closed inline here, because the stored
-        # session is its gap-exceeding successor. (As with any inline
-        # close, an even later batch could in principle carry an event
-        # belonging to an already-emitted session; holding every closed
-        # session until the watermark passes would need list-valued
-        # state — out of scope for this single-session-state operator.)
-        iv = [
-            (int(t), int(t), 1) for pdf in pdfs for t in pdf["ts_us"]
-        ]
-        if state.exists:
-            iv.append(tuple(state.get))
-        iv.sort()
-        cur: list[int] | None = None
-        for s2, l2, n2 in iv:
-            if cur is None:
-                cur = [s2, l2, n2]
-            elif s2 - cur[1] > gap_us:
-                rows.append((key[0], cur[0], cur[1], cur[2]))
-                cur = [s2, l2, n2]
-            else:
-                cur[1] = max(cur[1], l2)
-                cur[2] += n2
-        if cur is not None:
-            state.update((cur[0], cur[1], cur[2]))
-            # EventTimeTimeout expects epoch MILLISECONDS
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        state.remove()
     yield pd.DataFrame(
         rows,
         columns=["user_id", "session_start_us", "session_end_us", "n_events"],
@@ -116,22 +131,23 @@ def closed_user_sessions(
 ) -> DataFrame:
     """CLOSED session emitter — the canonical ``applyInPandasWithState``
     + EventTimeTimeout shape the built-in ``session_window`` aggregate
-    cannot express: a session row is emitted EXACTLY ONCE, either when
-    a later event arrives past the gap (inline close) or when the
-    WATERMARK passes last_seen + gap with no successor (timeout close)
-    — the at-most-once downstream contract a billing/alerting consumer
+    cannot express: a session row is emitted EXACTLY ONCE, when the
+    WATERMARK passes its end + gap — the point after which no
+    admissible event can extend or merge into it — giving the
+    at-most-once downstream contract a billing/alerting consumer
     needs, vs. session_window's per-window aggregate updates. Emits
     (user_id, session_start_us, session_end_us, n_events), append mode.
 
-    Late-but-in-watermark data is folded as intervals (r10): an event
-    within gap BEFORE the stored session start extends it backward;
-    an event more than gap before it opens its own earlier session,
-    closed inline. Sessions still open when the stream pauses stay in
-    the state store (RocksDB-backed on a cluster) and close on a later
-    run — state is the operator's, not the trigger's. Input needs
-    ``user_id`` +
-    ``ts_utc`` (TIMESTAMP, the streaming reader's column); event time
-    rides integer µs inside the operator."""
+    Late-but-in-watermark data is folded as intervals over the LIST of
+    held sessions (r11): an event within gap BEFORE a held start
+    extends it backward; one more than gap before it opens its own
+    earlier session, held until the watermark finalizes it — so even a
+    gap-closed session can still absorb later in-watermark stragglers
+    before emission. Sessions still open when the stream pauses stay
+    in the state store (RocksDB-backed on a cluster) and close on a
+    later run — state is the operator's, not the trigger's. Input
+    needs ``user_id`` + ``ts_utc`` (TIMESTAMP, the streaming reader's
+    column); event time rides integer µs inside the operator."""
     import functools
 
     from pyspark.sql import functions as F

@@ -308,7 +308,7 @@ def test_closed_sessions_fold_late_events_backward(spark, tmp_path):
         # u1: late event folded backward into [t0-50s, t0+10s], 3 events
         (1, t0 - 50_000_000, t0 + 10_000_000, 3),
         # u2: the >gap-early event became its own one-event session,
-        # closed inline by the stored [t0] session — NOT absorbed
+        # gap-closed by the stored [t0] successor — NOT absorbed
         (2, t0 - 300_000_000, t0 - 300_000_000, 1),
         # u2's stored [t0] session closed by watermark timeout (batch 3
         # pushed the global watermark to t0+6600s > t0+gap); u1's
@@ -316,3 +316,62 @@ def test_closed_sessions_fold_late_events_backward(spark, tmp_path):
         (2, t0, t0, 1),
     ]
     spark.sql("DROP TABLE IF EXISTS closed_sessions_late")
+
+
+def test_closed_sessions_held_session_absorbs_later_straggler(
+    spark, tmp_path
+):
+    """r11 (VERDICT r10 #7): a session already gap-closed by a
+    successor must STILL absorb a later-arriving in-watermark event
+    that belongs to it — list-valued state holds closed sessions until
+    the watermark passes end + gap, so the straggler merges before
+    emission instead of splitting into a spurious one-event session."""
+    import time as _time
+
+    from etl_dag_spark.streaming.stateful import closed_user_sessions
+
+    t0 = 1_700_000_000_000_000  # µs
+    src = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id bigint, us bigint").select(
+            "user_id", F.timestamp_micros("us").alias("ts_utc")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: [t0] and [t0+300s] — 300s > gap 60s, so [t0] is already
+    # gap-closed by its successor, but the 600s watermark has not
+    # passed t0+gap yet -> it must be HELD, not emitted
+    write([(1, t0), (1, t0 + 300_000_000)])
+    _time.sleep(1.05)
+    # batch 2: a straggler at t0+30s (within gap of [t0], within the
+    # watermark) must merge into the held session; t0+2h pushes the
+    # watermark far enough to finalize both early sessions
+    write([(1, t0 + 30_000_000), (1, t0 + 7_200_000_000)])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_utc timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        closed_user_sessions(stream, gap_seconds=60, watermark="600 seconds")
+        .writeStream.format("memory")
+        .queryName("closed_sessions_straggler")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("closed_sessions_straggler").collect()
+    )
+    assert got == [
+        # ONE merged session [t0, t0+30s] with 2 events — not the
+        # (t0,t0,1) + (t0+30s,t0+30s,1) split the r10 inline close
+        # would have produced
+        (1, t0, t0 + 30_000_000, 2),
+        (1, t0 + 300_000_000, t0 + 300_000_000, 1),
+        # the t0+2h session is still open -> absent
+    ]
+    spark.sql("DROP TABLE IF EXISTS closed_sessions_straggler")
