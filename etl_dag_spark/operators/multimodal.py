@@ -672,9 +672,12 @@ def attach_video_payload(
         def scene_frame(did: int, scene: int) -> bytes:
             # one smooth image per (doc, scene); frames within a scene
             # are identical and ADJACENT scenes differ in brightness
-            # level by ≥50 luma (disjoint histogram support → L1 ≈ 2,
-            # robustly above any sane cut threshold) — frequency/phase
-            # vary per (doc, scene) for spatial realism only
+            # level by ≥50 luma while the sinusoid spans ±30, so their
+            # histogram supports overlap by at most 10 luma (~2-3 of
+            # the 64 bins): mostly disjoint support → L1 well above the
+            # 0.5 cut threshold, though below the theoretical max of 2
+            # — frequency/phase vary per (doc, scene) for spatial
+            # realism only
             fy = 0.5 + ((did * 7 + scene * 13) % 5)
             fx = 0.5 + ((did * 11 + scene * 17) % 5)
             ph = ((did + scene * 31) % 8) / 8.0 * 2 * np.pi

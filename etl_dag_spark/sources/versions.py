@@ -116,6 +116,13 @@ def write_version(
     ``op="overwrite"`` — the new version IS this frame.
     ``op="append"`` — the new version is the parent snapshot plus this
     frame; only the delta's files are written.
+    ``op="optimize"`` — file layout of an overwrite, ROW-PRESERVING
+    contract of an append: the new version IS this frame, but the
+    manifest records that it holds exactly the parent's rows (the
+    Delta ``dataChange=false`` action), so incremental readers
+    (:func:`read_version_delta`, :func:`cdc_rows`) skip it instead of
+    refusing the lineage. Callers must uphold the row-identity claim —
+    :func:`compact_version` is the in-repo writer.
     ``stats_cols`` — record per-file min/max for these columns in the
     manifest (footer metadata only, no re-scan) so :func:`read_version`
     can prune files against a predicate before Spark opens them.
@@ -135,8 +142,8 @@ def write_version(
     shared across versions; the commit point is an atomic hard-link of
     a fully-written manifest, raced with retry (optimistic concurrency).
     """
-    if op not in ("overwrite", "append"):
-        raise ValueError(f"op must be overwrite|append, got {op!r}")
+    if op not in ("overwrite", "append", "optimize"):
+        raise ValueError(f"op must be overwrite|append|optimize, got {op!r}")
     run_dir = os.path.join(path, _DATA, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(run_dir)
     new_files = sorted(
@@ -308,26 +315,42 @@ def read_version_delta(
     history, and a downstream job re-processes only the delta instead
     of the table (the Delta/Iceberg incremental-read contract; at
     100 TB this is the difference between a minutes job and a re-scan).
-    Raises on overwrite lineage, where a file diff is not a row diff —
-    the caller must fall back to a full read (same rule Delta's
-    change-data-feed enforces without CDF files)."""
+    ``op="optimize"`` versions are ROW-PRESERVING rewrites (the Delta
+    ``dataChange=false`` contract): they contribute no rows to the
+    delta and are skipped, so a table under periodic OPTIMIZE keeps
+    its incremental-read capability. The delta is therefore computed
+    as the union of each APPEND version's own file additions (files in
+    v not in v's parent) rather than one end-to-end file diff — an
+    optimize in between rewrites the file set without changing rows.
+    Rows appended before an optimize are read from their original
+    small files, which stay on disk until :func:`vacuum` (whose
+    keep_last/min_age guard is the retention window for incremental
+    readers, exactly as in Delta). Raises on overwrite lineage, where
+    a file diff is not a row diff — the caller must fall back to a
+    full read (same rule Delta's change-data-feed enforces without
+    CDF files)."""
     versions = _versions(path)
     if to_version is None:
         to_version = versions[-1]
+    new_files: list[str] = []
     for v in versions:
         if from_version < v <= to_version:
-            if _load_manifest(path, v)["op"] != "append":
+            m = _load_manifest(path, v)
+            if m["op"] == "append":
+                parent_files = set(_load_manifest(path, m["parent"])["files"])
+                new_files.extend(f for f in m["files"] if f not in parent_files)
+            elif m["op"] == "optimize":
+                continue  # row-preserving rewrite: no row delta
+            else:
                 raise ValueError(
                     f"version {v} is an overwrite: file diff != row diff; "
                     "read the snapshot fully instead"
                 )
-    m_from = _load_manifest(path, from_version)
     m_to = _load_manifest(path, to_version)
-    new_files = sorted(set(m_to["files"]) - set(m_from["files"]))
     schema = StructType.fromJson(json.loads(m_to["schema"]))
     if not new_files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*new_files)
+    return spark.read.schema(schema).parquet(*sorted(new_files))
 
 
 def compact_version(
@@ -343,9 +366,12 @@ def compact_version(
     """OPTIMIZE: rewrite the CURRENT snapshot's many small files (the
     debris a streaming ingest leaves — one file set per micro-batch)
     into ``target_files`` larger ones and commit the result as a new
-    version with IDENTICAL rows. Readers of older versions are
-    untouched (their manifests still list the small files until
-    vacuum); readers of the new version scan fewer, larger files —
+    version with IDENTICAL rows, marked ``op="optimize"`` (the Delta
+    ``dataChange=false`` action) so incremental readers
+    (:func:`read_version_delta` / :func:`cdc_rows`) skip it instead of
+    losing the table's incremental-read capability. Readers of older
+    versions are untouched (their manifests still list the small files
+    until vacuum); readers of the new version scan fewer, larger files —
     the table-maintenance half of the small-file problem
     (operators/layout.py::compact_parquet is the raw-directory form).
 
@@ -385,13 +411,13 @@ def compact_version(
         # the point of the layout
         stats = list(dict.fromkeys([*zorder_by, *(stats_cols or [])]))
         return write_version(
-            frame, path, op="overwrite", stats_cols=stats,
+            frame, path, op="optimize", stats_cols=stats,
             txn_id=txn_id, writer_id=writer_id,
         )
     return write_version(
         current.coalesce(target_files),
         path,
-        op="overwrite",
+        op="optimize",
         stats_cols=stats_cols,
         txn_id=txn_id,
         writer_id=writer_id,
@@ -426,12 +452,14 @@ def cdc_rows(
     versions = _versions(path)
     if to_version is None:
         to_version = versions[-1]
-    append_only = all(
-        _load_manifest(path, v)["op"] == "append"
+    # op="optimize" versions are row-preserving, so a lineage of
+    # appends + optimizes still has an exact file-level insert set
+    row_preserving = all(
+        _load_manifest(path, v)["op"] in ("append", "optimize")
         for v in versions
         if from_version < v <= to_version
     )
-    if append_only:
+    if row_preserving:
         return read_version_delta(spark, path, from_version, to_version).withColumn(
             "_change_type", F.lit("insert")
         )

@@ -489,7 +489,10 @@ def stream_versioned_ingest(
     writer would let a replayed append slip past its own check after an
     interleaved OPTIMIZE. A crash between append and OPTIMIZE replays
     both — the append no-ops, the OPTIMIZE (early-checked against the
-    tip) runs exactly once."""
+    tip) runs exactly once. The OPTIMIZE lands as ``op="optimize"``
+    (row-preserving, Delta's ``dataChange=false``), so downstream
+    incremental consumers using ``read_version_delta`` / ``cdc_rows``
+    keep working across every compaction boundary."""
     from etl_dag_spark.sources.versions import compact_version, write_version
 
     writer = f"stream:{os.path.abspath(checkpoint_dir)}"

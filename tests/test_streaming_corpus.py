@@ -963,9 +963,11 @@ def test_stream_auto_optimize_compacts_and_replays_exactly_once(
 
     h = history(table)
     ops = [m["op"] for m in h]
-    # the 4-file source yields 4 appends (maxFilesPerTrigger=1) with an
-    # OPTIMIZE overwrite after every 2nd
-    assert ops.count("overwrite") == 2, h
+    # the 4-file source yields 4 appends (maxFilesPerTrigger=1) with a
+    # row-preserving OPTIMIZE commit after every 2nd (ADVICE r10: the
+    # compaction is op="optimize", not "overwrite", so incremental
+    # readers keep working across the boundary)
+    assert ops.count("optimize") == 2, h
     assert ops.count("append") == 4, h
 
     want = sorted(
@@ -991,3 +993,13 @@ def test_stream_auto_optimize_compacts_and_replays_exactly_once(
     assert v1 == v2 == tip
     assert [m["version"] for m in history(table)] == [m["version"] for m in h]
     assert read_version(spark, table).count() == len(want)
+
+    # the optimized lineage stays incrementally consumable: the delta
+    # since v1 is exactly the rows appended after the first batch
+    from etl_dag_spark.sources.versions import read_version_delta
+
+    first = set(r.doc_id for r in read_version(spark, table, 1).collect())
+    delta = read_version_delta(spark, table, 1)
+    assert sorted(r.doc_id for r in delta.select("doc_id").collect()) == sorted(
+        d for d in want if d not in first
+    )

@@ -247,6 +247,48 @@ def test_compact_version_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert len(_rows(read_version(spark, path, 5))) == 5
 
 
+def test_incremental_reads_survive_an_optimize_boundary(spark, tmp_path):
+    """ADVICE r10: OPTIMIZE commits op="optimize" (row-preserving,
+    Delta dataChange=false), so read_version_delta / cdc_rows keep
+    working across a compaction instead of raising — the delta is the
+    union of each append's own file additions, never the rewrite."""
+    path = str(tmp_path / "opt_delta_tbl")
+    for i in range(3):  # v1 (overwrite) + v2, v3 (appends)
+        write_version(
+            spark.createDataFrame([(i, f"v{i}")], "k int, v string"),
+            path,
+            op="append" if i else "overwrite",
+        )
+    from etl_dag_spark.sources.versions import (
+        cdc_rows,
+        compact_version,
+        history,
+        read_version_delta,
+    )
+
+    assert compact_version(spark, path, target_files=1) == 4
+    write_version(
+        spark.createDataFrame([(9, "v9")], "k int, v string"), path, op="append"
+    )  # v5
+    assert history(path)[-2]["op"] == "optimize"
+    # spans the optimize: appended rows only, no rewritten-file rows
+    assert _rows(read_version_delta(spark, path, 1)) == [
+        (1, "v1"), (2, "v2"), (9, "v9"),
+    ]
+    # ends AT the optimize: the appends before it, nothing from it
+    assert _rows(read_version_delta(spark, path, 1, 4)) == [(1, "v1"), (2, "v2")]
+    # starts at the optimize: only the post-compaction append
+    assert _rows(read_version_delta(spark, path, 4)) == [(9, "v9")]
+    # CDC fast path treats the lineage as row-preserving
+    assert sorted(
+        (r.k, r.v, r._change_type) for r in cdc_rows(spark, path, 3).collect()
+    ) == [(9, "v9", "insert")]
+    # a true overwrite still refuses
+    write_version(spark.createDataFrame([(0, "z")], "k int, v string"), path)
+    with pytest.raises(ValueError, match="overwrite"):
+        read_version_delta(spark, path, 1)
+
+
 def test_cdc_append_only_fast_path_is_all_inserts(spark, tmp_path):
     path = str(tmp_path / "cdc_app")
     write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
