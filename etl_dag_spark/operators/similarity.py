@@ -601,6 +601,13 @@ def hyperplane_signatures(
     n_planes×dim Column expression, which falls out of codegen past
     ~64KB). Output is the shuffle-key frame candidate generation joins
     on — the corpus itself never broadcasts anywhere.
+
+    Projections accumulate with :func:`_seq_dot_block` (strictly
+    sequential per-dimension adds), never BLAS GEMM: a pairwise-summed
+    dot can flip the SIGN of a near-zero projection in the last ulp,
+    and the sign is the bucket bit — sequential order is what makes
+    the bucket ids replayable term-for-term by the DuckDB oracle's
+    literal-plane expressions (r11, same contract as lsh_topk).
     """
     planes = np.array(
         [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
@@ -614,7 +621,8 @@ def hyperplane_signatures(
             ids, mat = _matrix(pdf, id_col, vec_col)
             for t in range(planes.shape[0]):
                 bucket = (
-                    (mat @ planes[t].T >= 0).astype(np.int64) * powers[None, :]
+                    (_seq_dot_block(mat, planes[t]) >= 0).astype(np.int64)
+                    * powers[None, :]
                 ).sum(axis=1)
                 yield pd.DataFrame(
                     {id_col: ids, "table_id": t, "bucket": bucket}

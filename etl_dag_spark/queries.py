@@ -1047,7 +1047,116 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.replicate_near_dups(base, copies=8, noise=0.1)
 
 
-@register("dedup_embedding_cosine_lsh")  # LSH candidates → rows-only; agreement + pruning in pytest
+_M64 = "18446744073709551616"
+
+
+def _splitmix_sql(key_expr: str) -> str:
+    """DuckDB replay of replicate_near_dups' splitmix-style uint64
+    hash, bit-exact: multiplication mod 2^64 is decomposed into 32-bit
+    halves in HUGEINT (DuckDB integer arithmetic raises on overflow
+    rather than wrapping), xor/shift run directly on HUGEINT."""
+
+    def mulmod(a: str, m: int) -> str:
+        return (
+            f"(((({a}) % 4294967296) * {m} + "
+            f"((((({a}) // 4294967296) * {m}) % 4294967296) * 4294967296)) % {_M64})"
+        )
+
+    def x33(a: str) -> str:
+        return f"xor(({a}), (({a}) >> 33))"
+
+    return x33(
+        mulmod(
+            x33(mulmod(x33(key_expr), 0xFF51AFD7ED558CCD)),
+            0xC4CEB9FE1A85EC53,
+        )
+    )
+
+
+def _cosine_lsh_oracle_sql(
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    copies: int = 8,
+    noise: float = 0.1,
+    base_cap: int = 1_250,
+    id_stride: int = 1_000_000,
+) -> str:
+    """DuckDB replay of the ENTIRE embedding-near-dup LSH pipeline,
+    INCLUDING the planted corpus: the synthesis (similarity.py::
+    replicate_near_dups) is a pure function of (id, replica, dim) — a
+    splitmix uint64 hash → multiplicative float32 perturbation — so the
+    oracle rebuilds the exact corpus with HUGEINT mod-2^64 arithmetic
+    (bit-equality of every float32 proven in pytest), then replays the
+    hyperplane signatures as literal-plane sequential dots (the same
+    contract _ann_lsh_oracle_sql proved in r10; the operator's
+    signature pass accumulates with _seq_dot_block, never BLAS, so the
+    near-zero sign bits agree), the any-table bucket-share candidate
+    join (as a UNION of per-table equi-joins), and the sequential
+    cosine verify + round-6 threshold of cosine_pairs."""
+    from etl_dag_spark.operators.similarity import _hyperplanes
+
+    def dot_lit(vec: str, plane: list[float]) -> str:
+        terms = " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {p:.17e}"
+            for i, p in enumerate(plane)
+        )
+        return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+    def bucket(vec: str, t: int) -> str:
+        planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
+        cases = " + ".join(
+            f"CASE WHEN {dot_lit(vec, planes[p])} >= 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        return f"({cases})"
+
+    sig_selects = "\nUNION ALL\n".join(
+        f"SELECT cid, {t} AS table_id, {bucket('emb', t)} AS bucket FROM corpus"
+        for t in range(n_tables)
+    )
+    h = _splitmix_sql(
+        "CAST(e.vec_id*1000003 + r.r*7919 + i.i AS HUGEINT)"
+    )
+    return f"""
+WITH pert AS MATERIALIZED (
+  SELECT e.vec_id, r.r, i.i,
+         CASE WHEN r.r = 0 THEN CAST(e.embedding[i.i + 1] AS REAL)
+              ELSE CAST(CAST(e.embedding[i.i + 1] AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                   + CAST({noise:.17e} AS DOUBLE) * (CAST(2.0 AS DOUBLE)
+                     * (CAST({h} AS DOUBLE) / {_M64})
+                     - CAST(1.0 AS DOUBLE))) AS REAL)
+         END AS val
+  FROM embeddings e, range({copies}) r(r), range({dim}) i(i)
+  WHERE e.vec_id < {base_cap}
+),
+corpus AS MATERIALIZED (
+  SELECT r*{id_stride} + vec_id AS cid, list(val ORDER BY i) AS emb
+  FROM pert GROUP BY vec_id, r
+),
+sigs AS MATERIALIZED (
+  {sig_selects}
+),
+cand AS (
+  SELECT DISTINCT l.cid AS vec_id_a, r.cid AS vec_id_b
+  FROM sigs l JOIN sigs r
+    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.cid < r.cid
+),
+verified AS (
+  SELECT c.vec_id_a, c.vec_id_b,
+         round({cosine_sql('a.emb', 'b.emb')}, 6) AS sim
+  FROM cand c
+  JOIN corpus a ON a.cid = c.vec_id_a
+  JOIN corpus b ON b.cid = c.vec_id_b
+)
+SELECT vec_id_a, vec_id_b, sim FROM verified
+WHERE sim >= CAST({threshold} AS DOUBLE)
+"""
+
+
+@register("dedup_embedding_cosine_lsh", oracle=_cosine_lsh_oracle_sql())
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH bucket-join candidates +
     exact cosine verify — the 100 TB path for exact all-pairs cosine
@@ -1055,10 +1164,13 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs). Runs the realistic near-dup operating point:
     τ=0.95 over the planted corpus, 12 planes / 8 tables, where the
     bucket join admits ~1% of random pairs (~30-100× candidate pruning)
-    at ≥99% planted-pair recall. Pair agreement vs the exact twin
-    `dedup_embedding_cosine_nd_exact` is asserted ≥98% in pytest
-    (tests/test_dedup_recall.py::test_cosine_pairs_lsh_agreement*);
-    the bench pair demonstrates the wall-clock crossover vs exact
+    at ≥99% planted-pair recall. VALUE-EXACT oracled since r11 (VERDICT
+    r10 #3): _cosine_lsh_oracle_sql replays the splitmix corpus
+    synthesis, the literal-plane sequential bucket signs, the
+    any-table bucket join, and the rounded cosine verify bit-for-bit.
+    Pair agreement vs the exact twin `dedup_embedding_cosine_nd_exact`
+    stays asserted ≥98% in pytest (tests/test_dedup_recall.py); the
+    bench pair demonstrates the wall-clock crossover vs exact
     all-pairs on the same corpus."""
     return sim.cosine_pairs_lsh(
         _near_dup_corpus(spark, sf_dir),
@@ -12046,6 +12158,10 @@ _ROTATE_TO_FRONT = [
     "olap_ab_test", "olap_sales_trend", "olap_attribution_last_touch",
     "olap_attribution_linear", "olap_trending_parts",
     "etl_span_corruption",
+    # upgraded rows-only -> value-exact in r11 after the window was
+    # keyed (VERDICT r10 #3): first driver-hash evidence belongs in
+    # the r12 window right behind the r7 group above
+    "dedup_embedding_cosine_lsh",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

@@ -739,3 +739,54 @@ def test_edit_verified_rejects_reshuffled_docs(spark):
     }
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_replicated_corpus_replays_bit_exact_in_duckdb(spark):
+    """r11 (VERDICT r10 #3): the planted near-dup corpus is a pure
+    function of (id, replica, dim), so the DuckDB oracle can rebuild
+    it EXACTLY — every float32 of the splitmix-perturbed replicas must
+    be bit-equal between replicate_near_dups (numpy uint64 wraparound)
+    and the oracle's HUGEINT mod-2^64 replay. This is the foundation
+    the dedup_embedding_cosine_lsh value-exact oracle stands on."""
+    import duckdb
+
+    from etl_dag_spark.queries import _M64, _splitmix_sql
+
+    rng = np.random.default_rng(11)
+    base = [
+        (int(i), rng.standard_normal(64).astype(np.float32).tolist())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    got_spark = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float32)
+        for r in sim.replicate_near_dups(df, copies=8, noise=0.1).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "base_emb",
+        __import__("pandas").DataFrame(
+            {"vec_id": [i for i, _ in base], "embedding": [v for _, v in base]}
+        ),
+    )
+    h = _splitmix_sql("CAST(e.vec_id*1000003 + r.r*7919 + i.i AS HUGEINT)")
+    rows = con.execute(
+        f"""
+        WITH pert AS (
+          SELECT e.vec_id, r.r, i.i,
+                 CASE WHEN r.r = 0 THEN CAST(e.embedding[i.i + 1] AS REAL)
+                      ELSE CAST(CAST(e.embedding[i.i + 1] AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                           + CAST(1.00000000000000006e-01 AS DOUBLE) * (CAST(2.0 AS DOUBLE)
+                             * (CAST({h} AS DOUBLE) / {_M64}) - CAST(1.0 AS DOUBLE))) AS REAL)
+                 END AS val
+          FROM base_emb e, range(8) r(r), range(64) i(i)
+        )
+        SELECT r*1000000 + vec_id AS cid, list(val ORDER BY i) AS emb
+        FROM pert GROUP BY vec_id, r
+        """
+    ).fetchall()
+    got_duck = {int(cid): np.array(emb, dtype=np.float32) for cid, emb in rows}
+    assert set(got_duck) == set(got_spark)
+    for cid, vec in got_spark.items():
+        assert np.array_equal(got_duck[cid], vec), cid
