@@ -10182,6 +10182,71 @@ def etl_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_merge_versioned",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 13 = 0 THEN 999 ELSE 0 END AS price_cents,
+       CAST(CASE WHEN o_orderkey % 13 = 0 THEN 2 ELSE 1 END AS INT) AS ts
+FROM orders
+UNION ALL
+SELECT CAST(-o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+       CAST(floor(o_totalprice * 100) AS BIGINT), CAST(2 AS INT)
+FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey > 0
+""",
+)
+def etl_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a snapshot commit (sources/versions.py::
+    merge_version — the upsert verb of the Delta/Iceberg surface,
+    SURVEY §2 #146, r11): commit a base snapshot of orders through the
+    manifest log, merge an update batch (key%13 rows re-priced +999
+    cents at ts=2, key%101 rows re-keyed negative as inserts), and read
+    the resulting snapshot. The driver value-hashes the ENTIRE
+    machinery — touched-file discovery via the key⋈file scan, the
+    latest-wins rewrite of only those files, the op="merge" manifest
+    that shares untouched files with the parent — because any defect
+    in it changes the final table. The oracle states the same upsert
+    closed-form over the source rows. (Reference parity: the scale
+    form of ETL_DAG.py:206-229's truncate-and-load refresh.)
+
+    Scale shape: the rewrite is O(touched files), untouched files are
+    manifest-shared (never read, never copied); partial-rewrite file
+    sharing, CDC confinement, and txn replay no-ops are pinned in
+    tests/test_versions.py."""
+    from etl_dag_spark.sources import versions as ver
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+        F.lit(1).cast("int").alias("ts"),
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .withColumn("price_cents", F.col("price_cents") + F.lit(999))
+        .unionByName(
+            # -key stays distinct from every existing key only for
+            # strictly positive keys (-0 = 0 would collide)
+            o.where(
+                (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0)
+            ).withColumn("o_orderkey", -F.col("o_orderkey"))
+        )
+        .withColumn("ts", F.lit(2).cast("int"))
+    )
+
+    def build(path: str) -> None:
+        ver.write_version(o.repartition(8, "o_orderkey"), path)
+        ver.merge_version(
+            spark, path, updates, ["o_orderkey"], "ts",
+            txn_id="merge-1", writer_id="etl_merge_versioned",
+        )
+
+    path = _cached_version_table("etl_merge_versioned", sf_dir, build)
+    return ver.read_version(spark, path)
+
+
+@register(
     "text_suffix_dup_spans",
     oracle=f"""
 WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
@@ -12162,6 +12227,9 @@ _ROTATE_TO_FRONT = [
     # keyed (VERDICT r10 #3): first driver-hash evidence belongs in
     # the r12 window right behind the r7 group above
     "dedup_embedding_cosine_lsh",
+    # NEW oracled registrations in r11 (VERDICT r10 #4/#5): first
+    # driver-hash evidence queued r12 with the upgrade above
+    "etl_merge_versioned",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

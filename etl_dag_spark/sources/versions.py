@@ -110,6 +110,7 @@ def write_version(
     stats_cols: list[str] | None = None,
     txn_id: str | None = None,
     writer_id: str | None = None,
+    replace_files: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -123,6 +124,11 @@ def write_version(
     (:func:`read_version_delta`, :func:`cdc_rows`) skip it instead of
     refusing the lineage. Callers must uphold the row-identity claim —
     :func:`compact_version` is the in-repo writer.
+    ``op="merge"`` — partial rewrite: the new version is the parent
+    minus ``replace_files`` plus this frame; untouched files are
+    SHARED with the parent (never copied), and the manifest records
+    the replaced set so CDC can confine itself to the touched files.
+    :func:`merge_version` is the in-repo writer.
     ``stats_cols`` — record per-file min/max for these columns in the
     manifest (footer metadata only, no re-scan) so :func:`read_version`
     can prune files against a predicate before Spark opens them.
@@ -142,8 +148,12 @@ def write_version(
     shared across versions; the commit point is an atomic hard-link of
     a fully-written manifest, raced with retry (optimistic concurrency).
     """
-    if op not in ("overwrite", "append", "optimize"):
-        raise ValueError(f"op must be overwrite|append|optimize, got {op!r}")
+    if op not in ("overwrite", "append", "optimize", "merge"):
+        raise ValueError(
+            f"op must be overwrite|append|optimize|merge, got {op!r}"
+        )
+    if op == "merge" and replace_files is None:
+        raise ValueError("op='merge' requires replace_files (may be empty)")
     run_dir = os.path.join(path, _DATA, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(run_dir)
     new_files = sorted(
@@ -172,21 +182,34 @@ def write_version(
             if op == "append":
                 files = pm["files"] + files
                 stats = {**pm.get("stats", {}), **stats}
+            elif op == "merge":
+                dropped = set(replace_files or [])
+                kept = [f for f in pm["files"] if f not in dropped]
+                files = kept + files
+                # keep the parent's stats for shared files only
+                stats = {
+                    **{
+                        f: s
+                        for f, s in pm.get("stats", {}).items()
+                        if f not in dropped
+                    },
+                    **stats,
+                }
         if txn_id is not None:
             txns[writer_key] = txn_id
-        body = json.dumps(
-            {
-                "version": version,
-                "parent": parent,
-                "op": op,
-                "files": files,
-                "stats": stats,
-                "txn_id": txn_id,
-                "txns": txns,
-                "schema": df.schema.json(),
-            },
-            indent=1,
-        )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": files,
+            "stats": stats,
+            "txn_id": txn_id,
+            "txns": txns,
+            "schema": df.schema.json(),
+        }
+        if op == "merge":
+            manifest["replaced"] = sorted(replace_files or [])
+        body = json.dumps(manifest, indent=1)
         tmp = _manifest_path(path, version) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(body)
@@ -343,8 +366,8 @@ def read_version_delta(
                 continue  # row-preserving rewrite: no row delta
             else:
                 raise ValueError(
-                    f"version {v} is an overwrite: file diff != row diff; "
-                    "read the snapshot fully instead"
+                    f"version {v} is {m['op']!r}: file diff != row diff; "
+                    "use cdc_rows(key_cols=...) or read the snapshot fully"
                 )
     m_to = _load_manifest(path, to_version)
     schema = StructType.fromJson(json.loads(m_to["schema"]))
@@ -424,6 +447,106 @@ def compact_version(
     )
 
 
+def merge_version(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    latest_wins: bool = False,
+    stats_cols: list[str] | None = None,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+) -> int:
+    """MERGE INTO as a SNAPSHOT COMMIT — the upsert verb of the
+    Delta/Iceberg surface this table imitates, composing
+    ``sources/merge.py``'s latest-wins key merge with the manifest
+    protocol (VERDICT r10 #4; the scale form of the reference's
+    truncate-and-load refresh, ETL_DAG.py:206-229):
+
+    1. find the TOUCHED files — parent-snapshot files holding at least
+       one updated key (one column-pruned scan of the key columns plus
+       ``_metadata.file_path``; untouched files are never opened);
+    2. merge only those files' rows with ``updates`` via the same
+       ``_latest_per_key`` resolution ``merge_into_parquet`` uses
+       (``latest_wins=False`` = SQL MERGE: the update replaces the
+       target row; ``True`` = event-time: greatest ``order_col`` wins,
+       so out-of-order CDC replay is a no-op);
+    3. commit ``op="merge"``: the new manifest shares every untouched
+       file with the parent and records the replaced set, so time
+       travel is intact, the rewrite cost is O(touched), and
+       :func:`cdc_rows` confines its diff to the touched files.
+
+    ``txn_id``/``writer_id`` gate replays exactly like OPTIMIZE: a
+    re-run of the same merge batch is a manifest no-op. Keys must be
+    unique per snapshot (the MERGE contract). On an empty table the
+    deduplicated batch becomes version 1. Returns the version."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.sources.merge import _latest_per_key
+
+    if txn_id is not None:
+        versions = _versions(path)
+        if versions:
+            tip = _load_manifest(path, versions[-1])
+            if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
+                return versions[-1]
+    upd = updates.withColumn("__is_update", F.lit(1))
+    versions = _versions(path)
+    if not versions:
+        first = _latest_per_key(upd, key_cols, order_col, latest_wins)
+        return write_version(
+            first, path, op="overwrite", stats_cols=stats_cols,
+            txn_id=txn_id, writer_id=writer_id,
+        )
+    pm = _load_manifest(path, versions[-1])
+    schema = StructType.fromJson(json.loads(pm["schema"]))
+    current = spark.read.schema(schema).parquet(*pm["files"])
+    # one key-column scan finds the touched files; file count is
+    # manifest-bounded, so the collect is driver-safe at any SF
+    touched_rows = (
+        current.withColumn("__file", F.col("_metadata").getField("file_path"))
+        .join(updates.select(*key_cols).distinct(), key_cols, "inner")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
+    by_path = {f: f for f in pm["files"]}
+    missing = [f for f in touched if f not in by_path]
+    if missing:
+        raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
+    target = (
+        spark.read.schema(schema).parquet(*touched)
+        if touched
+        else spark.createDataFrame([], schema)
+    ).withColumn("__is_update", F.lit(0))
+    merged = _latest_per_key(
+        target.unionByName(upd.select(target.columns)),
+        key_cols,
+        order_col,
+        latest_wins,
+    )
+    # preserve manifest-stat pruning across the merge: rewrite files
+    # carry stats for the same columns the parent tracked (plus any
+    # newly requested), so read_version(between=...) keeps skipping
+    parent_stat_cols = sorted(
+        {c for per in pm.get("stats", {}).values() for c in per}
+    )
+    stats = sorted({*(stats_cols or []), *parent_stat_cols})
+    return write_version(
+        merged,
+        path,
+        op="merge",
+        stats_cols=stats or None,
+        txn_id=txn_id,
+        writer_id=writer_id,
+        replace_files=touched,
+    )
+
+
 def cdc_rows(
     spark: SparkSession,
     path: str,
@@ -439,13 +562,18 @@ def cdc_rows(
 
     Two plans, picked by lineage:
 
-    - **append-only lineage + any keys**: the fast path —
-      :func:`read_version_delta`'s file-list diff IS the insert set;
-      zero joins, zero shuffles, reads only delta files.
-    - **otherwise**: full-outer join of the two snapshots on
-      ``key_cols`` (one shuffle per side on the key); non-key column
-      inequality splits matches into update pre/post pairs. Keys must
-      be unique per snapshot — the caller's contract, same as MERGE.
+    - **row-preserving lineage (appends/optimizes) + any keys**: the
+      fast path — :func:`read_version_delta`'s file-list diff IS the
+      insert set; zero joins, zero shuffles, reads only delta files.
+    - **otherwise (merge/overwrite in range)**: full-outer join on
+      ``key_cols`` of the FILE-DIFF sides only — files the two
+      manifests do not share. Data files are immutable and keys unique
+      per snapshot (the caller's contract, same as MERGE), so a row in
+      a shared file is bit-identical in both snapshots and can appear
+      on neither side of any change: the diff is exact while reading
+      O(changed files), not O(table) — across a :func:`merge_version`
+      commit that is exactly the touched partitions (r11; the Delta
+      CDF-from-rewrites derivation).
     """
     from pyspark.sql import functions as F
 
@@ -464,9 +592,22 @@ def cdc_rows(
             "_change_type", F.lit("insert")
         )
     if not key_cols:
-        raise ValueError("overwrite lineage requires key_cols for row matching")
-    old = read_version(spark, path, from_version)
-    new = read_version(spark, path, to_version)
+        raise ValueError(
+            "merge/overwrite lineage requires key_cols for row matching"
+        )
+    m_from = _load_manifest(path, from_version)
+    m_to = _load_manifest(path, to_version)
+    old_files = sorted(set(m_from["files"]) - set(m_to["files"]))
+    new_files = sorted(set(m_to["files"]) - set(m_from["files"]))
+
+    def _side(files: list[str], manifest: dict) -> DataFrame:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    old = _side(old_files, m_from)
+    new = _side(new_files, m_to)
     val_cols = [c for c in new.columns if c not in key_cols]
     # row-presence markers survive NULL values in every data column
     o = old.select(

@@ -247,6 +247,96 @@ def test_compact_version_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert len(_rows(read_version(spark, path, 5))) == 5
 
 
+def test_merge_version_commits_upsert_as_snapshot(spark, tmp_path):
+    """VERDICT r10 #4: MERGE lands as a snapshot commit — touched files
+    are rewritten and replaced in the manifest, untouched files are
+    SHARED with the parent, time travel sees the pre-merge table, CDC
+    between the two versions is exactly the upserted keys, and a txn
+    replay of the same merge batch is a manifest no-op."""
+    from etl_dag_spark.sources.versions import (
+        cdc_rows,
+        history,
+        merge_version,
+        read_version_delta,
+    )
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", 1) for k in range(1, 7)], "k int, v string, ts int"
+    ).repartition(3, "k")
+    write_version(base, path)  # v1, 3 files
+    upd = spark.createDataFrame(
+        [(2, "V2", 5), (10, "v10", 5)], "k int, v string, ts int"
+    )
+    v = merge_version(
+        spark, path, upd, ["k"], "ts", txn_id="m-1", writer_id="W"
+    )
+    assert v == 2
+    after = {(r.k, r.v) for r in read_version(spark, path).collect()}
+    assert after == {(1, "v1"), (2, "V2"), (3, "v3"), (4, "v4"),
+                     (5, "v5"), (6, "v6"), (10, "v10")}
+    # time travel: the pre-merge snapshot is untouched
+    before = {(r.k, r.v) for r in read_version(spark, path, 1).collect()}
+    assert before == {(k, f"v{k}") for k in range(1, 7)}
+    # untouched files are shared between the manifests, replaced ones
+    # recorded and dropped
+    import json as _json
+
+    m1 = _json.load(open(f"{path}/_manifests/v00000001.json"))
+    m2 = _json.load(open(f"{path}/_manifests/v00000002.json"))
+    assert m2["op"] == "merge"
+    assert set(m2["replaced"]) <= set(m1["files"])
+    shared = set(m1["files"]) & set(m2["files"])
+    assert shared == set(m1["files"]) - set(m2["replaced"])
+    assert len(m2["replaced"]) < len(m1["files"])  # partial rewrite
+    # CDC across the merge: exactly the upserted keys, touched files only
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cdc_rows(spark, path, 1, 2, key_cols=["k"]).collect()
+    )
+    assert got == [
+        (2, "V2", "update_postimage"),
+        (2, "v2", "update_preimage"),
+        (10, "v10", "insert"),
+    ]
+    # merge lineage refuses the insert-only file diff
+    with pytest.raises(ValueError, match="merge"):
+        read_version_delta(spark, path, 1)
+    # crash replay of the same merge batch: manifest no-op
+    v_replay = merge_version(
+        spark, path, upd, ["k"], "ts", txn_id="m-1", writer_id="W"
+    )
+    assert v_replay == 2
+    assert [m["version"] for m in history(path)] == [1, 2]
+    # merging into an empty table seeds version 1 with the deduped batch
+    p2 = str(tmp_path / "merge_fresh")
+    assert merge_version(spark, p2, upd, ["k"], "ts") == 1
+    assert {(r.k, r.v) for r in read_version(spark, p2).collect()} == {
+        (2, "V2"), (10, "v10"),
+    }
+
+
+def test_merge_version_preserves_manifest_stat_pruning(spark, tmp_path):
+    """A merge rewrite keeps per-file min/max stats for the columns the
+    parent tracked, so read_version(between=...) still prunes files at
+    the manifest level after an upsert."""
+    from etl_dag_spark.sources.versions import merge_version
+
+    path = str(tmp_path / "merge_stats_tbl")
+    base = spark.createDataFrame(
+        [(k, k * 10, 1) for k in range(1, 9)], "k int, x int, ts int"
+    ).repartitionByRange(4, "k")
+    write_version(base, path, stats_cols=["k"])
+    upd = spark.createDataFrame([(3, 999, 5)], "k int, x int, ts int")
+    v = merge_version(spark, path, upd, ["k"], "ts")
+    narrow = read_version(spark, path, v, between=("k", 7, 8))
+    assert len(narrow.inputFiles()) < len(
+        read_version(spark, path, v).inputFiles()
+    )
+    assert {r.k for r in narrow.collect()} == {7, 8}
+    assert {r.x for r in read_version(spark, path, v, between=("k", 3, 3)).collect()} == {999}
+
+
 def test_incremental_reads_survive_an_optimize_boundary(spark, tmp_path):
     """ADVICE r10: OPTIMIZE commits op="optimize" (row-preserving,
     Delta dataChange=false), so read_version_delta / cdc_rows keep
