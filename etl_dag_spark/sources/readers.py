@@ -83,12 +83,29 @@ def read_evolved(
     legacy-only fields are dropped by the final projection, which also
     fixes column order.
     """
-    from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
 
     if isinstance(target_schema, str):
         target_schema = _parse_datatype_string(target_schema)
     df = spark.read.format(fmt).option("mergeSchema", "true").load(path)
+    return reconcile_frame(df, target_schema, rename, defaults)
+
+
+def reconcile_frame(
+    df: DataFrame,
+    target_schema: StructType,
+    rename: Mapping[str, str] | None = None,
+    defaults: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """The reconciliation core of :func:`read_evolved`, applicable to
+    any already-loaded frame (e.g. a versioned table's mergeSchema read
+    over an explicit file list, sources/versions.py): legacy names map
+    through ``rename`` (COALESCE when both generations coexist, new
+    wins), missing target fields materialize as ``defaults`` or typed
+    NULLs, every column casts to its target type, and the final
+    projection drops legacy-only fields and fixes column order."""
+    from pyspark.sql import functions as F
+
     for old, new in (rename or {}).items():
         if old in df.columns and new in df.columns:
             df = df.withColumn(

@@ -111,6 +111,7 @@ def write_version(
     txn_id: str | None = None,
     writer_id: str | None = None,
     replace_files: list[str] | None = None,
+    rename: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -129,6 +130,20 @@ def write_version(
     SHARED with the parent (never copied), and the manifest records
     the replaced set so CDC can confine itself to the touched files.
     :func:`merge_version` is the in-repo writer.
+    ``rename`` — SCHEMA EVOLUTION (r11): declare that this commit
+    renames existing columns (``{old_name: new_name}``). ``df`` must
+    already carry the new names; history is NOT rewritten — at 100 TB
+    it cannot be. The manifest records the CUMULATIVE legacy→current
+    map (composed through every prior rename) plus an ``evolved`` flag
+    whenever the version's file set may contain files written under an
+    older schema (a rename, or an append/merge whose schema differs
+    from the parent's — e.g. an added column). :func:`read_version`
+    reconciles such versions through the ``read_evolved`` machinery;
+    every version still reads with ITS OWN manifest schema, so time
+    travel across the change is exact. An ``op="overwrite"`` or
+    ``op="optimize"`` rewrites every file under the current schema and
+    therefore RESETS the map — OPTIMIZE doubles as schema-debt
+    compaction.
     ``stats_cols`` — record per-file min/max for these columns in the
     manifest (footer metadata only, no re-scan) so :func:`read_version`
     can prune files against a predicate before Spark opens them.
@@ -154,6 +169,15 @@ def write_version(
         )
     if op == "merge" and replace_files is None:
         raise ValueError("op='merge' requires replace_files (may be empty)")
+    if rename:
+        bad = [n for o, n in rename.items() if n not in df.columns]
+        if bad:
+            raise ValueError(f"rename targets not in df: {sorted(bad)}")
+        if op in ("overwrite", "optimize"):
+            raise ValueError(
+                "rename is meaningless on a full rewrite: the frame "
+                "already defines the schema; commit without rename"
+            )
     run_dir = os.path.join(path, _DATA, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(run_dir)
     new_files = sorted(
@@ -171,6 +195,10 @@ def write_version(
         stats = dict(new_stats)
         writer_key = writer_id or "_default"
         txns: dict[str, str] = {}
+        # full rewrites leave no legacy-schema file behind; appends and
+        # merges inherit the parent's schema debt and may add to it
+        renames: dict[str, str] = {}
+        evolved = False
         if parent:
             pm = _load_manifest(path, parent)
             txns = dict(pm.get("txns") or {})
@@ -179,6 +207,22 @@ def write_version(
                 txns = {"_default": pm["txn_id"]}
             if txn_id is not None and txns.get(writer_key) == txn_id:
                 return parent  # replayed commit: already applied
+            if op in ("append", "merge"):
+                # compose the cumulative legacy→current map: an ancient
+                # name that mapped to a parent-current name now renamed
+                # follows the new rename to ITS current name
+                parent_map = dict(pm.get("rename") or {})
+                this = dict(rename or {})
+                renames = {
+                    legacy: this.get(cur, cur)
+                    for legacy, cur in parent_map.items()
+                }
+                renames.update(this)
+                evolved = bool(
+                    pm.get("evolved")
+                    or renames
+                    or pm["schema"] != df.schema.json()
+                )
             if op == "append":
                 files = pm["files"] + files
                 stats = {**pm.get("stats", {}), **stats}
@@ -209,6 +253,10 @@ def write_version(
         }
         if op == "merge":
             manifest["replaced"] = sorted(replace_files or [])
+        if renames:
+            manifest["rename"] = renames
+        if evolved:
+            manifest["evolved"] = True
         body = json.dumps(manifest, indent=1)
         tmp = _manifest_path(path, version) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -244,7 +292,17 @@ def read_version(
     laid out by the stats column (a range write or z-order), a narrow
     predicate reads a handful of files instead of launching a scan task
     per file — pruning at the MANIFEST level, upstream of even parquet
-    row-group skipping. Files without stats are conservatively kept."""
+    row-group skipping. Files without stats are conservatively kept.
+
+    SCHEMA EVOLUTION (r11): a version whose manifest carries the
+    ``evolved`` flag may list files written under older schemas (added
+    or renamed columns — history is never rewritten). Those versions
+    read through a mergeSchema footer union + the ``read_evolved``
+    reconciliation (legacy names map through the manifest's cumulative
+    ``rename``, missing fields become typed NULLs, everything casts to
+    the version's own schema). Non-evolved versions keep the pinned
+    single-schema fast path; every version reads with ITS OWN manifest
+    schema, so time travel across the change is exact."""
     versions = _versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -268,7 +326,13 @@ def read_version(
         ]
     if not files:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*files)
+    if m.get("evolved"):
+        from etl_dag_spark.sources.readers import reconcile_frame
+
+        raw = spark.read.option("mergeSchema", "true").parquet(*files)
+        df = reconcile_frame(raw, schema, m.get("rename") or {})
+    else:
+        df = spark.read.schema(schema).parquet(*files)
     if between is not None:
         from pyspark.sql import functions as F
 
@@ -355,13 +419,15 @@ def read_version_delta(
     versions = _versions(path)
     if to_version is None:
         to_version = versions[-1]
-    new_files: list[str] = []
+    per_version: list[tuple[dict, list[str]]] = []
     for v in versions:
         if from_version < v <= to_version:
             m = _load_manifest(path, v)
             if m["op"] == "append":
                 parent_files = set(_load_manifest(path, m["parent"])["files"])
-                new_files.extend(f for f in m["files"] if f not in parent_files)
+                added = [f for f in m["files"] if f not in parent_files]
+                if added:
+                    per_version.append((m, added))
             elif m["op"] == "optimize":
                 continue  # row-preserving rewrite: no row delta
             else:
@@ -371,9 +437,31 @@ def read_version_delta(
                 )
     m_to = _load_manifest(path, to_version)
     schema = StructType.fromJson(json.loads(m_to["schema"]))
-    if not new_files:
+    if not per_version:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*sorted(new_files))
+    if not m_to.get("evolved"):
+        all_files = sorted(f for _, fs in per_version for f in fs)
+        return spark.read.schema(schema).parquet(*all_files)
+    # evolved lineage: each append's files were written under ITS
+    # schema — read them with it (pinned, no footer union), then map
+    # legacy names through the tip's cumulative rename and cast to the
+    # tip schema (r11 schema evolution; readers.reconcile_frame)
+    from functools import reduce
+
+    from etl_dag_spark.sources.readers import reconcile_frame
+
+    rename = m_to.get("rename") or {}
+    parts = [
+        reconcile_frame(
+            spark.read.schema(
+                StructType.fromJson(json.loads(m["schema"]))
+            ).parquet(*sorted(fs)),
+            schema,
+            rename,
+        )
+        for m, fs in per_version
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def compact_version(
@@ -503,11 +591,33 @@ def merge_version(
         )
     pm = _load_manifest(path, versions[-1])
     schema = StructType.fromJson(json.loads(pm["schema"]))
-    current = spark.read.schema(schema).parquet(*pm["files"])
+
+    def _read_current(files: list[str]) -> DataFrame:
+        """Snapshot files + their origin path; reconciles an evolved
+        parent (legacy-schema files) exactly like read_version."""
+        from pyspark.sql.types import StringType, StructField
+
+        raw = (
+            spark.read.option("mergeSchema", "true").parquet(*files)
+            if pm.get("evolved")
+            else spark.read.schema(schema).parquet(*files)
+        ).withColumn("__file", F.col("_metadata").getField("file_path"))
+        if pm.get("evolved"):
+            from etl_dag_spark.sources.readers import reconcile_frame
+
+            raw = reconcile_frame(
+                raw,
+                StructType(
+                    [*schema.fields, StructField("__file", StringType())]
+                ),
+                pm.get("rename") or {},
+            )
+        return raw
+
     # one key-column scan finds the touched files; file count is
     # manifest-bounded, so the collect is driver-safe at any SF
     touched_rows = (
-        current.withColumn("__file", F.col("_metadata").getField("file_path"))
+        _read_current(pm["files"])
         .join(updates.select(*key_cols).distinct(), key_cols, "inner")
         .select("__file")
         .distinct()
@@ -519,7 +629,7 @@ def merge_version(
     if missing:
         raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
     target = (
-        spark.read.schema(schema).parquet(*touched)
+        _read_current(touched).drop("__file")
         if touched
         else spark.createDataFrame([], schema)
     ).withColumn("__is_update", F.lit(0))
@@ -600,14 +710,25 @@ def cdc_rows(
     old_files = sorted(set(m_from["files"]) - set(m_to["files"]))
     new_files = sorted(set(m_to["files"]) - set(m_from["files"]))
 
-    def _side(files: list[str], manifest: dict) -> DataFrame:
-        schema = StructType.fromJson(json.loads(manifest["schema"]))
-        if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+    # both sides land on the TO schema so the change classification
+    # compares like columns: across a schema evolution the old side's
+    # legacy names map through the tip's cumulative rename and fields
+    # added since read as typed NULLs
+    to_schema = StructType.fromJson(json.loads(m_to["schema"]))
+    heterogeneous = m_to.get("evolved") or m_from["schema"] != m_to["schema"]
 
-    old = _side(old_files, m_from)
-    new = _side(new_files, m_to)
+    def _side(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], to_schema)
+        if heterogeneous:
+            from etl_dag_spark.sources.readers import reconcile_frame
+
+            raw = spark.read.option("mergeSchema", "true").parquet(*files)
+            return reconcile_frame(raw, to_schema, m_to.get("rename") or {})
+        return spark.read.schema(to_schema).parquet(*files)
+
+    old = _side(old_files)
+    new = _side(new_files)
     val_cols = [c for c in new.columns if c not in key_cols]
     # row-presence markers survive NULL values in every data column
     o = old.select(

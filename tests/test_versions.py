@@ -337,6 +337,118 @@ def test_merge_version_preserves_manifest_stat_pruning(spark, tmp_path):
     assert {r.x for r in read_version(spark, path, v, between=("k", 3, 3)).collect()} == {999}
 
 
+def test_schema_evolution_added_and_renamed_columns(spark, tmp_path):
+    """VERDICT r10 #5: commit an append that ADDS a column and one that
+    RENAMES a column without rewriting history — old snapshots read
+    with their own schema, the latest reads the reconciled union
+    (legacy files' renamed values carried, missing fields as NULLs),
+    and the manifest records per-version schema + the cumulative
+    rename map."""
+    import json as _json
+
+    from etl_dag_spark.sources.versions import read_version_delta
+
+    path = str(tmp_path / "evolve_tbl")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )  # v1: (k, v)
+    # v2: append ADDS column 'score'
+    write_version(
+        spark.createDataFrame([(3, "c", 30)], "k int, v string, score int"),
+        path,
+        op="append",
+    )
+    # v3: append RENAMES v -> label (and keeps score)
+    write_version(
+        spark.createDataFrame(
+            [(4, "d", 40)], "k int, label string, score int"
+        ),
+        path,
+        op="append",
+        rename={"v": "label"},
+    )
+    # old snapshots read with their OWN schema
+    assert sorted(read_version(spark, path, 1).columns) == ["k", "v"]
+    assert _rows(read_version(spark, path, 1)) == [(1, "a"), (2, "b")]
+    v2 = read_version(spark, path, 2)
+    assert sorted(v2.columns) == ["k", "score", "v"]
+    assert sorted((r.k, r.v, r.score) for r in v2.collect()) == [
+        (1, "a", None), (2, "b", None), (3, "c", 30),
+    ]
+    # the latest reads the union under the CURRENT names: legacy 'v'
+    # values surface as 'label', pre-'score' rows as NULL
+    tip = read_version(spark, path)
+    assert sorted(tip.columns) == ["k", "label", "score"]
+    assert sorted((r.k, r.label, r.score) for r in tip.collect()) == [
+        (1, "a", None), (2, "b", None), (3, "c", 30), (4, "d", 40),
+    ]
+    # manifests: per-version schema + cumulative rename map
+    m2 = _json.load(open(f"{path}/_manifests/v00000002.json"))
+    m3 = _json.load(open(f"{path}/_manifests/v00000003.json"))
+    assert m2["evolved"] and "rename" not in m2
+    assert m3["rename"] == {"v": "label"}
+    assert "label" in m3["schema"] and "label" not in m2["schema"]
+    # incremental read across the evolution: each append under its own
+    # schema, reconciled to the tip's
+    delta = read_version_delta(spark, path, 1)
+    assert sorted((r.k, r.label, r.score) for r in delta.collect()) == [
+        (3, "c", 30), (4, "d", 40),
+    ]
+
+
+def test_schema_evolution_merge_and_optimize_reset(spark, tmp_path):
+    """A merge into an evolved table reconciles legacy files before the
+    keyed rewrite; an OPTIMIZE rewrites every file under the current
+    schema and RESETS the schema debt (evolved flag + rename map),
+    restoring the pinned-schema fast read path."""
+    import json as _json
+
+    from etl_dag_spark.sources.versions import compact_version, merge_version
+
+    path = str(tmp_path / "evolve_merge_tbl")
+    write_version(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, ts int"),
+        path,
+    )
+    write_version(
+        spark.createDataFrame(
+            [(3, "c", 1, 30)], "k int, label string, ts int, score int"
+        ),
+        path,
+        op="append",
+        rename={"v": "label"},
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 5, 20), (9, "z", 5, 90)], "k int, label string, ts int, score int"
+    )
+    v = merge_version(spark, path, upd, ["k"], "ts")
+    got = sorted(
+        (r.k, r.label, r.score) for r in read_version(spark, path, v).collect()
+    )
+    assert got == [(1, "a", None), (2, "B", 20), (3, "c", 30), (9, "z", 90)]
+    m = _json.load(open(f"{path}/_manifests/v{v:08d}.json"))
+    assert m["evolved"] and m["rename"] == {"v": "label"}  # debt persists
+    # CDC across the evolved merge: exactly the upserted keys, with the
+    # old side's legacy names mapped to the tip's
+    from etl_dag_spark.sources.versions import cdc_rows
+
+    changes = sorted(
+        (r.k, r.label, r.score, r._change_type)
+        for r in cdc_rows(spark, path, 2, v, key_cols=["k"]).collect()
+    )
+    assert changes == [
+        (2, "B", 20, "update_postimage"),
+        (2, "b", None, "update_preimage"),
+        (9, "z", 90, "insert"),
+    ]
+    v2 = compact_version(spark, path, target_files=1)
+    m2 = _json.load(open(f"{path}/_manifests/v{v2:08d}.json"))
+    assert "evolved" not in m2 and "rename" not in m2  # debt compacted
+    assert sorted(
+        (r.k, r.label, r.score) for r in read_version(spark, path, v2).collect()
+    ) == got
+
+
 def test_incremental_reads_survive_an_optimize_boundary(spark, tmp_path):
     """ADVICE r10: OPTIMIZE commits op="optimize" (row-preserving,
     Delta dataChange=false), so read_version_delta / cdc_rows keep
