@@ -318,12 +318,21 @@ def read_version(
     if between is not None and files:
         col, lo, hi = between
         stats = m.get("stats", {})
-        files = [
-            f
-            for f in files
-            if col not in stats.get(f, {})
-            or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+        # legacy files may carry the stat under a pre-rename name: any
+        # name the cumulative map sends to `col` counts (r11); files
+        # with no stat under any alias stay, conservatively
+        aliases = [col] + [
+            legacy
+            for legacy, cur in (m.get("rename") or {}).items()
+            if cur == col
         ]
+
+        def _keep(f: str) -> bool:
+            per = stats.get(f, {})
+            rng = next((per[a] for a in aliases if a in per), None)
+            return rng is None or not (rng[1] < lo or rng[0] > hi)
+
+        files = [f for f in files if _keep(f)]
     if not files:
         return spark.createDataFrame([], schema)
     if m.get("evolved"):

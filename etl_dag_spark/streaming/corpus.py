@@ -525,6 +525,59 @@ def stream_versioned_ingest(
     )
 
 
+def stream_merge_ingest(
+    updates_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    latest_wins: bool = True,
+    stats_cols: list[str] | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming CDC-UPSERT ingest into the snapshot-versioned table —
+    the streaming twin of ``sources/versions.py::merge_version`` and
+    the Delta `foreachBatch` + MERGE pattern (r11): every micro-batch
+    of keyed updates lands as ONE ``op="merge"`` snapshot commit that
+    rewrites only the files holding updated keys and shares every
+    untouched file with the parent. The default ``latest_wins=True``
+    gives event-time semantics — the greatest ``order_col`` wins per
+    key regardless of arrival order, so an out-of-order or replayed
+    CDC feed converges to the same table.
+
+    Exactly-once rides the same per-writer txn protocol as
+    ``stream_versioned_ingest``: each commit is tagged
+    ``txn_id=f"merge-{batch_id}"`` under a checkpoint-derived
+    ``writer_id``, so a crash-replayed batch is a manifest-level no-op.
+    Every batch boundary is a time-travelable snapshot, and
+    ``cdc_rows(v-1, v)`` shows exactly that batch's upserts reading
+    only the touched files."""
+    from etl_dag_spark.sources.versions import merge_version
+
+    writer = f"stream-merge:{os.path.abspath(checkpoint_dir)}"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_version(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            key_cols=key_cols,
+            order_col=order_col,
+            latest_wins=latest_wins,
+            stats_cols=stats_cols,
+            txn_id=f"merge-{batch_id}",
+            writer_id=writer,
+        )
+
+    return (
+        updates_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_category_counts(
     docs_stream: DataFrame,
     store_path: str,

@@ -1003,3 +1003,75 @@ def test_stream_auto_optimize_compacts_and_replays_exactly_once(
     assert sorted(r.doc_id for r in delta.select("doc_id").collect()) == sorted(
         d for d in want if d not in first
     )
+
+
+def test_stream_merge_ingest_upserts_exactly_once(spark, tmp_path):
+    """r11: streaming CDC-upsert ingest — every micro-batch lands as an
+    op="merge" snapshot commit (touched files rewritten, rest shared),
+    latest_wins resolves an out-of-order stale update to a no-op, CDC
+    between batch boundaries shows exactly that batch's upserts, and a
+    crash-replayed batch is a manifest no-op."""
+    import os as _os
+    import time as _time
+
+    from etl_dag_spark.sources.versions import (
+        cdc_rows,
+        history,
+        merge_version,
+        read_version,
+    )
+    from etl_dag_spark.streaming.corpus import stream_merge_ingest
+
+    src = str(tmp_path / "upd_src")
+    table = str(tmp_path / "merge_table")
+    ckpt = str(tmp_path / "merge_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k int, v string, ts int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write([(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, "d", 1)])
+    _time.sleep(1.05)
+    # updates: k2/k3 re-valued at ts=2, k9 inserted, and a STALE k4
+    # (ts=0) that must lose to the stored ts=1 row under latest_wins
+    write([(2, "B", 2), (3, "C", 2), (9, "z", 2), (4, "stale", 0)])
+
+    stream = (
+        spark.readStream.schema("k int, v string, ts int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_merge_ingest(stream, table, ckpt, ["k"], "ts")
+    q.awaitTermination(180)
+
+    assert [m["op"] for m in history(table)] == ["overwrite", "merge"]
+    got = sorted((r.k, r.v, r.ts) for r in read_version(spark, table).collect())
+    assert got == [
+        (1, "a", 1), (2, "B", 2), (3, "C", 2), (4, "d", 1), (9, "z", 2),
+    ]
+    # CDC between the batch boundaries: exactly batch 1's effective
+    # upserts — the stale k4 write is invisible (value unchanged)
+    changes = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cdc_rows(spark, table, 1, 2, key_cols=["k"]).collect()
+    )
+    assert changes == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "C", "update_postimage"),
+        (3, "c", "update_preimage"),
+        (9, "z", "insert"),
+    ]
+    # crash replay of the last merge batch: manifest no-op
+    writer = f"stream-merge:{_os.path.abspath(ckpt)}"
+    upd = spark.createDataFrame(
+        [(2, "B", 2), (3, "C", 2), (9, "z", 2), (4, "stale", 0)],
+        "k int, v string, ts int",
+    )
+    v = merge_version(
+        spark, table, upd, ["k"], "ts", latest_wins=True,
+        txn_id="merge-1", writer_id=writer,
+    )
+    assert v == 2
+    assert [m["version"] for m in history(table)] == [1, 2]
