@@ -10247,6 +10247,68 @@ def etl_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_delete_versioned",
+    oracle="""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS c,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+)
+SELECT k AS o_orderkey, c AS o_custkey, p AS price_cents,
+       CAST(2 AS INT) AS snapshot
+FROM src WHERE NOT (k % 7 = 0)
+UNION ALL
+SELECT k, c, p, CAST(4 AS INT) FROM src WHERE NOT (p % 10 < 3)
+""",
+)
+def etl_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + RESTORE as snapshot commits (sources/versions.py::
+    delete_version / restore_version — the last mutation verbs of the
+    Delta/Iceberg surface, SURVEY §2 #146, r11): commit orders as v1,
+    DELETE every key%7==0 row (v2, touched-file partial rewrite),
+    RESTORE to v1 (v3, manifest-only — zero data copied), then DELETE
+    on a different predicate (price_cents%10<3, v4). The returned
+    frame unions the v2 time-travel read with the tip — so the driver
+    value-hash certifies BOTH delete rewrites, the restore (v4 is only
+    right if v3 re-listed v1's files exactly), and time travel across
+    all four snapshots in one answer. The oracle states both deletes
+    closed-form over the source rows. (Reference parity: the rollback
+    story ETL_DAG.py:206-229's truncate-and-load cannot give; scale
+    posture: deletes rewrite O(touched files), restore is O(1) data.)
+    """
+    from etl_dag_spark.sources import versions as ver
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+    )
+
+    def build(path: str) -> None:
+        ver.write_version(o.repartition(8, "o_orderkey"), path)
+        ver.delete_version(
+            spark, path, F.col("o_orderkey") % 7 == 0,
+            txn_id="del-1", writer_id="etl_delete_versioned",
+        )
+        ver.restore_version(
+            path, 1, txn_id="res-1", writer_id="etl_delete_versioned"
+        )
+        ver.delete_version(
+            spark, path, F.col("price_cents") % 10 < 3,
+            txn_id="del-2", writer_id="etl_delete_versioned",
+        )
+
+    path = _cached_version_table("etl_delete_versioned", sf_dir, build)
+    v2 = ver.read_version(spark, path, 2).withColumn(
+        "snapshot", F.lit(2).cast("int")
+    )
+    tip = ver.read_version(spark, path).withColumn(
+        "snapshot", F.lit(4).cast("int")
+    )
+    return v2.unionByName(tip)
+
+
+@register(
     "text_suffix_dup_spans",
     oracle=f"""
 WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
@@ -12230,6 +12292,7 @@ _ROTATE_TO_FRONT = [
     # NEW oracled registrations in r11 (VERDICT r10 #4/#5): first
     # driver-hash evidence queued r12 with the upgrade above
     "etl_merge_versioned",
+    "etl_delete_versioned",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

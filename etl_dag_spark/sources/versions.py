@@ -130,6 +130,10 @@ def write_version(
     SHARED with the parent (never copied), and the manifest records
     the replaced set so CDC can confine itself to the touched files.
     :func:`merge_version` is the in-repo writer.
+    ``op="delete"`` — same partial-rewrite mechanics as merge (this
+    frame replaces ``replace_files``), recorded under its own verb so
+    ``history()`` reads honestly; :func:`delete_version` is the
+    in-repo writer.
     ``rename`` — SCHEMA EVOLUTION (r11): declare that this commit
     renames existing columns (``{old_name: new_name}``). ``df`` must
     already carry the new names; history is NOT rewritten — at 100 TB
@@ -163,12 +167,12 @@ def write_version(
     shared across versions; the commit point is an atomic hard-link of
     a fully-written manifest, raced with retry (optimistic concurrency).
     """
-    if op not in ("overwrite", "append", "optimize", "merge"):
+    if op not in ("overwrite", "append", "optimize", "merge", "delete"):
         raise ValueError(
-            f"op must be overwrite|append|optimize|merge, got {op!r}"
+            f"op must be overwrite|append|optimize|merge|delete, got {op!r}"
         )
-    if op == "merge" and replace_files is None:
-        raise ValueError("op='merge' requires replace_files (may be empty)")
+    if op in ("merge", "delete") and replace_files is None:
+        raise ValueError(f"op={op!r} requires replace_files (may be empty)")
     if rename:
         bad = [n for o, n in rename.items() if n not in df.columns]
         if bad:
@@ -207,7 +211,7 @@ def write_version(
                 txns = {"_default": pm["txn_id"]}
             if txn_id is not None and txns.get(writer_key) == txn_id:
                 return parent  # replayed commit: already applied
-            if op in ("append", "merge"):
+            if op in ("append", "merge", "delete"):
                 # compose the cumulative legacy→current map: an ancient
                 # name that mapped to a parent-current name now renamed
                 # follows the new rename to ITS current name
@@ -226,7 +230,7 @@ def write_version(
             if op == "append":
                 files = pm["files"] + files
                 stats = {**pm.get("stats", {}), **stats}
-            elif op == "merge":
+            elif op in ("merge", "delete"):
                 dropped = set(replace_files or [])
                 kept = [f for f in pm["files"] if f not in dropped]
                 files = kept + files
@@ -251,7 +255,7 @@ def write_version(
             "txns": txns,
             "schema": df.schema.json(),
         }
-        if op == "merge":
+        if op in ("merge", "delete"):
             manifest["replaced"] = sorted(replace_files or [])
         if renames:
             manifest["rename"] = renames
@@ -544,6 +548,32 @@ def compact_version(
     )
 
 
+def _read_snapshot_subset(
+    spark: SparkSession, pm: dict, files: list[str]
+) -> DataFrame:
+    """Read a subset of a snapshot's files under its manifest schema,
+    tagging each row's origin path as ``__file``; reconciles an evolved
+    parent (legacy-schema files) exactly like :func:`read_version`."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    schema = StructType.fromJson(json.loads(pm["schema"]))
+    raw = (
+        spark.read.option("mergeSchema", "true").parquet(*files)
+        if pm.get("evolved")
+        else spark.read.schema(schema).parquet(*files)
+    ).withColumn("__file", F.col("_metadata").getField("file_path"))
+    if pm.get("evolved"):
+        from etl_dag_spark.sources.readers import reconcile_frame
+
+        raw = reconcile_frame(
+            raw,
+            StructType([*schema.fields, StructField("__file", StringType())]),
+            pm.get("rename") or {},
+        )
+    return raw
+
+
 def merge_version(
     spark: SparkSession,
     path: str,
@@ -601,32 +631,10 @@ def merge_version(
     pm = _load_manifest(path, versions[-1])
     schema = StructType.fromJson(json.loads(pm["schema"]))
 
-    def _read_current(files: list[str]) -> DataFrame:
-        """Snapshot files + their origin path; reconciles an evolved
-        parent (legacy-schema files) exactly like read_version."""
-        from pyspark.sql.types import StringType, StructField
-
-        raw = (
-            spark.read.option("mergeSchema", "true").parquet(*files)
-            if pm.get("evolved")
-            else spark.read.schema(schema).parquet(*files)
-        ).withColumn("__file", F.col("_metadata").getField("file_path"))
-        if pm.get("evolved"):
-            from etl_dag_spark.sources.readers import reconcile_frame
-
-            raw = reconcile_frame(
-                raw,
-                StructType(
-                    [*schema.fields, StructField("__file", StringType())]
-                ),
-                pm.get("rename") or {},
-            )
-        return raw
-
     # one key-column scan finds the touched files; file count is
     # manifest-bounded, so the collect is driver-safe at any SF
     touched_rows = (
-        _read_current(pm["files"])
+        _read_snapshot_subset(spark, pm, pm["files"])
         .join(updates.select(*key_cols).distinct(), key_cols, "inner")
         .select("__file")
         .distinct()
@@ -638,7 +646,7 @@ def merge_version(
     if missing:
         raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
     target = (
-        _read_current(touched).drop("__file")
+        _read_snapshot_subset(spark, pm, touched).drop("__file")
         if touched
         else spark.createDataFrame([], schema)
     ).withColumn("__is_update", F.lit(0))
@@ -664,6 +672,167 @@ def merge_version(
         writer_id=writer_id,
         replace_files=touched,
     )
+
+
+def delete_version(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    stats_cols: list[str] | None = None,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+) -> int:
+    """DELETE FROM ... WHERE as a SNAPSHOT COMMIT — the remaining
+    mutation verb of the Delta/Iceberg surface next to
+    :func:`merge_version` (r11). SQL DELETE semantics: rows where
+    ``predicate`` is TRUE are removed; FALSE **and NULL** rows survive
+    (a bare ``where(~p)`` would silently delete NULL-predicate rows —
+    the same NULL trap as the erasure bug class).
+
+    1. touched-file discovery: ONE scan of the current snapshot
+       filtered by the predicate (Catalyst pushes it to the parquet
+       scan, so row-group stats skip clean files and only predicate
+       columns are read), collecting the distinct origin files;
+    2. rewrite ONLY those files without the matching rows;
+    3. commit ``op="delete"``: untouched files are shared with the
+       parent manifest (never read, never copied), the replaced set is
+       recorded, and :func:`cdc_rows` derives exact ``delete`` rows
+       from the touched-file diff.
+
+    ``predicate`` is a Column or a SQL string over the table's current
+    (post-rename) schema. ``txn_id``/``writer_id`` make replays a
+    manifest no-op, exactly like MERGE/OPTIMIZE. Returns the committed
+    version (the tip if the delete matched nothing — an empty delete
+    still commits, so the txn token lands and a replay stays a no-op).
+    """
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if txn_id is not None:
+        versions = _versions(path)
+        if versions:
+            tip = _load_manifest(path, versions[-1])
+            if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
+                return versions[-1]
+    versions = _versions(path)
+    if not versions:
+        raise ValueError(f"no committed version to delete from at {path}")
+    pm = _load_manifest(path, versions[-1])
+    schema = StructType.fromJson(json.loads(pm["schema"]))
+    touched_rows = (
+        _read_snapshot_subset(spark, pm, pm["files"])
+        .where(predicate)
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
+    by_path = set(pm["files"])
+    missing = [f for f in touched if f not in by_path]
+    if missing:
+        raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
+    remaining = (
+        _read_snapshot_subset(spark, pm, touched)
+        .where(~predicate | predicate.isNull())
+        .drop("__file")
+        if touched
+        else spark.createDataFrame([], schema)
+    )
+    # survivors keep manifest-stat pruning for the same columns the
+    # parent tracked (plus any newly requested)
+    parent_stat_cols = sorted(
+        {c for per in pm.get("stats", {}).values() for c in per}
+    )
+    stats = sorted({*(stats_cols or []), *parent_stat_cols})
+    return write_version(
+        remaining,
+        path,
+        op="delete",
+        stats_cols=stats or None,
+        txn_id=txn_id,
+        writer_id=writer_id,
+        replace_files=touched,
+    )
+
+
+def restore_version(
+    path: str,
+    to_version: int,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+    max_retries: int = 10,
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table back (or
+    forward) to ``to_version`` as a NEW, manifest-only commit (the
+    Delta RESTORE verb; r11). Zero data is copied or rewritten: the
+    new manifest simply lists the target snapshot's files, so a bad
+    load is undone in milliseconds at any table size. History is
+    preserved — the restore is itself addressable and revertible — and
+    the restored files become referenced by the tip again, so
+    :func:`vacuum` keeps them from then on.
+
+    Fails fast if the target's manifest or any of its data files has
+    already been vacuumed: the vacuum retention window IS the rollback
+    horizon, exactly as in Delta. Restoring to the current tip is a
+    no-op returning the tip. ``txn_id``/``writer_id`` gate replays
+    like every other commit verb."""
+    try:
+        mt = _load_manifest(path, to_version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"restore target v{to_version} was vacuumed or never existed"
+        ) from None
+    gone = [f for f in mt["files"] if not os.path.exists(f)]
+    if gone:
+        raise ValueError(
+            f"restore target v{to_version} references vacuumed data "
+            f"files: {gone[:3]}"
+        )
+    writer_key = writer_id or "_default"
+    for _ in range(max_retries):
+        versions = _versions(path)
+        parent = versions[-1]
+        if parent == to_version:
+            return parent  # restoring to the tip: nothing to commit
+        pmt = _load_manifest(path, parent)
+        txns = dict(pmt.get("txns") or {})
+        if "txns" not in pmt and pmt.get("txn_id") is not None:
+            txns = {"_default": pmt["txn_id"]}
+        if txn_id is not None:
+            if txns.get(writer_key) == txn_id:
+                return parent  # replayed restore: already applied
+            txns[writer_key] = txn_id
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "op": "restore",
+            "restored_from": to_version,
+            "files": mt["files"],
+            "stats": mt.get("stats", {}),
+            "txn_id": txn_id,
+            "txns": txns,
+            "schema": mt["schema"],
+        }
+        if mt.get("rename"):
+            manifest["rename"] = mt["rename"]
+        if mt.get("evolved"):
+            manifest["evolved"] = True
+        body = json.dumps(manifest, indent=1)
+        tmp = _manifest_path(path, parent + 1) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(body)
+        try:
+            # same atomic hard-link commit point as write_version
+            os.link(tmp, _manifest_path(path, parent + 1))
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — recompute against the new tip
+            continue
+        os.unlink(tmp)
+        return parent + 1
+    raise RuntimeError(f"could not commit a version after {max_retries} races")
 
 
 def cdc_rows(

@@ -581,3 +581,140 @@ def test_optimize_zorder_clusters_and_prunes_on_both_columns(spark, tmp_path):
         assert sorted((r.rid, r.x, r.y) for r in pruned.collect()) == [
             t for t in rows_before if 3 <= (t[1] if col == "x" else t[2]) <= 4
         ]
+
+
+def test_delete_version_commits_partial_rewrite(spark, tmp_path):
+    """DELETE FROM as a snapshot commit (r11): only files holding a
+    matching row are rewritten, untouched files are shared with the
+    parent, NULL-predicate rows SURVIVE (SQL DELETE semantics), time
+    travel sees the pre-delete table, CDC shows exactly the deleted
+    rows, and a txn replay is a manifest no-op."""
+    from etl_dag_spark.sources.versions import (
+        cdc_rows,
+        delete_version,
+        history,
+        read_version_delta,
+    )
+
+    path = str(tmp_path / "del_tbl")
+    base = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, 40), (5, 50), (6, 60)],
+        "k int, x int",
+    ).repartition(3, "k")
+    write_version(base, path)  # v1, 3 files
+    v = delete_version(
+        spark, path, F.col("x") > 35, txn_id="d-1", writer_id="W"
+    )
+    assert v == 2
+    # x=NULL row survives: the predicate is not TRUE for it
+    after = {(r.k, r.x) for r in read_version(spark, path).collect()}
+    assert after == {(1, 10), (2, None), (3, 30)}
+    before = {(r.k, r.x) for r in read_version(spark, path, 1).collect()}
+    assert before == {(1, 10), (2, None), (3, 30), (4, 40), (5, 50), (6, 60)}
+    m1, m2 = _load_manifest(path, 1), _load_manifest(path, 2)
+    assert m2["op"] == "delete"
+    assert set(m2["replaced"]) <= set(m1["files"])
+    assert set(m1["files"]) & set(m2["files"]) == set(m1["files"]) - set(
+        m2["replaced"]
+    )
+    got = sorted(
+        (r.k, r.x, r._change_type)
+        for r in cdc_rows(spark, path, 1, 2, key_cols=["k"]).collect()
+    )
+    assert got == [(4, 40, "delete"), (5, 50, "delete"), (6, 60, "delete")]
+    with pytest.raises(ValueError, match="delete"):
+        read_version_delta(spark, path, 1)
+    # replay: manifest no-op
+    assert delete_version(
+        spark, path, F.col("x") > 35, txn_id="d-1", writer_id="W"
+    ) == 2
+    assert [m["version"] for m in history(path)] == [1, 2]
+    # SQL-string predicate + empty match still commits (txn token lands)
+    v3 = delete_version(spark, path, "x > 999", txn_id="d-2", writer_id="W")
+    assert v3 == 3
+    assert _load_manifest(path, 3)["replaced"] == []
+    assert {(r.k, r.x) for r in read_version(spark, path).collect()} == after
+
+
+def test_delete_version_keeps_stat_pruning_and_survives_evolution(
+    spark, tmp_path
+):
+    """The delete rewrite keeps per-file min/max stats the parent
+    tracked, and deleting across an evolved lineage (added column)
+    reconciles legacy files before applying the predicate."""
+    from etl_dag_spark.sources.versions import delete_version
+
+    path = str(tmp_path / "del_stats_tbl")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 9)], "k int, x int"
+    ).repartitionByRange(4, "k")
+    write_version(base, path, stats_cols=["k"])
+    v = delete_version(spark, path, "k = 3")
+    narrow = read_version(spark, path, v, between=("k", 7, 8))
+    assert len(narrow.inputFiles()) < len(
+        read_version(spark, path, v).inputFiles()
+    )
+    assert {r.k for r in read_version(spark, path).collect()} == {
+        1, 2, 4, 5, 6, 7, 8,
+    }
+    # evolved lineage: append a batch with an extra column, then delete
+    # on the NEW column — legacy files read as typed NULLs and survive
+    extra = spark.createDataFrame([(100, 1000, "hot")], "k int, x int, tag string")
+    write_version(extra, path, op="append")
+    v2 = delete_version(spark, path, "tag = 'hot'")
+    got = {(r.k, r.tag) for r in read_version(spark, path, v2).collect()}
+    assert (100, "hot") not in got
+    assert {k for k, _ in got} == {1, 2, 4, 5, 6, 7, 8}
+
+
+def test_restore_version_is_a_manifest_only_rollback(spark, tmp_path):
+    """RESTORE (r11): rolling back to an earlier snapshot commits a new
+    manifest that LISTS the old files — zero data copied — history is
+    preserved (the restore is itself revertible), CDC across the
+    restore classifies the undone changes, a replay is a no-op, and a
+    vacuumed target fails fast."""
+    from etl_dag_spark.sources.versions import (
+        cdc_rows,
+        delete_version,
+        history,
+        restore_version,
+    )
+
+    path = str(tmp_path / "restore_tbl")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 7)], "k int, x int"
+    ).repartition(3, "k")
+    write_version(base, path)            # v1
+    delete_version(spark, path, "k >= 5")  # v2
+    v = restore_version(path, 1, txn_id="r-1", writer_id="W")
+    assert v == 3
+    m1, m3 = _load_manifest(path, 1), _load_manifest(path, 3)
+    assert m3["op"] == "restore" and m3["restored_from"] == 1
+    assert m3["files"] == m1["files"]  # zero data copied
+    assert _rows2(read_version(spark, path)) == _rows2(
+        read_version(spark, path, 1)
+    )
+    # every intermediate snapshot still addressable
+    assert {r.k for r in read_version(spark, path, 2).collect()} == {1, 2, 3, 4}
+    # CDC across the restore: the undone deletes come back as inserts
+    got = sorted(
+        (r.k, r._change_type)
+        for r in cdc_rows(spark, path, 2, 3, key_cols=["k"]).collect()
+    )
+    assert got == [(5, "insert"), (6, "insert")]
+    # replay no-op; restore-to-tip no-op
+    assert restore_version(path, 1, txn_id="r-1", writer_id="W") == 3
+    assert [m["version"] for m in history(path)] == [1, 2, 3]
+    assert restore_version(path, 3) == 3
+    # the restored files are tip-referenced: vacuum keeps them
+    vacuum(path, keep_last=1, min_age_seconds=0.0)
+    assert {r.k for r in read_version(spark, path).collect()} == {
+        1, 2, 3, 4, 5, 6,
+    }
+    # ...and a target whose manifest was vacuumed fails fast
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_version(path, 2)
+
+
+def _rows2(df):
+    return sorted((r.k, r.x) for r in df.collect())
