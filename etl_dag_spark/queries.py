@@ -10309,6 +10309,437 @@ def etl_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_skyline_customers",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(max(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY 1
+)
+SELECT a.o_custkey, a.spend_cents, a.n_orders, a.last_day
+FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+    AND b.last_day >= a.last_day
+    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders
+         OR b.last_day > a.last_day)
+)
+""",
+)
+def olap_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto-front query (operators/preference.py — the
+    multi-criteria generalization of the reference's top-N rankings,
+    BI_Questions.sql:5-13): the BUILDING-segment customers no other
+    customer beats simultaneously on total spend, order count, AND
+    recency — 'best customers' when the three measures have no agreed
+    weighting (RFM without the arbitrary quantile cut).
+
+    Two algorithms, one answer: the Spark side runs the distributed
+    two-phase skyline (per-partition O(n·k) scan inside mapInPandas,
+    survivors-only shuffle, exact under any partitioning); the oracle
+    is the quadratic NOT-EXISTS dominance self-join the operator
+    exists to avoid. All three dimensions are exact integers (cents,
+    counts, epoch days), so the front is bit-deterministic."""
+    from etl_dag_spark.operators.preference import skyline
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("long").alias("o_custkey"))
+    )
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            star.cents("o_totalprice").alias("cents"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+        )
+        .join(c, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("cents").cast("bigint").alias("spend_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.max("day").cast("bigint").alias("last_day"),
+        )
+    )
+    return skyline(agg, ["spend_cents", "n_orders", "last_day"])
+
+
+@register(
+    "olap_autocorr_orders",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+ks AS (SELECT CAST(u AS INT) AS lag FROM unnest(range(1, 8)) AS l(u)),
+p AS (
+  SELECT k.lag, a.x AS x, b.x AS y
+  FROM daily a CROSS JOIN ks k JOIN daily b ON b.day = a.day + k.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+FROM m
+""",
+)
+def olap_autocorr_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of daily order volume at lags
+    1..7 — the Box-Jenkins diagnostic every forecaster runs before
+    picking a model (is there weekly structure worth a seasonal term?);
+    companion to the seasonal-naive backtest (#117i). Each lag's ACF is
+    the Pearson r of the (x_d, x_{d+k}) day pairs — the
+    olap_daily_correlation portability recipe: all six moments exact
+    BIGINTs from one calendar-bounded aggregate, ONE identical float
+    expression tree per emitted value. The 7-row lag frame is a literal
+    Range (provably bounded → broadcast); the pair join is an equi-join
+    on day+lag, never a window over the series."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("day").alias("bday"), F.col("x").alias("y"))
+    pairs = daily.crossJoin(F.broadcast(ks)).join(
+        b, F.col("bday") == F.col("day") + F.col("lag")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("autocorr"),
+    )
+
+
+@register(
+    "olap_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+      FROM daily),
+s AS (
+  SELECT day, x,
+         CAST(sum(n * x - t) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cusum_scaled
+  FROM daily, m
+),
+mx AS (SELECT max(abs(cusum_scaled)) AS ma FROM s)
+SELECT CAST(day AS BIGINT) AS day, x AS n_events, cusum_scaled,
+       CAST(CASE WHEN abs(cusum_scaled) = ma THEN 1 ELSE 0 END AS INT)
+         AS is_changepoint
+FROM s, mx
+""",
+)
+def olap_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection over daily event volume (Page 1954 —
+    the classic telemetry changepoint test; complements the rolling
+    z-score monitor #119, which flags POINT anomalies but is blind to
+    a sustained level shift). S_d = Σ_{i≤d}(x_i − μ), and the day
+    maximizing |S_d| is the maximum-likelihood changepoint estimate
+    under a single mean shift. Portability: μ = T/n is rational, so
+    the whole statistic is scaled by n — S'_d = Σ(n·x_i − T) — making
+    the running sum EXACT INTEGER (the float-window-cumsum ban,
+    CLAUDE.md); every day achieving max|S'| is flagged, no tiebreak
+    needed. The scalar (n, T) frame broadcasts (1-row aggregate); the
+    cumsum rides the pinned distributed prefix-sum, never one sorted
+    partition."""
+    daily = (
+        load_events(spark, sf_dir)
+        .select(F.expr("(ts_ns DIV 1000) DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+    )
+    term = daily.join(F.broadcast(m)).withColumn(
+        "d", F.col("n") * F.col("x") - F.col("t")
+    )
+    run = win.global_running_sum(
+        term, order=[F.col("day")], value_col="d", out_col="cusum_scaled"
+    )
+    mx = run.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("ma"))
+    return run.join(F.broadcast(mx)).select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("x").alias("n_events"),
+        F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+        F.when(F.abs(F.col("cusum_scaled")) == F.col("ma"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_changepoint"),
+    )
+
+
+_DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "olap_interval_coverage",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+flagged AS (
+  SELECT user_id, event_id, tsn,
+         CASE WHEN lag(tsn) OVER w IS NULL
+                   OR tsn > lag(tsn) OVER w + 1800000000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+),
+sess AS (
+  SELECT user_id, tsn,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM flagged
+),
+iv AS (SELECT min(tsn) AS s, max(tsn) + 1 AS e1
+       FROM sess GROUP BY user_id, sid),
+spans AS (
+  SELECT u AS day,
+         greatest(s, u * {_DAY_NS}) AS cs,
+         least(e1, (u + 1) * {_DAY_NS}) AS ce
+  FROM iv, unnest(range(s // {_DAY_NS}, (e1 - 1) // {_DAY_NS} + 1)) AS l(u)
+),
+marked AS (
+  SELECT day, cs, ce,
+         CASE WHEN max(ce) OVER pre IS NULL OR cs > max(ce) OVER pre
+              THEN 1 ELSE 0 END AS new
+  FROM spans
+  WINDOW pre AS (PARTITION BY day ORDER BY cs, ce
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+g AS (
+  SELECT day, cs, ce,
+         CAST(sum(new) OVER (PARTITION BY day ORDER BY cs, ce
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS gid
+  FROM marked
+),
+st AS (SELECT day, gid, min(cs) AS gs, max(ce) AS ge FROM g GROUP BY 1, 2)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(sum(ge - gs) AS BIGINT) AS covered_ns,
+       CAST(count(*) AS BIGINT) AS n_stretches,
+       CAST(sum(ge - gs) AS DOUBLE) / CAST({_DAY_NS} AS DOUBLE) AS utilization
+FROM st GROUP BY 1
+""",
+)
+def olap_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily BUSY TIME: how much of each calendar day is covered by at
+    least one live user session — the utilization integral, the
+    companion gauge to olap_peak_concurrency's maximum (TimescaleDB's
+    interval-coverage/uptime rollup class; what an SLA or capacity
+    report actually bills). Sessions (the #19 gap derivation, half-open
+    [s, e+1)) are SPLIT AT DAY BOUNDARIES first — so the union-of-
+    intervals sweep runs per (day) partition as plain windowed Column
+    algebra (cumulative-max merge, the gaps-and-islands trick on
+    intervals), never a global sort: day partitioning IS the scale
+    path. All integer nanoseconds; coverage is merged-stretch lengths,
+    so overlapping users never double-count; one double division per
+    day for the utilization ratio."""
+    gap_ns = 30 * 60 * 1_000_000_000
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts_ns")
+    wo = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("ts_ns").over(wo).isNull()
+            | (F.col("ts_ns") > F.lag("ts_ns").over(wo) + gap_ns),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("ns").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts_ns").alias("s"), (F.max("ts_ns") + 1).alias("e1")
+    )
+    spans = iv.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {_DAY_NS}"), F.expr(f"(e1 - 1) DIV {_DAY_NS}")
+            )
+        ).alias("day"),
+        "s",
+        "e1",
+    ).select(
+        "day",
+        F.greatest(F.col("s"), F.col("day") * _DAY_NS).alias("cs"),
+        F.least(F.col("e1"), (F.col("day") + 1) * _DAY_NS).alias("ce"),
+    )
+    wd = Window.partitionBy("day").orderBy("cs", "ce")
+    pre = wd.rowsBetween(Window.unboundedPreceding, -1)
+    marked = spans.withColumn(
+        "new",
+        F.when(
+            F.max("ce").over(pre).isNull()
+            | (F.col("cs") > F.max("ce").over(pre)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    g = marked.withColumn(
+        "gid",
+        F.sum("new").over(wd.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    st = g.groupBy("day", "gid").agg(
+        F.min("cs").alias("gs"), F.max("ce").alias("ge")
+    )
+    return st.groupBy(F.col("day").cast("bigint").alias("day")).agg(
+        F.sum(F.col("ge") - F.col("gs")).cast("bigint").alias("covered_ns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_stretches"),
+        (
+            F.sum(F.col("ge") - F.col("gs")).cast("double")
+            / F.lit(_DAY_NS).cast("double")
+        ).alias("utilization"),
+    )
+
+
+@register(
+    "text_yule_richness",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS tk FROM documents
+),
+cnt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS m
+        FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(m * m) AS BIGINT) AS s2
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n AS n_tokens, v AS n_types,
+       CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
+       CAST(hapax AS DOUBLE) / CAST(v AS DOUBLE) AS hapax_share,
+       CAST(10000 * (s2 - n) AS DOUBLE) / CAST(n * n AS DOUBLE) AS yule_k
+FROM agg
+""",
+)
+def text_yule_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per document: type-token ratio,
+    hapax-legomena share, and Yule's characteristic K = 10⁴·(Σm² − N)/N²
+    (Yule 1944 — the length-robust repetitiveness statistic; high K =
+    a few tokens dominate, the template/spam signature the Gopher
+    repetition gates (#70) threshold on n-gram fractions, measured here
+    as one scalar). Every input to the three ratios is an exact BIGINT
+    from one explode → (doc, token) groupBy (codegen map-side combine);
+    each emitted DOUBLE is a single division of exact integers — the
+    value-moments portability recipe applied to lexical statistics."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_column("text")).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        (F.col("v").cast("double") / F.col("n").cast("double")).alias("ttr"),
+        (F.col("hapax").cast("double") / F.col("v").cast("double")).alias(
+            "hapax_share"
+        ),
+        (
+            (F.lit(10000) * (F.col("s2") - F.col("n"))).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("yule_k"),
+    )
+
+
+@register(
+    "olap_path_trigrams",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+           FROM events),
+seq AS (
+  SELECT user_id, event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+c AS (
+  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT step1, step2, step3, n_paths,
+       CAST(rank() OVER (ORDER BY n_paths DESC) AS INT) AS top_rank
+FROM c QUALIFY top_rank <= 10
+""",
+)
+def olap_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 10 most common 3-step event sequences
+    (ties included) — the higher-order extension of the first-order
+    Markov transition matrix (#19b): 'view→view→purchase vs
+    view→click→purchase' is the funnel-shape question the pairwise
+    matrix cannot answer. Two lead() taps over the per-user time order
+    (one window pass, user-partitioned — the sessionize shuffle shape),
+    then a groupBy over the ≤|types|³ bounded path domain; the global
+    top-10 is TakeOrderedAndProject + rank over survivors, never a
+    full sort."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts_ns", "event_type")
+    wo = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(wo).alias("step2"),
+        F.lead("event_type", 2).over(wo).alias("step3"),
+    ).where(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    counted = seq.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paths")
+    )
+    return win.top_n_with_rank(counted, "n_paths", n=10).select(
+        "step1", "step2", "step3", "n_paths", "top_rank"
+    )
+
+
+@register(
     "text_suffix_dup_spans",
     oracle=f"""
 WITH tk AS (SELECT doc_id, {tokens_sql("text")} AS tk FROM documents),
@@ -12293,6 +12724,12 @@ _ROTATE_TO_FRONT = [
     # driver-hash evidence queued r12 with the upgrade above
     "etl_merge_versioned",
     "etl_delete_versioned",
+    "olap_skyline_customers",
+    "olap_autocorr_orders",
+    "olap_cusum_changepoint",
+    "olap_interval_coverage",
+    "text_yule_richness",
+    "olap_path_trigrams",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
