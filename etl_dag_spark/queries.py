@@ -10309,6 +10309,78 @@ def etl_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_cdc_apply",
+    oracle="""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS c,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+)
+SELECT k AS o_orderkey, c AS o_custkey,
+       CASE WHEN k % 13 = 0 THEN p + 999 ELSE p END AS price_cents,
+       CAST(CASE WHEN k % 13 = 0 THEN 2 ELSE 1 END AS INT) AS ts
+FROM src WHERE NOT (k % 17 = 0)
+UNION ALL
+SELECT -k, c, p + 555, CAST(2 AS INT)
+FROM src WHERE k % 101 = 0 AND k > 0
+""",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply — a Debezium-style batch mixing Inserts, Updates,
+    and Delete tombstones lands as ONE snapshot commit
+    (sources/versions.py::apply_cdc_version, SURVEY §2 #146, r11; the
+    verb that makes the versioned table a CDC *sink*: merge alone can
+    never converge to a source that deletes). The fixture commits
+    orders as v1, then one batch: key%13 rows re-priced (+999, op=U),
+    key%17 rows tombstoned (op=D; keys hit by both — k%221==0 — are
+    DELETED: at the batch's single instant the tombstone wins, the
+    documented tie rule), and key%101 rows re-keyed negative as
+    inserts (+555, op=I). The driver value-hash certifies the winner
+    resolution, the touched-file partial rewrite, and the tombstone
+    removal in one answer; the oracle states the same apply
+    closed-form. Scale shape: O(touched files), untouched files
+    manifest-shared — pinned with CDC classification and replay no-op
+    in tests/test_versions.py."""
+    from etl_dag_spark.sources import versions as ver
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+        F.lit(1).cast("int").alias("ts"),
+    )
+    batch = (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .withColumn("price_cents", F.col("price_cents") + F.lit(999))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 17 == 0).withColumn(
+                "op", F.lit("D")
+            )
+        )
+        .unionByName(
+            o.where(
+                (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0)
+            )
+            .withColumn("o_orderkey", -F.col("o_orderkey"))
+            .withColumn("price_cents", F.col("price_cents") + F.lit(555))
+            .withColumn("op", F.lit("I"))
+        )
+        .withColumn("ts", F.lit(2).cast("int"))
+    )
+
+    def build(path: str) -> None:
+        ver.write_version(o.repartition(8, "o_orderkey"), path)
+        ver.apply_cdc_version(
+            spark, path, batch, ["o_orderkey"], "ts",
+            txn_id="cdc-1", writer_id="etl_cdc_apply",
+        )
+
+    path = _cached_version_table("etl_cdc_apply", sf_dir, build)
+    return ver.read_version(spark, path)
+
+
+@register(
     "olap_skyline_customers",
     oracle="""
 WITH agg AS (
@@ -12730,6 +12802,7 @@ _ROTATE_TO_FRONT = [
     "olap_interval_coverage",
     "text_yule_richness",
     "olap_path_trigrams",
+    "etl_cdc_apply",
 ]
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},

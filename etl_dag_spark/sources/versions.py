@@ -758,6 +758,103 @@ def delete_version(
     )
 
 
+def apply_cdc_version(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+    stats_cols: list[str] | None = None,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+) -> int:
+    """Apply a Debezium-style CDC batch — insert/update/delete rows
+    mixed in one frame — as ONE snapshot commit (r11; the verb that
+    makes the table a CDC *sink*, completing merge_version's
+    upsert-only surface). ``batch`` carries the table's columns plus
+    ``op_col`` ∈ {'I','U','D'} ('I' and 'U' are both upserts — the
+    target decides existence, exactly like SQL MERGE).
+
+    Per key, the batch row with the greatest ``order_col`` wins; at an
+    equal instant a DELETE beats an upsert (conservative erasure —
+    deterministic, documented; (order_col, op) should be unique per key
+    beyond that). The winner then applies MERGE-style: target rows
+    whose key appears in the batch are dropped from the touched files,
+    upsert winners are appended (insert or replace), delete winners
+    leave nothing. One predicate-pushed key⋈file scan finds the
+    touched files; untouched files are shared with the parent
+    (``op="merge"`` manifest), so :func:`cdc_rows` confines its diff
+    and the rewrite is O(touched) at any table size. ``txn_id``/
+    ``writer_id`` make a replayed batch a manifest no-op — the
+    exactly-once contract a streaming CDC feed needs. On an empty
+    table the batch's upsert winners seed version 1 (deletes of
+    never-seen keys are no-ops)."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if txn_id is not None:
+        versions = _versions(path)
+        if versions:
+            tip = _load_manifest(path, versions[-1])
+            if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
+                return versions[-1]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(),
+        (F.col(op_col) == "D").desc(),
+        F.col(op_col),
+    )
+    winners = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ups = winners.where(F.col(op_col) != "D").drop(op_col)
+    versions = _versions(path)
+    if not versions:
+        return write_version(
+            ups, path, op="overwrite", stats_cols=stats_cols,
+            txn_id=txn_id, writer_id=writer_id,
+        )
+    pm = _load_manifest(path, versions[-1])
+    schema = StructType.fromJson(json.loads(pm["schema"]))
+    keys = batch.select(*key_cols).distinct()
+    touched_rows = (
+        _read_snapshot_subset(spark, pm, pm["files"])
+        .join(keys, key_cols, "inner")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
+    missing = [f for f in touched if f not in set(pm["files"])]
+    if missing:
+        raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
+    kept = (
+        _read_snapshot_subset(spark, pm, touched)
+        .drop("__file")
+        .join(keys, key_cols, "left_anti")
+        if touched
+        else spark.createDataFrame([], schema)
+    )
+    merged = kept.unionByName(ups.select(kept.columns))
+    parent_stat_cols = sorted(
+        {c for per in pm.get("stats", {}).values() for c in per}
+    )
+    stats = sorted({*(stats_cols or []), *parent_stat_cols})
+    return write_version(
+        merged,
+        path,
+        op="merge",
+        stats_cols=stats or None,
+        txn_id=txn_id,
+        writer_id=writer_id,
+        replace_files=touched,
+    )
+
+
 def restore_version(
     path: str,
     to_version: int,

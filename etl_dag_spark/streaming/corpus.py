@@ -578,6 +578,58 @@ def stream_merge_ingest(
     )
 
 
+def stream_cdc_ingest(
+    cdc_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+    stats_cols: list[str] | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming FULL-CDC ingest — the tombstone-aware twin of
+    ``stream_merge_ingest`` (r11): every micro-batch of Debezium-style
+    rows (``op_col`` ∈ {'I','U','D'}) lands as ONE snapshot commit via
+    ``sources/versions.py::apply_cdc_version`` — upserts replace, D
+    tombstones REMOVE their keys, per key the greatest ``order_col``
+    wins (equal-instant delete beats the upsert), and only the files
+    holding batch keys are rewritten. This is the shape a replicated
+    OLTP table needs: an upsert-only sink (stream_merge_ingest) can
+    never converge to a source that deletes rows.
+
+    Exactly-once rides the per-writer txn protocol: commits are tagged
+    ``txn_id=f"cdc-{batch_id}"`` under a checkpoint-derived writer, so
+    a crash-replayed batch is a manifest-level no-op. Every batch
+    boundary is a time-travelable snapshot; ``cdc_rows(v-1, v)`` shows
+    exactly that batch's inserts/updates/deletes from the touched-file
+    diff."""
+    from etl_dag_spark.sources.versions import apply_cdc_version
+
+    writer = f"stream-cdc:{os.path.abspath(checkpoint_dir)}"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_cdc_version(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            key_cols=key_cols,
+            order_col=order_col,
+            op_col=op_col,
+            stats_cols=stats_cols,
+            txn_id=f"cdc-{batch_id}",
+            writer_id=writer,
+        )
+
+    return (
+        cdc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_category_counts(
     docs_stream: DataFrame,
     store_path: str,

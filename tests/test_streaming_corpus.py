@@ -1075,3 +1075,72 @@ def test_stream_merge_ingest_upserts_exactly_once(spark, tmp_path):
     )
     assert v == 2
     assert [m["version"] for m in history(table)] == [1, 2]
+
+
+def test_stream_cdc_ingest_applies_tombstones_exactly_once(spark, tmp_path):
+    """r11: streaming FULL-CDC ingest — micro-batches mixing upserts
+    and D tombstones land as snapshot commits; deletes REMOVE keys (an
+    upsert-only sink can never converge to a deleting source), an
+    equal-instant delete beats the upsert, CDC between boundaries
+    classifies the batch, and a crash-replayed batch is a no-op."""
+    import os as _os
+    import time as _time
+
+    from etl_dag_spark.sources.versions import (
+        apply_cdc_version,
+        cdc_rows,
+        history,
+        read_version,
+    )
+    from etl_dag_spark.streaming.corpus import stream_cdc_ingest
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k int, v string, ts int, op string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I"),
+           (4, "d", 1, "I")])
+    _time.sleep(1.05)
+    # batch 1: update k2, DELETE k3, insert k9, and k4 gets an
+    # equal-instant upsert+tombstone pair — the delete must win
+    write([(2, "B", 2, "U"), (3, None, 2, "D"), (9, "z", 2, "I"),
+           (4, "race", 2, "U"), (4, None, 2, "D")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_cdc_ingest(stream, table, ckpt, ["k"], "ts")
+    q.awaitTermination(180)
+
+    assert [m["op"] for m in history(table)] == ["overwrite", "merge"]
+    got = sorted((r.k, r.v) for r in read_version(spark, table).collect())
+    assert got == [(1, "a"), (2, "B"), (9, "z")]
+    changes = sorted(
+        (r.k, r._change_type)
+        for r in cdc_rows(spark, table, 1, 2, key_cols=["k"]).collect()
+    )
+    assert changes == [
+        (2, "update_postimage"), (2, "update_preimage"),
+        (3, "delete"), (4, "delete"), (9, "insert"),
+    ]
+    # crash replay of batch 1: manifest no-op under the stream's writer
+    writer = f"stream-cdc:{_os.path.abspath(ckpt)}"
+    replay = spark.createDataFrame(
+        [(2, "B", 2, "U"), (3, None, 2, "D"), (9, "z", 2, "I"),
+         (4, "race", 2, "U"), (4, None, 2, "D")],
+        schema,
+    )
+    v = apply_cdc_version(
+        spark, table, replay, ["k"], "ts",
+        txn_id="cdc-1", writer_id=writer,
+    )
+    assert v == 2
+    assert [m["version"] for m in history(table)] == [1, 2]

@@ -718,3 +718,106 @@ def test_restore_version_is_a_manifest_only_rollback(spark, tmp_path):
 
 def _rows2(df):
     return sorted((r.k, r.x) for r in df.collect())
+
+
+def test_erasure_on_a_versioned_table_requires_vacuuming_history(
+    spark, tmp_path
+):
+    """Right-to-be-forgotten on a TIME-TRAVEL table (r11): a
+    delete_version commit removes the subject's rows from the tip, but
+    every older snapshot still holds them — physical erasure needs the
+    history dropped too, exactly Delta's documented GDPR procedure
+    (DELETE + VACUUM the retention window). Pins both halves: the
+    delete's NULL-key survival (the forget_keys bug class) and that
+    vacuum(keep_last=1, 0s) makes the erased rows UNREADABLE at any
+    version."""
+    from etl_dag_spark.sources.versions import delete_version
+
+    path = str(tmp_path / "gdpr_tbl")
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "erase-me"), (None, "null-key"), (4, "erase-me")],
+        "user_id int, payload string",
+    ).repartition(2)
+    write_version(base, path)
+    doomed = [2, 4]
+    v = delete_version(spark, path, F.col("user_id").isin(doomed))
+    tip = {(r.user_id, r.payload) for r in read_version(spark, path).collect()}
+    assert tip == {(1, "keep"), (None, "null-key")}
+    # history still leaks the subject: time travel reads the erased rows
+    assert (2, "erase-me") in {
+        (r.user_id, r.payload) for r in read_version(spark, path, 1).collect()
+    }
+    dropped = vacuum(path, keep_last=1, min_age_seconds=0.0)
+    assert dropped == [1]
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        read_version(spark, path, 1)
+    # the tip file set no longer contains any erased row anywhere
+    m = _load_manifest(path, v)
+    remaining = spark.read.parquet(*m["files"])
+    assert {(r.user_id, r.payload) for r in remaining.collect()} == tip
+
+
+def test_apply_cdc_version_mixed_batch(spark, tmp_path):
+    """Debezium-style CDC apply (r11): one batch mixing inserts,
+    updates, and delete tombstones lands as ONE merge snapshot —
+    per-key latest order wins, an equal-instant DELETE beats the
+    upsert, deletes of unknown keys are no-ops, time travel sees the
+    pre-batch table, CDC classifies every change, and a replayed batch
+    is a manifest no-op."""
+    from etl_dag_spark.sources.versions import apply_cdc_version, cdc_rows, history
+
+    path = str(tmp_path / "cdc_tbl")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", 1) for k in range(1, 7)], "k int, v string, ts int"
+    ).repartition(3, "k")
+    write_version(base, path)
+    batch = spark.createDataFrame(
+        [
+            (2, "V2", 5, "U"),          # plain update
+            (3, None, 5, "D"),          # plain delete
+            (10, "v10", 5, "I"),        # plain insert
+            (4, "resurrect", 4, "U"),   # ...but a LATER delete wins
+            (4, None, 5, "D"),
+            (5, "early", 3, "U"),       # latest upsert wins
+            (5, "late", 5, "U"),
+            (6, "tie-up", 7, "U"),      # equal instant: delete wins
+            (6, None, 7, "D"),
+            (99, None, 5, "D"),         # unknown key: no-op
+        ],
+        "k int, v string, ts int, op string",
+    )
+    v = apply_cdc_version(
+        spark, path, batch, ["k"], "ts", txn_id="b-1", writer_id="W"
+    )
+    assert v == 2
+    after = {(r.k, r.v) for r in read_version(spark, path).collect()}
+    assert after == {(1, "v1"), (2, "V2"), (5, "late"), (10, "v10")}
+    assert {(r.k, r.v) for r in read_version(spark, path, 1).collect()} == {
+        (k, f"v{k}") for k in range(1, 7)
+    }
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cdc_rows(spark, path, 1, 2, key_cols=["k"]).collect()
+    )
+    assert got == [
+        (2, "V2", "update_postimage"),
+        (2, "v2", "update_preimage"),
+        (3, "v3", "delete"),
+        (4, "v4", "delete"),
+        (5, "late", "update_postimage"),
+        (5, "v5", "update_preimage"),
+        (6, "v6", "delete"),
+        (10, "v10", "insert"),
+    ]
+    assert apply_cdc_version(
+        spark, path, batch, ["k"], "ts", txn_id="b-1", writer_id="W"
+    ) == 2
+    assert [m["version"] for m in history(path)] == [1, 2]
+    # empty table: upsert winners seed v1, tombstones are no-ops
+    p2 = str(tmp_path / "cdc_fresh")
+    assert apply_cdc_version(spark, p2, batch, ["k"], "ts") == 1
+    assert {(r.k, r.v) for r in read_version(spark, p2).collect()} == {
+        (2, "V2"), (5, "late"), (10, "v10"),
+    }
