@@ -932,6 +932,76 @@ def restore_version(
     raise RuntimeError(f"could not commit a version after {max_retries} races")
 
 
+def clone_table(
+    src_path: str, dst_path: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (the Delta CLONE verb, r11): create a NEW table at
+    ``dst_path`` whose version-1 manifest simply LISTS the source
+    snapshot's files — zero data copied at any table size (manifests
+    store absolute paths, so cross-root sharing is free). The clone
+    then evolves independently: its appends/merges/deletes write under
+    its OWN data root and never touch the source — the instant dev/
+    test/experiment copy of a 100 TB table.
+
+    Caveats, both structural: (1) the source's vacuum does not know
+    about clones (exactly Delta's shallow-clone caveat) — vacuuming
+    the source can orphan a clone's shared files, so deep-copy
+    (``read_version`` + ``write_version``) when lifetimes decouple;
+    this function fails fast if the source snapshot is already
+    partially vacuumed. (2) The clone's own vacuum only reclaims dirs
+    under ITS data root, so it can never harm the source. Stats,
+    schema, and any evolution state are inherited, so manifest-level
+    pruning and time-travel-exact reads work on the clone from commit
+    one. Returns 1 (the clone's first version)."""
+    src_versions = _versions(src_path)
+    if not src_versions:
+        raise FileNotFoundError(f"no versions to clone at {src_path}")
+    v = version if version is not None else src_versions[-1]
+    try:
+        mt = _load_manifest(src_path, v)
+    except FileNotFoundError:
+        raise ValueError(
+            f"clone source v{v} was vacuumed or never existed"
+        ) from None
+    gone = [f for f in mt["files"] if not os.path.exists(f)]
+    if gone:
+        raise ValueError(
+            f"clone source v{v} references vacuumed data files: {gone[:3]}"
+        )
+    if _versions(dst_path):
+        raise ValueError(f"clone target {dst_path} is not an empty table")
+    os.makedirs(_manifest_dir(dst_path), exist_ok=True)
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "op": "clone",
+        "cloned_from": {"path": os.path.abspath(src_path), "version": v},
+        "files": mt["files"],
+        "stats": mt.get("stats", {}),
+        "txn_id": None,
+        "txns": {},
+        "schema": mt["schema"],
+    }
+    if mt.get("rename"):
+        manifest["rename"] = mt["rename"]
+    if mt.get("evolved"):
+        manifest["evolved"] = True
+    body = json.dumps(manifest, indent=1)
+    tmp = _manifest_path(dst_path, 1) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(body)
+    try:
+        # same atomic claim-with-content protocol as every commit
+        os.link(tmp, _manifest_path(dst_path, 1))
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(
+            f"clone target {dst_path} is not an empty table"
+        ) from None
+    os.unlink(tmp)
+    return 1
+
+
 def cdc_rows(
     spark: SparkSession,
     path: str,

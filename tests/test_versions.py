@@ -821,3 +821,53 @@ def test_apply_cdc_version_mixed_batch(spark, tmp_path):
     assert {(r.k, r.v) for r in read_version(spark, p2).collect()} == {
         (2, "V2"), (5, "late"), (10, "v10"),
     }
+
+
+def test_clone_table_is_zero_copy_and_independent(spark, tmp_path):
+    """Shallow CLONE (r11): the clone's v1 manifest lists the source
+    snapshot's files (zero data copied), reads equal the source
+    snapshot, writes to the clone never touch the source, the clone's
+    vacuum cannot reclaim source files, and cloning a vacuumed source
+    snapshot fails fast."""
+    from etl_dag_spark.sources.versions import clone_table, delete_version, history
+
+    src = str(tmp_path / "src_tbl")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 7)], "k int, x int"
+    ).repartitionByRange(3, "k")
+    write_version(base, src, stats_cols=["k"])            # v1
+    write_version(
+        spark.createDataFrame([(7, 70)], "k int, x int"), src, op="append"
+    )                                                      # v2
+
+    dst = str(tmp_path / "dev_tbl")
+    assert clone_table(src, dst) == 1
+    m_src = _load_manifest(src, 2)
+    m_dst = _load_manifest(dst, 1)
+    assert m_dst["op"] == "clone" and m_dst["files"] == m_src["files"]
+    assert m_dst["cloned_from"]["version"] == 2
+    assert _rows2(read_version(spark, dst)) == _rows2(read_version(spark, src))
+    # pinning a specific source version clones THAT snapshot
+    dst1 = str(tmp_path / "dev_tbl_v1")
+    clone_table(src, dst1, version=1)
+    assert {r.k for r in read_version(spark, dst1).collect()} == set(range(1, 7))
+    # inherited stats: manifest pruning works on the clone immediately
+    assert len(read_version(spark, dst, between=("k", 1, 2)).inputFiles()) < len(
+        read_version(spark, dst).inputFiles()
+    )
+    # the clone evolves independently of the source...
+    delete_version(spark, dst, "k <= 3")
+    assert {r.k for r in read_version(spark, dst).collect()} == {4, 5, 6, 7}
+    assert {r.k for r in read_version(spark, src).collect()} == set(range(1, 8))
+    # ...and the clone's vacuum never reclaims SOURCE data dirs
+    vacuum(dst, keep_last=1, min_age_seconds=0.0)
+    assert {r.k for r in read_version(spark, src).collect()} == set(range(1, 8))
+    # a second clone into the same target refuses
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not an empty table"):
+        clone_table(src, dst1)
+    # cloning a vacuumed source snapshot fails fast
+    vacuum(src, keep_last=1, min_age_seconds=0.0)
+    with _pt.raises(ValueError, match="vacuumed"):
+        clone_table(src, str(tmp_path / "too_late"), version=1)
