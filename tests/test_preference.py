@@ -68,3 +68,73 @@ def test_skyline_rejects_unknown_dim(spark):
     df = spark.createDataFrame([(1, 2)], "id int, x int")
     with pytest.raises(ValueError, match="nope"):
         skyline(df, ["nope"])
+
+
+def test_stream_skyline_store_folds_to_exact_front(spark, tmp_path):
+    """Streaming Pareto-front maintenance (r11): per-batch local fronts
+    land log-structured; the fold equals the one-shot skyline of every
+    ingested row, and a replayed batch rewrites identical rows
+    (idempotent store)."""
+    import time
+
+    from etl_dag_spark.streaming.preference import (
+        read_skyline_store,
+        stream_skyline,
+    )
+
+    src = str(tmp_path / "rows_src")
+    store = str(tmp_path / "front_store")
+    ckpt = str(tmp_path / "front_ckpt")
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(30), rng.randrange(30)) for i in range(400)
+    ]
+
+    def write(chunk):
+        spark.createDataFrame(chunk, "id int, a int, b int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write(rows[:200])
+    time.sleep(1.05)
+    write(rows[200:])
+
+    stream = (
+        spark.readStream.schema("id int, a int, b int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_skyline(stream, store, ckpt, ["a", "b"])
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.id, r.a, r.b)
+        for r in read_skyline_store(spark, store, ["a", "b"]).collect()
+    )
+    want = sorted(
+        (r.id, r.a, r.b)
+        for r in skyline(
+            spark.createDataFrame(rows, "id int, a int, b int"), ["a", "b"]
+        ).collect()
+    )
+    assert got == want and len(got) >= 1
+    # replaying a batch overwrites its own directory: store unchanged
+    import os as _os
+
+    batches = sorted(
+        d for d in _os.listdir(store) if d.startswith("batch=")
+    )
+    assert len(batches) == 2
+    before = got
+    skyline(
+        spark.createDataFrame(rows[:200], "id int, a int, b int"), ["a", "b"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(store, batches[0])
+    )
+    after = sorted(
+        (r.id, r.a, r.b)
+        for r in read_skyline_store(spark, store, ["a", "b"]).collect()
+    )
+    assert after == before
