@@ -681,6 +681,7 @@ def delete_version(
     stats_cols: list[str] | None = None,
     txn_id: str | None = None,
     writer_id: str | None = None,
+    prune_between: tuple[str, object, object] | None = None,
 ) -> int:
     """DELETE FROM ... WHERE as a SNAPSHOT COMMIT — the remaining
     mutation verb of the Delta/Iceberg surface next to
@@ -698,6 +699,16 @@ def delete_version(
        parent manifest (never read, never copied), the replaced set is
        recorded, and :func:`cdc_rows` derives exact ``delete`` rows
        from the touched-file diff.
+
+    ``prune_between=(col, lo, hi)`` — MANIFEST-level pruning for the
+    discovery scan: when the caller can bound the doomed rows on a
+    stats-tracked column (a time-range retention delete on a range/
+    z-ordered layout — the common 100 TB shape), files whose manifest
+    min/max prove them clean are excluded BEFORE Spark opens anything,
+    upstream of even parquet row-group skipping; the bound must be a
+    consequence of ``predicate`` (rows outside it are never deleted),
+    files without stats are conservatively scanned. Same contract as
+    ``read_version(between=...)``.
 
     ``predicate`` is a Column or a SQL string over the table's current
     (post-rename) schema. ``txn_id``/``writer_id`` make replays a
@@ -722,13 +733,32 @@ def delete_version(
         raise ValueError(f"no committed version to delete from at {path}")
     pm = _load_manifest(path, versions[-1])
     schema = StructType.fromJson(json.loads(pm["schema"]))
-    touched_rows = (
-        _read_snapshot_subset(spark, pm, pm["files"])
-        .where(predicate)
-        .select("__file")
-        .distinct()
-        .collect()
-    )
+    candidates = pm["files"]
+    if prune_between is not None and candidates:
+        col, lo, hi = prune_between
+        stats_map = pm.get("stats", {})
+        aliases = [col] + [
+            legacy
+            for legacy, cur in (pm.get("rename") or {}).items()
+            if cur == col
+        ]
+
+        def _may_hold(f: str) -> bool:
+            per = stats_map.get(f, {})
+            rng = next((per[a] for a in aliases if a in per), None)
+            return rng is None or not (rng[1] < lo or rng[0] > hi)
+
+        candidates = [f for f in candidates if _may_hold(f)]
+    if not candidates:
+        touched_rows = []
+    else:
+        touched_rows = (
+            _read_snapshot_subset(spark, pm, candidates)
+            .where(predicate)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
     touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
     by_path = set(pm["files"])
     missing = [f for f in touched if f not in by_path]

@@ -871,3 +871,38 @@ def test_clone_table_is_zero_copy_and_independent(spark, tmp_path):
     vacuum(src, keep_last=1, min_age_seconds=0.0)
     with _pt.raises(ValueError, match="vacuumed"):
         clone_table(src, str(tmp_path / "too_late"), version=1)
+
+
+def test_delete_version_prunes_discovery_at_the_manifest_level(
+    spark, tmp_path, monkeypatch
+):
+    """prune_between (r11): a retention-style delete on a stats-tracked
+    range layout never OPENS files the manifest proves clean — the
+    discovery scan's input file set excludes them, upstream of parquet
+    row-group skipping — and the result is identical to the unpruned
+    delete."""
+    from etl_dag_spark.sources import versions as V
+
+    path = str(tmp_path / "del_prune_tbl")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 17)], "k int, x int"
+    ).repartitionByRange(4, "k")
+    write_version(base, path, stats_cols=["k"])
+
+    opened: list[str] = []
+    orig = V._read_snapshot_subset
+
+    def spy(spark_, pm_, files_):
+        opened.append(list(files_))
+        return orig(spark_, pm_, files_)
+
+    monkeypatch.setattr(V, "_read_snapshot_subset", spy)
+    v = V.delete_version(
+        spark, path, "k <= 2", prune_between=("k", 1, 2)
+    )
+    n_files = len(_load_manifest(path, 1)["files"])
+    # discovery scanned a strict subset of the snapshot's files
+    assert 0 < len(opened[0]) < n_files
+    assert {r.k for r in read_version(spark, path, v).collect()} == set(
+        range(3, 17)
+    )
