@@ -12792,8 +12792,9 @@ _ROTATE_TO_FRONT = [
     # keyed (VERDICT r10 #3): first driver-hash evidence belongs in
     # the r12 window right behind the r7 group above
     "dedup_embedding_cosine_lsh",
-    # NEW oracled registrations in r11 (VERDICT r10 #4/#5): first
-    # driver-hash evidence queued r12 with the upgrade above
+    # NEW oracled registrations in r11 (VERDICT r10 #4 + the r11
+    # capability batch): first driver-hash evidence queued r12 with
+    # the upgrade above
     "etl_merge_versioned",
     "etl_delete_versioned",
     "olap_skyline_customers",
@@ -12804,6 +12805,12 @@ _ROTATE_TO_FRONT = [
     "olap_path_trigrams",
     "etl_cdc_apply",
 ]
+# r12 WINDOW MATH (re-key _ROTATE_TO_FRONT for r12 before anything
+# else lands): the 22 names from "position 51+" above are mandatory
+# leads — 12 r7-evidence oracles (4 rounds stale by r12), then the 10
+# first-hash entries (1 upgrade + 9 new r11 registrations). That
+# leaves ~28 slots; fill them with the oldest r8-evidence oracles
+# (oldest-registered first) to keep the ≤4-round refresh cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},

@@ -906,3 +906,32 @@ def test_delete_version_prunes_discovery_at_the_manifest_level(
     assert {r.k for r in read_version(spark, path, v).collect()} == set(
         range(3, 17)
     )
+
+
+def test_restore_across_schema_evolution_is_exact(spark, tmp_path):
+    """RESTORE composes with schema evolution (r11): rolling back to a
+    pre-evolution snapshot reads with THAT snapshot's schema, and
+    restoring forward to the evolved tip re-materializes the evolved
+    read (rename map + typed NULLs) byte-for-byte."""
+    from etl_dag_spark.sources.versions import restore_version
+
+    path = str(tmp_path / "evo_restore")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )  # v1: (k, v)
+    write_version(
+        spark.createDataFrame([(3, "c", "x")], "k int, v string, tag string"),
+        path,
+        op="append",
+    )  # v2: evolved (adds tag)
+    v3 = restore_version(path, 1)
+    assert v3 == 3
+    got = read_version(spark, path)
+    assert got.columns == ["k", "v"]  # pre-evolution schema restored
+    assert sorted((r.k, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
+    v4 = restore_version(path, 2)
+    evolved = read_version(spark, path, v4)
+    assert evolved.columns == ["k", "v", "tag"]
+    assert sorted(
+        (r.k, r.v, r.tag) for r in evolved.collect()
+    ) == [(1, "a", None), (2, "b", None), (3, "c", "x")]
