@@ -48,6 +48,12 @@ _MANIFESTS = "_manifests"
 _DATA = "data"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A partial-rewrite commit (merge/delete/CDC-apply) lost the
+    optimistic-concurrency race to a writer that changed the tip it was
+    computed against; the caller must re-run its read-rewrite cycle."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, _MANIFESTS)
 
@@ -112,6 +118,7 @@ def write_version(
     writer_id: str | None = None,
     replace_files: list[str] | None = None,
     rename: dict[str, str] | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -151,6 +158,16 @@ def write_version(
     ``stats_cols`` — record per-file min/max for these columns in the
     manifest (footer metadata only, no re-scan) so :func:`read_version`
     can prune files against a predicate before Spark opens them.
+    ``expected_parent`` — optimistic-concurrency GUARD for partial
+    rewrites (r11): a merge/delete frame and its ``replace_files`` were
+    computed against a specific tip; if another writer commits first,
+    re-applying them against the NEW tip can silently duplicate keys
+    (the loser's rewrite files and the winner's can both hold a key) or
+    resurrect deleted rows. When set, losing the commit race to a
+    DIFFERENT parent raises ``ConcurrentCommitError`` instead of
+    retrying — the caller re-runs its read-rewrite cycle against the
+    new tip (exactly Delta's ConcurrentModificationException contract).
+    Append/overwrite retries stay safe and automatic.
     ``txn_id`` / ``writer_id`` — idempotence token (the Delta ``txn``
     action, appId → version): every manifest carries a ``txns`` map of
     each writer's LAST committed token, carried forward across commits
@@ -194,6 +211,12 @@ def write_version(
     for _ in range(max_retries):
         versions = _versions(path)
         parent = versions[-1] if versions else 0
+        if expected_parent is not None and parent != expected_parent:
+            raise ConcurrentCommitError(
+                f"computed against v{expected_parent} but the tip is now "
+                f"v{parent}: a concurrent writer committed; re-run the "
+                "read-rewrite cycle against the new tip"
+            )
         version = parent + 1
         files = list(new_files)
         stats = dict(new_stats)
@@ -432,48 +455,79 @@ def read_version_delta(
     versions = _versions(path)
     if to_version is None:
         to_version = versions[-1]
-    per_version: list[tuple[dict, list[str]]] = []
+    # one ascending walk of the range collects the append deltas AND
+    # the schema-evolution segment structure: an OPTIMIZE resets the
+    # cumulative rename map (its files are rewritten under the then-
+    # current names), so an append BEFORE the reset needs the map of
+    # ITS segment's end — the tip's (possibly reset-empty) map would
+    # silently NULL renamed columns (r11 review fix)
+    per_version: list[tuple[int, dict, list[str]]] = []
+    seg_of: dict[int, int] = {}
+    seg_maps: list[dict] = []
+    cur_map: dict = {}
     for v in versions:
         if from_version < v <= to_version:
             m = _load_manifest(path, v)
             if m["op"] == "append":
+                seg_of[v] = len(seg_maps)
+                cur_map = dict(m.get("rename") or {})
                 parent_files = set(_load_manifest(path, m["parent"])["files"])
                 added = [f for f in m["files"] if f not in parent_files]
                 if added:
-                    per_version.append((m, added))
+                    per_version.append((v, m, added))
             elif m["op"] == "optimize":
-                continue  # row-preserving rewrite: no row delta
+                # segment boundary: close it with its end-of-segment map
+                seg_maps.append(cur_map)
+                cur_map = {}
             else:
                 raise ValueError(
                     f"version {v} is {m['op']!r}: file diff != row diff; "
                     "use cdc_rows(key_cols=...) or read the snapshot fully"
                 )
+    seg_maps.append(cur_map)
     m_to = _load_manifest(path, to_version)
     schema = StructType.fromJson(json.loads(m_to["schema"]))
     if not per_version:
         return spark.createDataFrame([], schema)
-    if not m_to.get("evolved"):
-        all_files = sorted(f for _, fs in per_version for f in fs)
+    heterogeneous = m_to.get("evolved") or any(
+        m.get("evolved") or m.get("rename") or m["schema"] != m_to["schema"]
+        for _, m, _ in per_version
+    )
+    if not heterogeneous:
+        all_files = sorted(f for _, _, fs in per_version for f in fs)
         return spark.read.schema(schema).parquet(*all_files)
     # evolved lineage: each append's files were written under ITS
     # schema — read them with it (pinned, no footer union), then map
-    # legacy names through the tip's cumulative rename and cast to the
-    # tip schema (r11 schema evolution; readers.reconcile_frame)
+    # names forward through the CHAIN of segment-end cumulative maps
+    # (names materialize unchanged across each OPTIMIZE reset, and a
+    # name renamed after the append appears as a legacy key in its
+    # segment-end map), and cast to the tip schema (readers.
+    # reconcile_frame)
     from functools import reduce
 
     from etl_dag_spark.sources.readers import reconcile_frame
 
-    rename = m_to.get("rename") or {}
-    parts = [
-        reconcile_frame(
-            spark.read.schema(
-                StructType.fromJson(json.loads(m["schema"]))
-            ).parquet(*sorted(fs)),
-            schema,
-            rename,
+    def _eff_map(v: int, file_schema: StructType) -> dict:
+        chain = seg_maps[seg_of[v]:]
+        out = {}
+        for name in file_schema.names:
+            cur = name
+            for mp in chain:
+                cur = mp.get(cur, cur)
+            if cur != name:
+                out[name] = cur
+        return out
+
+    parts = []
+    for v, m, fs in per_version:
+        own = StructType.fromJson(json.loads(m["schema"]))
+        parts.append(
+            reconcile_frame(
+                spark.read.schema(own).parquet(*sorted(fs)),
+                schema,
+                _eff_map(v, own),
+            )
         )
-        for m, fs in per_version
-    ]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -548,6 +602,32 @@ def compact_version(
     )
 
 
+def _replayed_tip(path: str, txn_id: str | None, writer_id: str | None):
+    """The tip version if (writer_id, txn_id) already committed there —
+    the shared replay precheck of every partial-rewrite writer — else
+    None (also None when untokenized or the table is empty)."""
+    if txn_id is None:
+        return None
+    versions = _versions(path)
+    if not versions:
+        return None
+    tip = _load_manifest(path, versions[-1])
+    if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
+        return versions[-1]
+    return None
+
+
+def _inherited_stat_cols(
+    pm: dict, stats_cols: list[str] | None
+) -> list[str] | None:
+    """Stat columns a partial rewrite must keep recording: whatever the
+    parent tracked plus any newly requested — so read_version(between=)
+    pruning survives every merge/delete/CDC rewrite."""
+    parent = {c for per in pm.get("stats", {}).values() for c in per}
+    out = sorted({*(stats_cols or []), *parent})
+    return out or None
+
+
 def _read_snapshot_subset(
     spark: SparkSession, pm: dict, files: list[str]
 ) -> DataFrame:
@@ -614,12 +694,9 @@ def merge_version(
 
     from etl_dag_spark.sources.merge import _latest_per_key
 
-    if txn_id is not None:
-        versions = _versions(path)
-        if versions:
-            tip = _load_manifest(path, versions[-1])
-            if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
-                return versions[-1]
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
     upd = updates.withColumn("__is_update", F.lit(1))
     versions = _versions(path)
     if not versions:
@@ -641,7 +718,7 @@ def merge_version(
         .collect()
     )
     touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
-    by_path = {f: f for f in pm["files"]}
+    by_path = set(pm["files"])
     missing = [f for f in touched if f not in by_path]
     if missing:
         raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
@@ -659,18 +736,16 @@ def merge_version(
     # preserve manifest-stat pruning across the merge: rewrite files
     # carry stats for the same columns the parent tracked (plus any
     # newly requested), so read_version(between=...) keeps skipping
-    parent_stat_cols = sorted(
-        {c for per in pm.get("stats", {}).values() for c in per}
-    )
-    stats = sorted({*(stats_cols or []), *parent_stat_cols})
+    stats = _inherited_stat_cols(pm, stats_cols)
     return write_version(
         merged,
         path,
         op="merge",
-        stats_cols=stats or None,
+        stats_cols=stats,
         txn_id=txn_id,
         writer_id=writer_id,
         replace_files=touched,
+        expected_parent=versions[-1],
     )
 
 
@@ -722,12 +797,9 @@ def delete_version(
 
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
-    if txn_id is not None:
-        versions = _versions(path)
-        if versions:
-            tip = _load_manifest(path, versions[-1])
-            if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
-                return versions[-1]
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
     versions = _versions(path)
     if not versions:
         raise ValueError(f"no committed version to delete from at {path}")
@@ -773,18 +845,16 @@ def delete_version(
     )
     # survivors keep manifest-stat pruning for the same columns the
     # parent tracked (plus any newly requested)
-    parent_stat_cols = sorted(
-        {c for per in pm.get("stats", {}).values() for c in per}
-    )
-    stats = sorted({*(stats_cols or []), *parent_stat_cols})
+    stats = _inherited_stat_cols(pm, stats_cols)
     return write_version(
         remaining,
         path,
         op="delete",
-        stats_cols=stats or None,
+        stats_cols=stats,
         txn_id=txn_id,
         writer_id=writer_id,
         replace_files=touched,
+        expected_parent=versions[-1],
     )
 
 
@@ -825,12 +895,9 @@ def apply_cdc_version(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if txn_id is not None:
-        versions = _versions(path)
-        if versions:
-            tip = _load_manifest(path, versions[-1])
-            if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
-                return versions[-1]
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).desc(),
         (F.col(op_col) == "D").desc(),
@@ -870,18 +937,16 @@ def apply_cdc_version(
         else spark.createDataFrame([], schema)
     )
     merged = kept.unionByName(ups.select(kept.columns))
-    parent_stat_cols = sorted(
-        {c for per in pm.get("stats", {}).values() for c in per}
-    )
-    stats = sorted({*(stats_cols or []), *parent_stat_cols})
+    stats = _inherited_stat_cols(pm, stats_cols)
     return write_version(
         merged,
         path,
         op="merge",
-        stats_cols=stats or None,
+        stats_cols=stats,
         txn_id=txn_id,
         writer_id=writer_id,
         replace_files=touched,
+        expected_parent=versions[-1],
     )
 
 
@@ -1032,6 +1097,29 @@ def clone_table(
     return 1
 
 
+def _rename_chain(path: str, a: int, b: int) -> list[dict]:
+    """Ordered cumulative rename maps at each schema-debt segment end
+    in ``(a, b]``: an overwrite/optimize MATERIALIZES current names into
+    every file and resets the map (segment boundary); every other
+    commit carries the running cumulative map forward. Composing
+    lookups through the chain sends a name current at version ``a`` to
+    its name at version ``b`` — a name renamed later in a's own segment
+    appears as a legacy key in that segment's end map, and names pass
+    unchanged across each reset. Empty chain = no rename in range."""
+    chain: list[dict] = []
+    cur: dict = {}
+    for v in _versions(path):
+        if a < v <= b:
+            m = _load_manifest(path, v)
+            if m["op"] in ("overwrite", "optimize"):
+                chain.append(cur)
+                cur = {}
+            else:
+                cur = dict(m.get("rename") or {})
+    chain.append(cur)
+    return [c for c in chain if c]
+
+
 def cdc_rows(
     spark: SparkSession,
     path: str,
@@ -1086,24 +1174,51 @@ def cdc_rows(
     new_files = sorted(set(m_to["files"]) - set(m_from["files"]))
 
     # both sides land on the TO schema so the change classification
-    # compares like columns: across a schema evolution the old side's
-    # legacy names map through the tip's cumulative rename and fields
-    # added since read as typed NULLs
+    # compares like columns. Each side is read under ITS OWN manifest
+    # state (exactly read_version's rules — the r11 review fix: the
+    # tip's cumulative rename map is RESET by any overwrite/optimize in
+    # range, so reconciling the old side with it silently NULLed every
+    # pre-reset renamed column, turning unchanged rows into updates);
+    # the old side's current names are then sent forward to tip names
+    # through the chain of segment-end maps, and both sides cast/pad
+    # to the tip schema (renamed columns compare value-to-value, fields
+    # added since read as typed NULLs).
     to_schema = StructType.fromJson(json.loads(m_to["schema"]))
-    heterogeneous = m_to.get("evolved") or m_from["schema"] != m_to["schema"]
+    fwd_chain = _rename_chain(path, from_version, to_version)
+    heterogeneous = (
+        m_to.get("evolved")
+        or m_from.get("evolved")
+        or bool(fwd_chain)
+        or m_from["schema"] != m_to["schema"]
+    )
 
-    def _side(files: list[str]) -> DataFrame:
+    def _side(m_side: dict, files: list[str], fwd: list[dict]) -> DataFrame:
         if not files:
             return spark.createDataFrame([], to_schema)
-        if heterogeneous:
-            from etl_dag_spark.sources.readers import reconcile_frame
+        if not heterogeneous:
+            return spark.read.schema(to_schema).parquet(*files)
+        from etl_dag_spark.sources.readers import reconcile_frame
 
+        own = StructType.fromJson(json.loads(m_side["schema"]))
+        if m_side.get("evolved"):
             raw = spark.read.option("mergeSchema", "true").parquet(*files)
-            return reconcile_frame(raw, to_schema, m_to.get("rename") or {})
-        return spark.read.schema(to_schema).parquet(*files)
+            frame = reconcile_frame(raw, own, m_side.get("rename") or {})
+        else:
+            frame = spark.read.schema(own).parquet(*files)
+        if fwd:
 
-    old = _side(old_files)
-    new = _side(new_files)
+            def send(n: str) -> str:
+                for mp in fwd:
+                    n = mp.get(n, n)
+                return n
+
+            frame = frame.select(
+                [F.col(c).alias(send(c)) for c in frame.columns]
+            )
+        return reconcile_frame(frame, to_schema, {})
+
+    old = _side(m_from, old_files, fwd_chain)
+    new = _side(m_to, new_files, [])
     val_cols = [c for c in new.columns if c not in key_cols]
     # row-presence markers survive NULL values in every data column
     o = old.select(

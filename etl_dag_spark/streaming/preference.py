@@ -61,5 +61,8 @@ def read_skyline_store(
 ) -> DataFrame:
     """Fold a :func:`stream_skyline` store to the EXACT global front:
     one more skyline pass over the union of per-batch fronts equals the
-    one-shot skyline of every ingested row (the two-phase property)."""
-    return skyline(spark.read.parquet(store_path), dims)
+    one-shot skyline of every ingested row (the two-phase property).
+    The ``batch=<id>`` layout is a store implementation detail — Spark
+    partition-infers it as a column, which must not leak into the
+    returned frame (the fold's schema is the ingested rows' schema)."""
+    return skyline(spark.read.parquet(store_path).drop("batch"), dims)

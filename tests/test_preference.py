@@ -109,10 +109,10 @@ def test_stream_skyline_store_folds_to_exact_front(spark, tmp_path):
     q = stream_skyline(stream, store, ckpt, ["a", "b"])
     q.awaitTermination(180)
 
-    got = sorted(
-        (r.id, r.a, r.b)
-        for r in read_skyline_store(spark, store, ["a", "b"]).collect()
-    )
+    folded = read_skyline_store(spark, store, ["a", "b"])
+    # the batch=<id> store layout must not leak into the fold's schema
+    assert folded.columns == ["id", "a", "b"]
+    got = sorted((r.id, r.a, r.b) for r in folded.collect())
     want = sorted(
         (r.id, r.a, r.b)
         for r in skyline(

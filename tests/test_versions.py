@@ -935,3 +935,105 @@ def test_restore_across_schema_evolution_is_exact(spark, tmp_path):
     assert sorted(
         (r.k, r.v, r.tag) for r in evolved.collect()
     ) == [(1, "a", None), (2, "b", None), (3, "c", "x")]
+
+
+def test_partial_rewrite_race_raises_instead_of_recomputing(spark, tmp_path):
+    """expected_parent guard (r11): a merge/delete computed against tip
+    vN must not silently re-apply its replace_files against a tip a
+    concurrent writer moved — it raises ConcurrentCommitError so the
+    caller re-runs the read-rewrite cycle (the Delta
+    ConcurrentModificationException contract)."""
+    from etl_dag_spark.sources.versions import ConcurrentCommitError
+
+    path = str(tmp_path / "race_tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_version(base, path)  # v1
+    m1 = _load_manifest(path, 1)
+    # a concurrent writer lands v2 after this merge "computed" its plan
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, v string"), path, op="append"
+    )
+    rewrite = spark.createDataFrame([(1, "A")], "k int, v string")
+    with pytest.raises(ConcurrentCommitError, match="v1.*v2"):
+        write_version(
+            rewrite, path, op="merge",
+            replace_files=m1["files"], expected_parent=1,
+        )
+    # the guarded failure committed nothing
+    assert history(path)[-1]["version"] == 2
+
+
+def test_incremental_read_survives_rename_then_optimize(spark, tmp_path):
+    """r11 review fix: an OPTIMIZE resets the cumulative rename map,
+    but appends from BEFORE the reset still read their renamed columns
+    through their own segment's map — previously the post-reset tip
+    map silently returned NULLs for every pre-rename delta row."""
+    from etl_dag_spark.sources.versions import compact_version, read_version_delta
+
+    path = str(tmp_path / "evo_delta_tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )  # v1
+    write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path, op="append"
+    )  # v2: delta rows under the OLD name
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, label string"),
+        path,
+        op="append",
+        rename={"v": "label"},
+    )  # v3: rename commit
+    compact_version(spark, path)  # v4: optimize, map resets
+    assert not _load_manifest(path, 4).get("rename")
+    got = sorted(
+        (r.k, r.label)
+        for r in read_version_delta(spark, path, 1, 4).collect()
+    )
+    assert got == [(2, "b"), (3, "c")]  # v2's 'v' surfaced as label, not NULL
+    # append after the reset under the new schema: still one clean read
+    write_version(
+        spark.createDataFrame([(4, "d")], "k int, label string"),
+        path,
+        op="append",
+    )  # v5
+    got = sorted(
+        (r.k, r.label)
+        for r in read_version_delta(spark, path, 1, 5).collect()
+    )
+    assert got == [(2, "b"), (3, "c"), (4, "d")]
+
+
+def test_cdc_across_reset_reads_old_side_with_its_own_state(spark, tmp_path):
+    """r11 review fix: cdc_rows across a full rewrite that RESET the
+    rename map must read the old side under the FROM version's own
+    evolved state — reconciling it with the (empty) tip map read
+    legacy-named files as NULL and misclassified every unchanged row
+    as an update."""
+    from etl_dag_spark.sources.versions import cdc_rows
+
+    path = str(tmp_path / "cdc_evo_tbl")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )  # v1 (k, v)
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, label string"),
+        path,
+        op="append",
+        rename={"v": "label"},
+    )  # v2: evolved — v1-era files still physically named 'v'
+    write_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, "c")], "k int, label string"
+        ),
+        path,
+    )  # v3: overwrite materializes 'label' and RESETS the rename map
+    assert not _load_manifest(path, 3).get("rename")
+    got = sorted(
+        (r.k, r.label, r._change_type)
+        for r in cdc_rows(spark, path, 2, 3, key_cols=["k"]).collect()
+    )
+    # only k=2 actually changed; 1 and 3 are value-identical
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+    ]
