@@ -108,6 +108,27 @@ def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
     return out
 
 
+def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
+    """THE commit point, shared by every manifest writer: the manifest
+    is fully written to a uuid temp file, then hard-linked into its
+    version name — the link claims the version ATOMICALLY WITH CONTENT
+    (no reader can observe a claimed-but-empty manifest; an
+    O_EXCL-create-then-replace protocol has that window). Returns False
+    when another writer claimed the version first (the caller recomputes
+    against the new tip or reports the conflict)."""
+    body = json.dumps(manifest, indent=1)
+    tmp = _manifest_path(path, version) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(body)
+    try:
+        os.link(tmp, _manifest_path(path, version))
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+    os.unlink(tmp)
+    return True
+
+
 def write_version(
     df: DataFrame,
     path: str,
@@ -284,19 +305,8 @@ def write_version(
             manifest["rename"] = renames
         if evolved:
             manifest["evolved"] = True
-        body = json.dumps(manifest, indent=1)
-        tmp = _manifest_path(path, version) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(body)
-        try:
-            # hard-link claims the version name ATOMICALLY WITH CONTENT:
-            # no reader can ever observe a claimed-but-empty manifest
-            # (an O_EXCL-create-then-replace protocol has that window)
-            os.link(tmp, _manifest_path(path, version))
-        except FileExistsError:
-            os.unlink(tmp)  # lost the race — recompute against the new tip
-            continue
-        os.unlink(tmp)
+        if not _commit_manifest(path, version, manifest):
+            continue  # lost the race — recompute against the new tip
         return version
     raise RuntimeError(f"could not commit a version after {max_retries} races")
 
@@ -1012,17 +1022,8 @@ def restore_version(
             manifest["rename"] = mt["rename"]
         if mt.get("evolved"):
             manifest["evolved"] = True
-        body = json.dumps(manifest, indent=1)
-        tmp = _manifest_path(path, parent + 1) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(body)
-        try:
-            # same atomic hard-link commit point as write_version
-            os.link(tmp, _manifest_path(path, parent + 1))
-        except FileExistsError:
-            os.unlink(tmp)  # lost the race — recompute against the new tip
-            continue
-        os.unlink(tmp)
+        if not _commit_manifest(path, parent + 1, manifest):
+            continue  # lost the race — recompute against the new tip
         return parent + 1
     raise RuntimeError(f"could not commit a version after {max_retries} races")
 
@@ -1081,19 +1082,8 @@ def clone_table(
         manifest["rename"] = mt["rename"]
     if mt.get("evolved"):
         manifest["evolved"] = True
-    body = json.dumps(manifest, indent=1)
-    tmp = _manifest_path(dst_path, 1) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(body)
-    try:
-        # same atomic claim-with-content protocol as every commit
-        os.link(tmp, _manifest_path(dst_path, 1))
-    except FileExistsError:
-        os.unlink(tmp)
-        raise ValueError(
-            f"clone target {dst_path} is not an empty table"
-        ) from None
-    os.unlink(tmp)
+    if not _commit_manifest(dst_path, 1, manifest):
+        raise ValueError(f"clone target {dst_path} is not an empty table")
     return 1
 
 
