@@ -12751,65 +12751,53 @@ def olap_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window goes first, maximizing cumulative cross-round hash evidence.
 # Re-keying here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # ---- round-11 window (positions 1-50) ----
-    # (a) the 16 r6-evidence oracles the r10 window could not hold —
-    # 4 rounds stale, keyed first exactly as VERDICT r10 #1 mandated:
-    "olap_local_supplier_volume", "olap_returned_items",
-    "olap_order_count_distribution", "olap_priority_shipping",
-    "bi_yoy_growth", "etl_host_cap",
-    "olap_nation_trade", "olap_promo_revenue",
-    "olap_late_shipment_priority", "olap_small_qty_revenue",
-    "olap_disjunctive_revenue", "olap_dormant_customers",
-    "text_top_ngrams", "olap_cumulative_new_users",
-    "olap_cohort_retention", "olap_market_share",
-    # (b) first driver-HASH rows for the three flagship LSH queries
-    # upgraded rows-only -> value-exact late in r10 (VERDICT r10 #1):
-    "ann_topk_lsh", "dedup_minhash_lsh", "dedup_cluster_lsh",
-    # (c) the 31 oldest-registered of the 43 oracles still carrying r7
-    # evidence (VERDICT r10 #2) — fills the window to exactly 50; the
-    # remaining 12 are position 51+ and head the r12 queue:
-    "bi_top_customers", "dedup_prefix_jaccard", "olap_pivot_events",
-    "etl_country_fuzzy", "dedup_contamination", "text_rarity_score",
-    "text_line_dedup", "olap_top_supplier", "text_search_ranked",
-    "etl_uniform_sample", "olap_funnel_stages", "olap_revenue_forecast",
-    "olap_nation_profit", "olap_min_cost_supplier",
-    "olap_important_parts", "olap_supplier_part_counts",
-    "olap_excess_suppliers", "olap_sole_suppliers", "etl_dataset_split",
-    "pipeline_filter_report", "dedup_containment",
-    "etl_embedding_outliers", "text_bigram_lm", "text_tfidf_keywords",
-    "text_quality_classifier", "etl_chunk_documents",
-    "olap_hll_registers", "olap_hll_registers_by_type",
-    "text_countmin_hitters", "dedup_winnowing", "text_dup_span_stats",
-    # ---- position 51+: the r12 front-of-queue ----
-    # the 12 r7-evidence oracles that did not fit this round
-    # (oldest-registered first — they MUST lead the r12 rotation):
+    # ---- round-12 window (positions 1-50) ----
+    # (a) the 12 oracles still carrying r7 driver evidence — 4 rounds
+    # stale, keyed first exactly as VERDICT r11 #1 mandated
+    # (oldest-registered first):
     "text_bigram_novelty", "etl_join_key_skew", "olap_gap_fill",
     "olap_event_anomalies", "etl_pseudonymize", "etl_k_anonymity",
     "olap_ab_test", "olap_sales_trend", "olap_attribution_last_touch",
     "olap_attribution_linear", "olap_trending_parts",
     "etl_span_corruption",
-    # upgraded rows-only -> value-exact in r11 after the window was
-    # keyed (VERDICT r10 #3): first driver-hash evidence belongs in
-    # the r12 window right behind the r7 group above
+    # (b) first driver-HASH rows for the r11 oracle upgrade + the 9
+    # new r11 oracled registrations (VERDICT r11 #1):
     "dedup_embedding_cosine_lsh",
-    # NEW oracled registrations in r11 (VERDICT r10 #4 + the r11
-    # capability batch): first driver-hash evidence queued r12 with
-    # the upgrade above
-    "etl_merge_versioned",
-    "etl_delete_versioned",
-    "olap_skyline_customers",
-    "olap_autocorr_orders",
-    "olap_cusum_changepoint",
-    "olap_interval_coverage",
-    "text_yule_richness",
-    "olap_path_trigrams",
-    "etl_cdc_apply",
+    "etl_merge_versioned", "etl_delete_versioned",
+    "olap_skyline_customers", "olap_autocorr_orders",
+    "olap_cusum_changepoint", "olap_interval_coverage",
+    "text_yule_richness", "olap_path_trigrams", "etl_cdc_apply",
+    # (c) the 28 oldest-registered of the 45 oracles still carrying r8
+    # evidence — fills the window to exactly 50; the remaining 17 are
+    # position 51+ and head the r13 queue:
+    "etl_dq_report", "text_langid", "text_quality", "text_tokens",
+    "olap_percentiles", "olap_asof_join", "olap_range_join",
+    "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
+    "dedup_cluster_survivorship", "pipeline_corpus_clean",
+    "sql_revenue_by_category", "sql_top_customers", "text_normalize",
+    "etl_dq_uniqueness", "etl_entity_resolution", "olap_rolling_7d",
+    "bi_rfm_segments", "olap_equidepth_histogram", "stream_json_props",
+    "etl_scd2_history", "olap_grouping_sets", "olap_value_moments",
+    "text_pii_scrub", "text_repetition_quality", "etl_pack_sequences",
+    "etl_domain_mix",
+    # ---- position 51+: the r13 front-of-queue ----
+    # the 17 r8-evidence oracles that did not fit this round
+    # (oldest-registered first — they MUST lead the r13 rotation):
+    "text_intradoc_dedup", "olap_large_orders",
+    "etl_proportional_sample", "pipeline_decontaminate",
+    "etl_embedding_confusion", "olap_longest_streak",
+    "etl_snapshot_diff", "olap_daily_correlation",
+    "olap_cooccurring_parts", "olap_sliding_distinct",
+    "dedup_source_overlap", "text_remove_dup_spans",
+    "olap_kmv_set_overlap", "olap_join_size_estimate",
+    "olap_bloom_pruned_join", "etl_temperature_sample",
+    "olap_trade_reach",
 ]
-# r12 WINDOW MATH (re-key _ROTATE_TO_FRONT for r12 before anything
-# else lands): the 22 names from "position 51+" above are mandatory
-# leads — 12 r7-evidence oracles (4 rounds stale by r12), then the 10
-# first-hash entries (1 upgrade + 9 new r11 registrations). That
-# leaves ~28 slots; fill them with the oldest r8-evidence oracles
+# r13 WINDOW MATH (re-key _ROTATE_TO_FRONT for r13 before anything
+# else lands): the 17 names from "position 51+" above are mandatory
+# leads (r8 evidence — 5 rounds stale by r13), then any oracle whose
+# FIRST driver hash is still pending (new r12 registrations). That
+# leaves ~30 slots; fill them with the oldest r9-evidence oracles
 # (oldest-registered first) to keep the ≤4-round refresh cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
