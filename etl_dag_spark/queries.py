@@ -10795,9 +10795,13 @@ def olap_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one window pass, user-partitioned — the sessionize shuffle shape),
     then a groupBy over the ≤|types|³ bounded path domain; the global
     top-10 is TakeOrderedAndProject + rank over survivors, never a
-    full sort."""
+    full sort. Ordering truncates ts_ns to µs BEFORE the window (like
+    olap_event_transitions) so a nanos-encoded events round cannot
+    break ties differently from the oracle's µs-resolution epoch_us."""
     ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts_ns", "event_type")
-    wo = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_ns DIV 1000"), "event_id"
+    )
     seq = ev.select(
         F.col("event_type").alias("step1"),
         F.lead("event_type", 1).over(wo).alias("step2"),

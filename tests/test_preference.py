@@ -70,6 +70,39 @@ def test_skyline_rejects_unknown_dim(spark):
         skyline(df, ["nope"])
 
 
+def test_skyline_rejects_null_dims_fail_fast(spark):
+    """NULL dims must raise inside the scan, not silently survive as
+    spurious front members (NaN comparisons are all-False in numpy, so
+    a NULL row could neither dominate nor be dominated)."""
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, None, 8)], "id int, x int, y int"
+    )
+    with pytest.raises(Exception) as exc:
+        skyline(df, ["x", "y"]).collect()
+    assert "NULL" in str(exc.value)
+
+
+def test_skyline_anticorrelated_worst_case_front_equals_corpus(spark):
+    """Anti-correlated input where EVERY row is on the front (a+b
+    constant, all distinct): the blocked numpy scan must return all of
+    them — the worst case degrades in C, not the interpreter."""
+    n = 3000
+    rows = [(i, i, n - i) for i in range(n)]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    assert skyline(df.repartition(5), ["a", "b"]).count() == n
+
+
+def test_skyline_global_phase_is_a_shuffle_barrier(spark):
+    """coalesce(1) would collapse the parallel local phase into one
+    task (narrow dependency); the global fold must sit behind a real
+    Exchange so phase 1 keeps the input's parallelism."""
+    df = spark.createDataFrame([(1, 2, 3)], "id int, a int, b int")
+    plan = skyline(df, ["a", "b"])._jdf.queryExecution().toString()
+    assert "Repartition" in plan and "Coalesce" not in plan
+
+
 def test_stream_skyline_store_folds_to_exact_front(spark, tmp_path):
     """Streaming Pareto-front maintenance (r11): per-batch local fronts
     land log-structured; the fold equals the one-shot skyline of every
@@ -110,7 +143,7 @@ def test_stream_skyline_store_folds_to_exact_front(spark, tmp_path):
     q.awaitTermination(180)
 
     folded = read_skyline_store(spark, store, ["a", "b"])
-    # the batch=<id> store layout must not leak into the fold's schema
+    # the __batch=<id> store layout must not leak into the fold's schema
     assert folded.columns == ["id", "a", "b"]
     got = sorted((r.id, r.a, r.b) for r in folded.collect())
     want = sorted(
@@ -124,7 +157,7 @@ def test_stream_skyline_store_folds_to_exact_front(spark, tmp_path):
     import os as _os
 
     batches = sorted(
-        d for d in _os.listdir(store) if d.startswith("batch=")
+        d for d in _os.listdir(store) if d.startswith("__batch=")
     )
     assert len(batches) == 2
     before = got
@@ -138,3 +171,44 @@ def test_stream_skyline_store_folds_to_exact_front(spark, tmp_path):
         for r in read_skyline_store(spark, store, ["a", "b"]).collect()
     )
     assert after == before
+
+
+def test_stream_skyline_rejects_store_layout_column_collision(spark, tmp_path):
+    """An ingested __-prefixed column would collide with (or be
+    silently deleted by) the store's partition layout: refuse at
+    wiring time."""
+    from etl_dag_spark.streaming.preference import stream_skyline
+
+    src = str(tmp_path / "clash_src")
+    spark.createDataFrame([(1, 2)], "id int, a int").write.parquet(src)
+    stream = spark.readStream.schema("id int, a int").parquet(src)
+    renamed = stream.withColumnRenamed("id", "__batch")
+    with pytest.raises(ValueError, match="__batch"):
+        stream_skyline(
+            renamed,
+            str(tmp_path / "clash_store"),
+            str(tmp_path / "clash_ckpt"),
+            ["a"],
+        )
+
+
+def test_read_skyline_store_empty_store_returns_empty_frame(spark, tmp_path):
+    """A stream that saw zero non-empty batches leaves a store with a
+    pinned schema and no __batch dirs: the fold must return an empty
+    frame of the ingested schema, not throw."""
+    from etl_dag_spark.streaming.preference import (
+        read_skyline_store,
+        stream_skyline,
+    )
+
+    src = str(tmp_path / "empty_src")
+    import os as _os
+
+    _os.makedirs(src)
+    store = str(tmp_path / "empty_store")
+    stream = spark.readStream.schema("id int, a int, b int").parquet(src)
+    q = stream_skyline(stream, store, str(tmp_path / "empty_ckpt"), ["a", "b"])
+    q.awaitTermination(60)
+    folded = read_skyline_store(spark, store, ["a", "b"])
+    assert folded.columns == ["id", "a", "b"]
+    assert folded.count() == 0
