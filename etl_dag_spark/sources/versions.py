@@ -6,15 +6,24 @@ protocol below is the same idea those formats implement).
 Layout::
 
     table/
-      _manifests/v00000001.json   one immutable manifest per version
-      data/<uuid>/part-*.parquet  one immutable file set per write
+      _manifests/v00000001.json       one immutable manifest per version
+      _manifests/v00000010.ckpt.json  periodic full-state checkpoint
+      data/<uuid>/part-*.parquet      one immutable file set per write
 
-Why this scales: a manifest is a LIST OF FILES, so
+Why this scales: a manifest is a DELTA against its parent, so
 
-- **append is O(delta)**: version N's manifest = parent's file list +
-  the new write's files. No data is copied or rewritten — exactly the
-  trick that makes Delta/Iceberg appends cheap on a 100 TB table.
-- **overwrite is O(delta) too**: the new manifest lists only the new
+- **append is O(delta) in data AND metadata** (r12): version N's
+  manifest records only the files it ADDS (``add`` / ``replaced`` /
+  ``reset`` actions plus per-added-file stats) — the Delta-log recipe.
+  A million-file table's thousandth append serializes kilobytes, not
+  the full file list. Readers resolve a snapshot's complete state by
+  folding deltas back to the nearest CHECKPOINT — a full-state sidecar
+  (``vNNNNNNNN.ckpt.json``) written every ``_CHECKPOINT_EVERY`` commits
+  (and by :func:`vacuum` at the oldest kept version), so resolution
+  reads a bounded number of small files. Manifest-only verbs that
+  materialize full state (RESTORE, CLONE — Delta does the same) and
+  pre-r12 manifests carry a ``files`` key and act as their own base.
+- **overwrite is O(delta) too**: its manifest is ``reset`` + the new
   files; the old snapshot's data stays on disk, still addressable
   through its own manifest — that IS time travel. Space is reclaimed
   explicitly by :func:`vacuum`, never implicitly by a writer.
@@ -24,10 +33,19 @@ Why this scales: a manifest is a LIST OF FILES, so
   version and publishes the complete content in one atomic step. A
   crash before the link leaves an orphan data dir no manifest
   references — invisible to every reader, reclaimed by vacuum.
-- **optimistic concurrency**: the hard-link fails with EEXIST if
-  another writer claimed version N first; the loser re-reads the log
-  and retries at N+1 (the Delta-on-object-store commit protocol, minus
-  the cloud lock server).
+- **optimistic concurrency behind a pluggable seam** (r12): the claim
+  step is a ``LogStore.put_if_absent`` — the ONE backend-specific
+  piece of the protocol. The default :class:`HardLinkLogStore` uses
+  hard-link EEXIST semantics (atomic on POSIX/NFS); an object-store
+  deployment swaps in a conditional-put implementation
+  (S3 If-None-Match / GCS precondition / a DynamoDB lock row — the
+  Delta LogStore abstraction) via :func:`set_log_store`. The loser of
+  a race re-reads the log and retries at N+1.
+- **CHECK / NOT NULL constraints at commit** (r12): ``write_version``
+  and ``merge_version`` accept ``check=`` / ``not_null=``; violations
+  refuse the commit with :class:`ConstraintViolationError` BEFORE any
+  manifest (or data file) is written, and the txn token is NOT
+  consumed — a refused batch stays replayable after repair.
 
 Reference parity: the reference pipeline truncate-and-loads its tables
 (ETL_DAG.py:206-229) and keeps no history; this module is the upgrade a
@@ -39,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,12 +65,67 @@ from pyspark.sql.types import StructType
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+# full-state checkpoint cadence (Delta's default): resolution folds at
+# most this many delta manifests past a checkpoint
+_CHECKPOINT_EVERY = 10
 
 
 class ConcurrentCommitError(RuntimeError):
     """A partial-rewrite commit (merge/delete/CDC-apply) lost the
     optimistic-concurrency race to a writer that changed the tip it was
     computed against; the caller must re-run its read-rewrite cycle."""
+
+
+class ConstraintViolationError(ValueError):
+    """A ``check=`` / ``not_null=`` constraint failed: the commit was
+    refused before any manifest or data file was written, and the txn
+    token was NOT consumed — repair the batch and replay it."""
+
+
+class LogStore:
+    """The backend-specific piece of the commit protocol: publish
+    ``body`` at ``path`` iff nothing is there yet, atomically with
+    content (putIfAbsent — Delta's LogStore contract). Everything else
+    in this module is backend-agnostic; swapping this class is how the
+    table moves to an object store (S3 If-None-Match conditional put,
+    GCS preconditions, or a DynamoDB lock row)."""
+
+    def put_if_absent(self, path: str, body: str) -> bool:
+        raise NotImplementedError
+
+
+class HardLinkLogStore(LogStore):
+    """POSIX/NFS implementation: write the body to a uuid temp file,
+    hard-link it into place — the link claims the name ATOMICALLY WITH
+    CONTENT (no reader can observe a claimed-but-empty file; an
+    O_EXCL-create-then-replace protocol has that window) and fails with
+    EEXIST when another writer claimed it first."""
+
+    def put_if_absent(self, path: str, body: str) -> bool:
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(body)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            return False
+        os.unlink(tmp)
+        return True
+
+
+_LOG_STORE: LogStore = HardLinkLogStore()
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Install a :class:`LogStore` backend for every commit in this
+    process; returns the previous one (so tests/deployments can
+    restore it)."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store
+    return prev
 
 
 def _manifest_dir(path: str) -> str:
@@ -62,20 +136,118 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version:08d}.json")
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:08d}.ckpt.json")
+
+
 def _versions(path: str) -> list[int]:
     mdir = _manifest_dir(path)
     if not os.path.isdir(mdir):
         return []
     out = []
     for name in os.listdir(mdir):
-        if name.startswith("v") and name.endswith(".json"):
-            out.append(int(name[1:-5]))
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
     return sorted(out)
 
 
-def _load_manifest(path: str, version: int) -> dict:
+def _load_raw(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as f:
         return json.load(f)
+
+
+def _resolve_state(path: str, version: int) -> tuple[list[str], dict]:
+    """The snapshot's complete (files, stats) at ``version``: walk the
+    parent chain back to the nearest base — a checkpoint sidecar, a
+    full-state manifest (restore/clone/pre-r12), or the table's
+    beginning — then fold the collected delta manifests forward
+    (``reset`` clears, ``replaced`` drops, ``add``/``stats_add``
+    extend). Reads O(_CHECKPOINT_EVERY) small files, never the table."""
+    chain: list[dict] = []
+    files: list[str] = []
+    stats: dict = {}
+    v = version
+    while v > 0:
+        cp = _checkpoint_path(path, v)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                base = json.load(f)
+            files = list(base["files"])
+            stats = dict(base.get("stats") or {})
+            break
+        m = _load_raw(path, v)
+        if "files" in m:
+            files = list(m["files"])
+            stats = dict(m.get("stats") or {})
+            break
+        chain.append(m)
+        v = m["parent"]
+    for m in reversed(chain):
+        if m.get("reset"):
+            files, stats = [], {}
+        removed = set(m.get("replaced") or [])
+        if removed:
+            files = [f for f in files if f not in removed]
+            stats = {f: s for f, s in stats.items() if f not in removed}
+        files = files + list(m.get("add") or [])
+        stats = {**stats, **(m.get("stats_add") or {})}
+    return files, stats
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    """The version's LOGICAL manifest: the raw commit record plus the
+    materialized ``files``/``stats`` state (resolved through the
+    checkpoint/delta fold for r12 manifests; pre-r12 and restore/clone
+    manifests already carry them)."""
+    m = _load_raw(path, version)
+    if "files" not in m:
+        files, stats = _resolve_state(path, version)
+        m = {**m, "files": files, "stats": stats}
+    return m
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Publish the full-state sidecar for ``version`` (idempotent —
+    state at a fixed version is immutable, so a lost race means an
+    identical body already landed). Best-effort from the committer's
+    view: a missing checkpoint only makes readers fold more deltas."""
+    files, stats = _resolve_state(path, version)
+    body = json.dumps({"version": version, "files": files, "stats": stats})
+    _LOG_STORE.put_if_absent(_checkpoint_path(path, version), body)
+
+
+def _enforce_constraints(df: DataFrame, check, not_null) -> None:
+    """Validate commit-time constraints with ONE aggregate over the
+    incoming frame (the DQ rule-engine recipe): NULL or FALSE check
+    results are violations (SQL CHECK passes only on TRUE)."""
+    from pyspark.sql import functions as F
+
+    conds: list[tuple[str, object]] = []
+    for c in not_null or []:
+        conds.append((f"{c} IS NOT NULL", F.col(c).isNotNull()))
+    if check is not None:
+        expr = F.expr(check) if isinstance(check, str) else check
+        conds.append((str(check), expr))
+    if not conds:
+        return
+    # when() routes a NULL condition to otherwise(): NULL and FALSE
+    # both count as violations, exactly SQL CHECK's pass-only-on-TRUE
+    row = df.agg(
+        *[
+            F.sum(F.when(c, 0).otherwise(1)).alias(f"v{i}")
+            for i, (_, c) in enumerate(conds)
+        ]
+    ).collect()[0]
+    bad = {
+        label: int(row[f"v{i}"])
+        for i, (label, _) in enumerate(conds)
+        if row[f"v{i}"]
+    }
+    if bad:
+        raise ConstraintViolationError(
+            f"commit refused, constraint violations (rows per rule): {bad}"
+        )
 
 
 def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
@@ -109,24 +281,15 @@ def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
 
 
 def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
-    """THE commit point, shared by every manifest writer: the manifest
-    is fully written to a uuid temp file, then hard-linked into its
-    version name — the link claims the version ATOMICALLY WITH CONTENT
-    (no reader can observe a claimed-but-empty manifest; an
-    O_EXCL-create-then-replace protocol has that window). Returns False
-    when another writer claimed the version first (the caller recomputes
-    against the new tip or reports the conflict)."""
+    """THE commit point, shared by every manifest writer: publish the
+    fully-serialized manifest under its version name iff no writer
+    claimed it first, through the installed :class:`LogStore`'s
+    putIfAbsent (hard-link EEXIST locally; conditional put on an
+    object store). Returns False when the version was already claimed
+    (the caller recomputes against the new tip or reports the
+    conflict)."""
     body = json.dumps(manifest, indent=1)
-    tmp = _manifest_path(path, version) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(body)
-    try:
-        os.link(tmp, _manifest_path(path, version))
-    except FileExistsError:
-        os.unlink(tmp)
-        return False
-    os.unlink(tmp)
-    return True
+    return _LOG_STORE.put_if_absent(_manifest_path(path, version), body)
 
 
 def write_version(
@@ -140,6 +303,8 @@ def write_version(
     replace_files: list[str] | None = None,
     rename: dict[str, str] | None = None,
     expected_parent: int | None = None,
+    check=None,
+    not_null: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -201,9 +366,21 @@ def write_version(
     by writer. ``writer_id`` defaults to ``"_default"`` for single-
     writer callers.
 
+    ``check`` / ``not_null`` — commit-time constraints (the Delta CHECK
+    surface, r12): ``check`` is a Column or SQL string that must be
+    TRUE for every incoming row (NULL fails — SQL CHECK passes only on
+    TRUE); ``not_null`` lists columns that must be non-NULL. Enforced
+    with ONE aggregate over ``df`` BEFORE any data file or manifest is
+    written; a violation raises :class:`ConstraintViolationError` and
+    the txn token is NOT consumed, so a repaired batch replays cleanly.
+
     Returns the committed version number. Data files are immutable and
-    shared across versions; the commit point is an atomic hard-link of
-    a fully-written manifest, raced with retry (optimistic concurrency).
+    shared across versions; the commit point is an atomic putIfAbsent
+    of a fully-written O(delta) manifest (add/replaced/reset actions,
+    never the table's file list), raced with retry (optimistic
+    concurrency); a full-state checkpoint sidecar is published every
+    ``_CHECKPOINT_EVERY`` versions so readers fold a bounded number of
+    deltas.
     """
     if op not in ("overwrite", "append", "optimize", "merge", "delete"):
         raise ValueError(
@@ -211,6 +388,7 @@ def write_version(
         )
     if op in ("merge", "delete") and replace_files is None:
         raise ValueError(f"op={op!r} requires replace_files (may be empty)")
+    _enforce_constraints(df, check, not_null)
     if rename:
         bad = [n for o, n in rename.items() if n not in df.columns]
         if bad:
@@ -239,16 +417,22 @@ def write_version(
                 "read-rewrite cycle against the new tip"
             )
         version = parent + 1
-        files = list(new_files)
-        stats = dict(new_stats)
         writer_key = writer_id or "_default"
         txns: dict[str, str] = {}
         # full rewrites leave no legacy-schema file behind; appends and
         # merges inherit the parent's schema debt and may add to it
         renames: dict[str, str] = {}
         evolved = False
+        parent_n = 0
         if parent:
-            pm = _load_manifest(path, parent)
+            # the RAW parent record is all the writer needs: txns,
+            # schema debt, and the running file count — never the
+            # parent's resolved file list (that's what keeps this
+            # commit O(delta) in metadata at any table size)
+            pm = _load_raw(path, parent)
+            parent_n = (
+                pm["n_files"] if "n_files" in pm else len(pm["files"])
+            )
             txns = dict(pm.get("txns") or {})
             if "txns" not in pm and pm.get("txn_id") is not None:
                 # pre-r9 manifest: only the tip's own token was recorded
@@ -271,42 +455,35 @@ def write_version(
                     or renames
                     or pm["schema"] != df.schema.json()
                 )
-            if op == "append":
-                files = pm["files"] + files
-                stats = {**pm.get("stats", {}), **stats}
-            elif op in ("merge", "delete"):
-                dropped = set(replace_files or [])
-                kept = [f for f in pm["files"] if f not in dropped]
-                files = kept + files
-                # keep the parent's stats for shared files only
-                stats = {
-                    **{
-                        f: s
-                        for f, s in pm.get("stats", {}).items()
-                        if f not in dropped
-                    },
-                    **stats,
-                }
         if txn_id is not None:
             txns[writer_key] = txn_id
         manifest = {
             "version": version,
             "parent": parent,
             "op": op,
-            "files": files,
-            "stats": stats,
+            "add": new_files,
+            "stats_add": new_stats,
             "txn_id": txn_id,
             "txns": txns,
             "schema": df.schema.json(),
         }
-        if op in ("merge", "delete"):
-            manifest["replaced"] = sorted(replace_files or [])
+        if op in ("overwrite", "optimize") or not parent:
+            manifest["reset"] = True
+            manifest["n_files"] = len(new_files)
+        elif op == "append":
+            manifest["n_files"] = parent_n + len(new_files)
+        else:  # merge / delete: partial rewrite
+            replaced = sorted(replace_files or [])
+            manifest["replaced"] = replaced
+            manifest["n_files"] = parent_n - len(replaced) + len(new_files)
         if renames:
             manifest["rename"] = renames
         if evolved:
             manifest["evolved"] = True
         if not _commit_manifest(path, version, manifest):
             continue  # lost the race — recompute against the new tip
+        if version % _CHECKPOINT_EVERY == 0:
+            _write_checkpoint(path, version)
         return version
     raise RuntimeError(f"could not commit a version after {max_retries} races")
 
@@ -389,11 +566,18 @@ def read_version(
 
 def history(path: str) -> list[dict]:
     """The table's commit log, oldest first: version, parent, op,
-    file count — the audit surface a rollback decision reads."""
-    return [
-        {k: m[k] for k in ("version", "parent", "op")} | {"n_files": len(m["files"])}
-        for m in (_load_manifest(path, v) for v in _versions(path))
-    ]
+    file count — the audit surface a rollback decision reads. Reads
+    only the RAW manifests (file counts are recorded at commit time),
+    so the log of a million-file table renders without resolving any
+    snapshot's file list."""
+    out = []
+    for v in _versions(path):
+        m = _load_raw(path, v)
+        n = m["n_files"] if "n_files" in m else len(m["files"])
+        out.append(
+            {k: m[k] for k in ("version", "parent", "op")} | {"n_files": n}
+        )
+    return out
 
 
 def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[int]:
@@ -423,8 +607,16 @@ def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 3600.0) -> li
         for v in kept
         for f in _load_manifest(path, v)["files"]
     }
+    # kept versions must stay resolvable after their ancestor delta
+    # manifests disappear: publish a full-state checkpoint at the
+    # oldest kept version BEFORE unlinking anything (idempotent)
+    if dropped and kept:
+        _write_checkpoint(path, kept[0])
     for v in dropped:
         os.unlink(_manifest_path(path, v))
+        cp = _checkpoint_path(path, v)
+        if os.path.exists(cp):
+            os.unlink(cp)
     data_root = os.path.join(path, _DATA)
     now = time.time()
     if os.path.isdir(data_root):
@@ -477,12 +669,22 @@ def read_version_delta(
     cur_map: dict = {}
     for v in versions:
         if from_version < v <= to_version:
-            m = _load_manifest(path, v)
+            # raw manifests suffice: appends carry their own "add" list
+            # (pre-r12 full manifests fall back to a parent diff), so
+            # the walk never resolves a snapshot's file list
+            m = _load_raw(path, v)
             if m["op"] == "append":
                 seg_of[v] = len(seg_maps)
                 cur_map = dict(m.get("rename") or {})
-                parent_files = set(_load_manifest(path, m["parent"])["files"])
-                added = [f for f in m["files"] if f not in parent_files]
+                # r12 delta manifests record their additions directly;
+                # pre-r12 full manifests need the parent file-set diff
+                if "add" in m:
+                    added = list(m["add"])
+                else:
+                    parent_files = set(
+                        _load_manifest(path, m["parent"])["files"]
+                    )
+                    added = [f for f in m["files"] if f not in parent_files]
                 if added:
                     per_version.append((v, m, added))
             elif m["op"] == "optimize":
@@ -495,7 +697,7 @@ def read_version_delta(
                     "use cdc_rows(key_cols=...) or read the snapshot fully"
                 )
     seg_maps.append(cur_map)
-    m_to = _load_manifest(path, to_version)
+    m_to = _load_raw(path, to_version)
     schema = StructType.fromJson(json.loads(m_to["schema"]))
     if not per_version:
         return spark.createDataFrame([], schema)
@@ -584,7 +786,7 @@ def compact_version(
         # check runs AFTER the data files are written)
         versions = _versions(path)
         if versions:
-            tip = _load_manifest(path, versions[-1])
+            tip = _load_raw(path, versions[-1])
             txns = dict(tip.get("txns") or {})
             if txns.get(writer_id or "_default") == txn_id:
                 return versions[-1]
@@ -621,7 +823,7 @@ def _replayed_tip(path: str, txn_id: str | None, writer_id: str | None):
     versions = _versions(path)
     if not versions:
         return None
-    tip = _load_manifest(path, versions[-1])
+    tip = _load_raw(path, versions[-1])
     if dict(tip.get("txns") or {}).get(writer_id or "_default") == txn_id:
         return versions[-1]
     return None
@@ -674,6 +876,8 @@ def merge_version(
     stats_cols: list[str] | None = None,
     txn_id: str | None = None,
     writer_id: str | None = None,
+    check=None,
+    not_null: list[str] | None = None,
 ) -> int:
     """MERGE INTO as a SNAPSHOT COMMIT — the upsert verb of the
     Delta/Iceberg surface this table imitates, composing
@@ -696,7 +900,11 @@ def merge_version(
 
     ``txn_id``/``writer_id`` gate replays exactly like OPTIMIZE: a
     re-run of the same merge batch is a manifest no-op. Keys must be
-    unique per snapshot (the MERGE contract). On an empty table the
+    unique per snapshot (the MERGE contract). ``check``/``not_null``
+    validate the INCOMING batch (one aggregate) before any file or
+    manifest is written — a refusal raises
+    :class:`ConstraintViolationError` without consuming the txn token,
+    exactly like :func:`write_version`. On an empty table the
     deduplicated batch becomes version 1. Returns the version."""
     from urllib.parse import urlparse
 
@@ -704,6 +912,7 @@ def merge_version(
 
     from etl_dag_spark.sources.merge import _latest_per_key
 
+    _enforce_constraints(updates, check, not_null)
     replayed = _replayed_tip(path, txn_id, writer_id)
     if replayed is not None:
         return replayed
@@ -999,7 +1208,7 @@ def restore_version(
         parent = versions[-1]
         if parent == to_version:
             return parent  # restoring to the tip: nothing to commit
-        pmt = _load_manifest(path, parent)
+        pmt = _load_raw(path, parent)
         txns = dict(pmt.get("txns") or {})
         if "txns" not in pmt and pmt.get("txn_id") is not None:
             txns = {"_default": pmt["txn_id"]}
@@ -1013,6 +1222,7 @@ def restore_version(
             "op": "restore",
             "restored_from": to_version,
             "files": mt["files"],
+            "n_files": len(mt["files"]),
             "stats": mt.get("stats", {}),
             "txn_id": txn_id,
             "txns": txns,
@@ -1073,6 +1283,7 @@ def clone_table(
         "op": "clone",
         "cloned_from": {"path": os.path.abspath(src_path), "version": v},
         "files": mt["files"],
+        "n_files": len(mt["files"]),
         "stats": mt.get("stats", {}),
         "txn_id": None,
         "txns": {},
@@ -1100,7 +1311,7 @@ def _rename_chain(path: str, a: int, b: int) -> list[dict]:
     cur: dict = {}
     for v in _versions(path):
         if a < v <= b:
-            m = _load_manifest(path, v)
+            m = _load_raw(path, v)
             if m["op"] in ("overwrite", "optimize"):
                 chain.append(cur)
                 cur = {}
@@ -1146,7 +1357,7 @@ def cdc_rows(
     # op="optimize" versions are row-preserving, so a lineage of
     # appends + optimizes still has an exact file-level insert set
     row_preserving = all(
-        _load_manifest(path, v)["op"] in ("append", "optimize")
+        _load_raw(path, v)["op"] in ("append", "optimize")
         for v in versions
         if from_version < v <= to_version
     )

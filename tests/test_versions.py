@@ -278,12 +278,12 @@ def test_merge_version_commits_upsert_as_snapshot(spark, tmp_path):
     # time travel: the pre-merge snapshot is untouched
     before = {(r.k, r.v) for r in read_version(spark, path, 1).collect()}
     assert before == {(k, f"v{k}") for k in range(1, 7)}
-    # untouched files are shared between the manifests, replaced ones
-    # recorded and dropped
+    # untouched files are shared between the snapshots, replaced ones
+    # recorded and dropped (resolved view: r12 manifests store deltas)
     import json as _json
 
-    m1 = _json.load(open(f"{path}/_manifests/v00000001.json"))
-    m2 = _json.load(open(f"{path}/_manifests/v00000002.json"))
+    m1 = _load_manifest(path, 1)
+    m2 = _load_manifest(path, 2)
     assert m2["op"] == "merge"
     assert set(m2["replaced"]) <= set(m1["files"])
     shared = set(m1["files"]) & set(m2["files"])
@@ -1036,4 +1036,229 @@ def test_cdc_across_reset_reads_old_side_with_its_own_state(spark, tmp_path):
     assert got == [
         (2, "B", "update_postimage"),
         (2, "b", "update_preimage"),
+    ]
+
+
+# ---------------------------------------------------------------------
+# r12: O(delta) manifest log + checkpoints + LogStore seam + constraints
+# ---------------------------------------------------------------------
+
+
+def test_manifest_bytes_per_append_bounded_by_delta(spark, tmp_path):
+    """The 100 TB metadata argument (VERDICT r11 #3): an append's
+    on-disk manifest records only its own additions, so manifest size
+    must NOT grow with the table's accumulated file count."""
+    path = str(tmp_path / "tbl")
+    one = spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1)
+    write_version(one, path, op="overwrite", stats_cols=["k"])
+    sizes = []
+    for i in range(2, 26):
+        write_version(one, path, op="append", stats_cols=["k"])
+        sizes.append(os.path.getsize(f"{path}/_manifests/v{i:08d}.json"))
+    # 24 appends: file count grows 24x, manifest bytes stay flat (the
+    # txn map and schema are constant here, so any growth would be the
+    # file list leaking back in)
+    assert max(sizes) <= sizes[0] + 200
+    # checkpoints landed on the cadence and carry the FULL state
+    ck = json.load(open(f"{path}/_manifests/v00000020.ckpt.json"))
+    assert len(ck["files"]) == 20
+    assert len(ck["stats"]) == 20  # per-file stats survive the fold
+    # resolved view folds checkpoint + deltas: full list at the tip
+    assert len(_load_manifest(path, 25)["files"]) == 25
+
+
+def test_reads_and_cdc_equivalent_across_checkpoint_boundary(spark, tmp_path):
+    """Time travel, incremental reads, CDC, and vacuum all behave
+    identically whether resolution lands on a checkpoint, a delta
+    chain, or a mix (VERDICT r11 #3 done-criterion b)."""
+    from etl_dag_spark.sources.versions import cdc_rows, read_version_delta
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 13):
+        df = spark.createDataFrame([(i, f"v{i}")], "k int, v string")
+        write_version(
+            df, path, op="overwrite" if i == 1 else "append"
+        )
+    # snapshots on both sides of the v10 checkpoint
+    assert _rows(read_version(spark, path, 9)) == [
+        (k, f"v{k}") for k in range(1, 10)
+    ]
+    assert _rows(read_version(spark, path, 10)) == [
+        (k, f"v{k}") for k in range(1, 11)
+    ]
+    assert _rows(read_version(spark, path, 12)) == [
+        (k, f"v{k}") for k in range(1, 13)
+    ]
+    # incremental read spanning the checkpoint
+    assert _rows(read_version_delta(spark, path, 8, 12)) == [
+        (k, f"v{k}") for k in range(9, 13)
+    ]
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cdc_rows(spark, path, 9, 11).collect()
+    )
+    assert got == [(10, "v10", "insert"), (11, "v11", "insert")]
+    # vacuum drops pre-checkpoint manifests; kept versions resolve
+    # through the checkpoint vacuum wrote at the oldest kept version
+    dropped = vacuum(path, keep_last=2, min_age_seconds=0)
+    assert dropped == list(range(1, 11))
+    assert os.path.exists(f"{path}/_manifests/v00000011.ckpt.json")
+    assert _rows(read_version(spark, path, 11)) == [
+        (k, f"v{k}") for k in range(1, 12)
+    ]
+    assert _rows(read_version(spark, path, 12)) == [
+        (k, f"v{k}") for k in range(1, 13)
+    ]
+    assert [h["version"] for h in history(path)] == [11, 12]
+
+
+def test_log_store_seam_concurrent_commit_race(spark, tmp_path):
+    """The putIfAbsent seam (VERDICT r11 #4): a fake store injects a
+    competing committer the instant before the claim — the loser must
+    retry and land at the next version, and the winner's manifest must
+    be exactly what the interloper published."""
+    from etl_dag_spark.sources.versions import (
+        HardLinkLogStore,
+        set_log_store,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    write_version(base, path, op="overwrite")
+
+    class RacingStore(HardLinkLogStore):
+        """First manifest claim is preempted by a rival commit."""
+
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, body):
+            if p.endswith(".json") and ".ckpt" not in p and not self.raced:
+                self.raced = True
+                rival = json.loads(body)
+                rival["rival"] = True
+                super().put_if_absent(p, json.dumps(rival))
+            return super().put_if_absent(p, body)
+
+    store = RacingStore()
+    prev = set_log_store(store)
+    try:
+        v = write_version(
+            spark.createDataFrame([(2, "b")], "k int, v string"),
+            path,
+            op="append",
+        )
+    finally:
+        set_log_store(prev)
+    assert store.raced
+    # the rival claimed v2; our writer retried and landed at v3
+    assert v == 3
+    assert json.load(open(f"{path}/_manifests/v00000002.json"))["rival"]
+    assert _rows(read_version(spark, path)) == [(1, "a"), (2, "b"), (2, "b")]
+
+
+def test_log_store_expected_parent_race_raises(spark, tmp_path):
+    """A partial rewrite that loses the race to a DIFFERENT parent must
+    raise ConcurrentCommitError through the seam, not silently retry."""
+    from etl_dag_spark.sources.versions import (
+        ConcurrentCommitError,
+        HardLinkLogStore,
+        set_log_store,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+
+    class RacingStore(HardLinkLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, body):
+            if p.endswith(".json") and ".ckpt" not in p and not self.raced:
+                self.raced = True
+                super().put_if_absent(p, body)  # rival takes the slot
+            return super().put_if_absent(p, body)
+
+    prev = set_log_store(RacingStore())
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            write_version(
+                spark.createDataFrame([(9, "z")], "k int, v string"),
+                path,
+                op="merge",
+                replace_files=[],
+                expected_parent=1,
+            )
+    finally:
+        set_log_store(prev)
+
+
+def test_commit_constraints_refuse_and_keep_txn_replayable(spark, tmp_path):
+    """CHECK/NOT-NULL at commit (VERDICT r11 #6): a violating commit is
+    refused BEFORE any manifest lands, and the txn token is NOT
+    consumed — the repaired batch replays under the same token; a
+    replay AFTER success is still a no-op."""
+    from etl_dag_spark.sources.versions import ConstraintViolationError
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    bad = spark.createDataFrame([(2, "b"), (None, "c")], "k int, v string")
+    with pytest.raises(ConstraintViolationError, match="k IS NOT NULL"):
+        write_version(
+            bad, path, op="append", not_null=["k"], txn_id="batch-7"
+        )
+    with pytest.raises(ConstraintViolationError, match="k > 0"):
+        write_version(
+            spark.createDataFrame([(-1, "n")], "k int, v string"),
+            path,
+            op="append",
+            check="k > 0",
+            txn_id="batch-7",
+        )
+    # no manifest landed, tip untouched, token unconsumed
+    assert [h["version"] for h in history(path)] == [1]
+    good = spark.createDataFrame([(2, "b")], "k int, v string")
+    assert (
+        write_version(
+            good, path, op="append", not_null=["k"], check="k > 0",
+            txn_id="batch-7",
+        )
+        == 2
+    )
+    # the token is now consumed: a replay is a manifest no-op
+    assert (
+        write_version(good, path, op="append", txn_id="batch-7") == 2
+    )
+    assert _rows(read_version(spark, path)) == [(1, "a"), (2, "b")]
+
+
+def test_merge_version_forwards_constraints(spark, tmp_path):
+    """merge_version enforces check/not_null on the incoming batch and
+    refuses without consuming the txn token."""
+    from etl_dag_spark.sources.versions import (
+        ConstraintViolationError,
+        merge_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, ts int"), path
+    )
+    bad = spark.createDataFrame([(2, None, 2)], "k int, v string, ts int")
+    with pytest.raises(ConstraintViolationError):
+        merge_version(
+            spark, path, bad, ["k"], "ts", not_null=["v"], txn_id="m1"
+        )
+    assert [h["version"] for h in history(path)] == [1]
+    good = spark.createDataFrame([(2, "b", 2)], "k int, v string, ts int")
+    v = merge_version(
+        spark, path, good, ["k"], "ts", not_null=["v"], txn_id="m1"
+    )
+    assert v == 2
+    assert _rows(read_version(spark, path).select("k", "v")) == [
+        (1, "a"), (2, "b"),
     ]
