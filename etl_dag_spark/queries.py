@@ -1073,6 +1073,69 @@ def _splitmix_sql(key_expr: str) -> str:
     )
 
 
+def _planted_corpus_ctes(
+    dim: int = 64,
+    copies: int = 8,
+    noise: float = 0.1,
+    base_cap: int = 1_250,
+    id_stride: int = 1_000_000,
+) -> str:
+    """The `pert` + `corpus` CTE pair replaying _near_dup_corpus in
+    DuckDB bit-exactly (shared by the LSH oracle and the exact
+    comparator's): splitmix uint64 hash → multiplicative float32
+    perturbation, HUGEINT mod-2^64 arithmetic (float32 bit-equality
+    pinned in pytest)."""
+    h = _splitmix_sql("CAST(e.vec_id*1000003 + r.r*7919 + i.i AS HUGEINT)")
+    return f"""pert AS MATERIALIZED (
+  SELECT e.vec_id, r.r, i.i,
+         CASE WHEN r.r = 0 THEN CAST(e.embedding[i.i + 1] AS REAL)
+              ELSE CAST(CAST(e.embedding[i.i + 1] AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                   + CAST({noise:.17e} AS DOUBLE) * (CAST(2.0 AS DOUBLE)
+                     * (CAST({h} AS DOUBLE) / {_M64})
+                     - CAST(1.0 AS DOUBLE))) AS REAL)
+         END AS val
+  FROM embeddings e, range({copies}) r(r), range({dim}) i(i)
+  WHERE e.vec_id < {base_cap}
+),
+corpus AS MATERIALIZED (
+  SELECT r*{id_stride} + vec_id AS cid, list(val ORDER BY i) AS emb
+  FROM pert GROUP BY vec_id, r
+)"""
+
+
+def _cosine_nd_exact_oracle_sql(
+    threshold: float = 0.95, dim: int = 64
+) -> str:
+    """DuckDB replay of the EXACT all-pairs comparator over the planted
+    corpus (r12, VERDICT r11 #7): the same splitmix corpus synthesis as
+    the LSH oracle, then every a<b pair scored with the sequential
+    left-to-right double dot (unrolled to literal terms — float-
+    identical to dot_sql's left fold, ~2x faster than the lambda) over
+    per-vector precomputed norms (sqrt(dot(v,v)) once per vector is the
+    same float sequence cosine_sql evaluates per pair), rounded to 6
+    and thresholded exactly like cosine_pairs."""
+    from etl_dag_spark.functions.vectors import dot_sql
+
+    terms = " + ".join(
+        f"CAST(a.emb[{i + 1}] AS DOUBLE) * CAST(b.emb[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"""
+WITH {_planted_corpus_ctes(dim=dim)},
+nrm AS MATERIALIZED (
+  SELECT cid, emb, sqrt({dot_sql("emb", "emb")}) AS nv FROM corpus
+),
+pairs AS (
+  SELECT a.cid AS vec_id_a, b.cid AS vec_id_b,
+         round((CAST(0.0 AS DOUBLE) + {terms})
+               / nullif(a.nv * b.nv, 0.0), 6) AS sim
+  FROM nrm a JOIN nrm b ON a.cid < b.cid
+)
+SELECT vec_id_a, vec_id_b, sim FROM pairs
+WHERE sim >= CAST({threshold} AS DOUBLE)
+"""
+
+
 def _cosine_lsh_oracle_sql(
     threshold: float = 0.95,
     n_planes: int = 12,
@@ -1117,25 +1180,15 @@ def _cosine_lsh_oracle_sql(
         f"SELECT cid, {t} AS table_id, {bucket('emb', t)} AS bucket FROM corpus"
         for t in range(n_tables)
     )
-    h = _splitmix_sql(
-        "CAST(e.vec_id*1000003 + r.r*7919 + i.i AS HUGEINT)"
+    ctes = _planted_corpus_ctes(
+        dim=dim,
+        copies=copies,
+        noise=noise,
+        base_cap=base_cap,
+        id_stride=id_stride,
     )
     return f"""
-WITH pert AS MATERIALIZED (
-  SELECT e.vec_id, r.r, i.i,
-         CASE WHEN r.r = 0 THEN CAST(e.embedding[i.i + 1] AS REAL)
-              ELSE CAST(CAST(e.embedding[i.i + 1] AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-                   + CAST({noise:.17e} AS DOUBLE) * (CAST(2.0 AS DOUBLE)
-                     * (CAST({h} AS DOUBLE) / {_M64})
-                     - CAST(1.0 AS DOUBLE))) AS REAL)
-         END AS val
-  FROM embeddings e, range({copies}) r(r), range({dim}) i(i)
-  WHERE e.vec_id < {base_cap}
-),
-corpus AS MATERIALIZED (
-  SELECT r*{id_stride} + vec_id AS cid, list(val ORDER BY i) AS emb
-  FROM pert GROUP BY vec_id, r
-),
+WITH {ctes},
 sigs AS MATERIALIZED (
   {sig_selects}
 ),
@@ -1181,14 +1234,18 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_cosine_nd_exact")  # rows-only; the LSH twin's exact comparator
+@register(
+    "dedup_embedding_cosine_nd_exact", oracle=_cosine_nd_exact_oracle_sql()
+)
 def dedup_embedding_cosine_nd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine at τ=0.95 over the SAME planted near-dup
     corpus as dedup_embedding_cosine_lsh — the bench comparator that
     shows where brute force loses to the LSH path (quadratic scoring vs
     bucket-pruned candidates), and the ground truth for its agreement
-    pytest. Engine-specific corpus synthesis → rows-only driver check;
-    pair-level correctness lives in the agreement test."""
+    pytest. VALUE-EXACT oracled since r12 (VERDICT r11 #7): the oracle
+    replays the splitmix corpus synthesis and the quadratic sequential
+    cosine bit-for-bit (_cosine_nd_exact_oracle_sql) — the deliberately
+    quadratic ground-truth twin, size-capped by the corpus fixture."""
     return sim.cosine_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.95)
 
 
