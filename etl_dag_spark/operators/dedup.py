@@ -99,6 +99,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def weighted_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num: int = 4,
+    den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = 50,
+) -> DataFrame:
+    """df-WEIGHTED (soft) Jaccard near-dup pairs (r12): each distinct
+    word n-gram carries the integer rarity weight ``w(s) = D − df(s) +
+    1`` (D = corpus document count), so two docs agreeing on RARE
+    shingles score far higher than two sharing boilerplate — the
+    weighted-set-similarity refinement of :func:`ngram_jaccard_pairs`
+    (Chaudhuri et al. 2006 generalize the prefix filter to exactly this
+    weighted form). similarity = Σ_{s∈A∩B} w(s) / Σ_{s∈A∪B} w(s), both
+    sums exact BIGINTs, the union sum via inclusion-exclusion; the
+    threshold gate is the integer cross-multiplication ``den·w∩ ≥
+    num·w∪`` (no float-boundary rows), and the emitted DOUBLE is one
+    division.
+
+    Same inverted-index scale shape as the unweighted form: candidates
+    only from shared shingles, hot shingles df-capped (the weighting
+    makes the cap principled — the capped stop-shingles are exactly
+    the weight-≈0 ones). → (doc_id_a, doc_id_b, weighted_jaccard)."""
+    total_docs = documents.count()  # one scalar, embedded as a literal
+    sh = shingle_rows(documents, n=n, id_col=id_col, text_col=text_col)
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_freq is not None:
+        freq = freq.where(F.col("__df") <= max_shingle_freq)
+    weights = freq.select(
+        "s",
+        (F.lit(total_docs).cast("bigint") - F.col("__df") + F.lit(1))
+        .cast("bigint")
+        .alias("__w"),
+    )
+    # weighted inverted index feeds three consumers (sizes + both join
+    # sides): materialize once, like the unweighted form
+    shw = sh.join(weights, "s").localCheckpoint(eager=False)
+    sizes = shw.groupBy("doc_id").agg(
+        F.sum("__w").cast("bigint").alias("w_tot")
+    )
+    a, b = shw.alias("a"), shw.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.sum(F.col("a.__w")).cast("bigint").alias("w_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("w_tot").alias("w_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("w_tot").alias("w_b"))
+    w_union = F.col("w_a") + F.col("w_b") - F.col("w_common")
+    return (
+        common.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .where(F.lit(den) * F.col("w_common") >= F.lit(num) * w_union)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("w_common").cast("double") / w_union).alias(
+                "weighted_jaccard"
+            ),
+        )
+    )
+
+
 def edit_verified_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -12800,6 +12800,214 @@ def olap_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# r12 additions: weighted set similarity, cross-source normalization,
+# behavioral diversity, rank fusion
+# =====================================================================
+
+
+@register(
+    "dedup_weighted_jaccard",
+    oracle=f"""
+WITH sh_all AS (
+  SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM documents
+),
+-- integer rarity weight w(s) = D - df(s) + 1 over the df-capped index
+-- (cap 50, like dedup_ngram_jaccard — the capped stop-shingles are
+-- exactly the weight-~0 ones)
+w AS (
+  SELECT s, CAST((SELECT count(*) FROM documents) - count(*) + 1 AS BIGINT) AS w
+  FROM sh_all GROUP BY s HAVING count(*) <= 50
+),
+sh AS (
+  SELECT sh_all.doc_id, sh_all.s, w.w FROM sh_all JOIN w USING (s)
+),
+sizes AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS w_tot FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(sum(a.w) AS BIGINT) AS wc
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+       CAST(doc_id_b AS BIGINT) AS doc_id_b,
+       CAST(wc AS DOUBLE) / (na.w_tot + nb.w_tot - wc) AS weighted_jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_id_a
+JOIN sizes nb ON nb.doc_id = doc_id_b
+WHERE 5 * wc >= 4 * (na.w_tot + nb.w_tot - wc)
+""",
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-weighted (soft) Jaccard near-dup pairs at ≥ 4/5 (r12):
+    shingles weighted by integer corpus rarity w(s) = D − df(s) + 1, so
+    agreement on rare content outweighs shared boilerplate — the
+    weighted refinement of #22 (Chaudhuri et al. 2006's weighted prefix
+    filter family). Both sums exact BIGINTs, gate by integer
+    cross-multiplication, one emitted division
+    (dedup.py::weighted_jaccard_pairs)."""
+    return dd.weighted_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        num=4,
+        den=5,
+        max_shingle_freq=50,
+    )
+
+
+@register(
+    "etl_quantile_normalize",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_g
+  FROM documents
+),
+pooled AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS p,
+         n_chars AS pv
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT ranked.doc_id, ranked.source, ranked.n_chars,
+       pooled.pv AS norm_chars
+FROM ranked CROSS JOIN tot
+JOIN pooled
+  ON pooled.p = 1 + ((ranked.r - 1) * (tot.n - 1)) // greatest(ranked.n_g - 1, 1)
+""",
+)
+def etl_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document length (r12;
+    Bolstad et al. 2003): each doc's n_chars is replaced by the POOLED
+    corpus value at its within-source quantile rank, making per-source
+    length/quality signals comparable before corpus mixing — the
+    batch-effect correction step upstream of #76's domain mixer.
+    Integer ranks + one non-negative integer DIV (truncate == floor);
+    the global pooled ranking rides the pinned range-partitioned
+    global_row_number, never a one-task sort
+    (operators/normalize.py::quantile_normalize)."""
+    from etl_dag_spark.operators.normalize import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(
+        docs, "source", "n_chars", "doc_id", out_col="norm_chars"
+    ).select("doc_id", "source", "n_chars", F.col("norm_chars").cast("bigint"))
+
+
+@register(
+    "olap_event_diversity",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS INT) AS n_types,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM c GROUP BY 1
+)
+SELECT user_id, n AS n_events, n_types,
+       CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini_simpson,
+       CAST(n * n AS DOUBLE) / CAST(s2 AS DOUBLE) AS inv_simpson
+FROM agg
+""",
+)
+def olap_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user (r12): Gini-Simpson index 1 −
+    Σp_i² and the inverse-Simpson "effective number of event types" —
+    the exploration-vs-habit readout product analytics runs next to the
+    funnel (#87) and transition matrix (#19b). Simpson's D is the
+    log-free diversity statistic (Shannon entropy needs libm ln, which
+    is not engine-portable): every input is an exact BIGINT from one
+    (user, type) groupBy and each emitted DOUBLE is a single division —
+    the same portability recipe as text_yule_richness, applied to the
+    behavioral domain."""
+    c = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    n2 = F.col("n") * F.col("n")
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        ((n2 - F.col("s2")).cast("double") / n2.cast("double")).alias(
+            "gini_simpson"
+        ),
+        (n2.cast("double") / F.col("s2").cast("double")).alias("inv_simpson"),
+    )
+
+
+@register(
+    "etl_rank_fusion",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct({tokens_sql("text")})) AS BIGINT) AS n_types
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rank_len,
+         CAST(row_number() OVER (ORDER BY n_types DESC, doc_id) AS INT) AS rank_vocab
+  FROM base
+)
+SELECT doc_id, rank_len, rank_vocab,
+       CAST(rank_len + rank_vocab AS INT) AS borda_score,
+       CAST(row_number() OVER (ORDER BY rank_len + rank_vocab, doc_id) AS INT) AS fused_rank
+FROM r
+""",
+)
+def etl_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count rank fusion of two quality signals (r12): documents
+    ranked by length and by distinct-token vocabulary are fused into
+    one consensus ordering by summing ranks — the integer-exact member
+    of the rank-fusion family (reciprocal-rank fusion's 1/(k+r) sums
+    are float-order-dependent and not engine-portable; Borda is the
+    classical positional method). The combiner counterpart of
+    etl_rank_agreement's RBO comparator: RBO measures how much two
+    quality gates agree, this builds the ranking you curate by when
+    they half-agree. All three global rankings ride the pinned
+    range-partitioned global_row_number (no one-task sorts); ranks and
+    the Borda score are INTs, ties broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(tokens_column("text")))
+        .cast("bigint")
+        .alias("n_types"),
+    )
+    r1 = win.global_row_number(
+        base, [F.col("n_chars").desc(), F.col("doc_id")], "__r1"
+    )
+    r2 = win.global_row_number(
+        r1, [F.col("n_types").desc(), F.col("doc_id")], "__r2"
+    )
+    fused = win.global_row_number(
+        r2.withColumn("__b", F.col("__r1") + F.col("__r2")),
+        [F.col("__b"), F.col("doc_id")],
+        "__f",
+    )
+    return fused.select(
+        "doc_id",
+        F.col("__r1").cast("int").alias("rank_len"),
+        F.col("__r2").cast("int").alias("rank_vocab"),
+        F.col("__b").cast("int").alias("borda_score"),
+        F.col("__f").cast("int").alias("fused_rank"),
+    )
+
+
+# =====================================================================
 # Registration-order contract
 # =====================================================================
 # The driver's correctness gate records the FIRST 50 entries of
