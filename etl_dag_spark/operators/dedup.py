@@ -361,19 +361,18 @@ def _ensure_bucketed_store(
     has_prior_store = os.path.isdir(loc) and any(
         f.startswith("part-") and f.endswith(".parquet") for f in os.listdir(loc)
     )
-    if has_prior_store:
-        spark.sql(
-            f"CREATE TABLE {store_table} ({schema_sql}) "
-            f"USING parquet CLUSTERED BY ({', '.join(bucket_cols)}) "
-            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
-        )
-    else:
+    if not has_prior_store:
+        # no parquet store here: clear stale partial junk; the DDL
+        # below then registers an EMPTY external bucketed table —
+        # catalog-only, no Spark job (bootstrapping by writing an empty
+        # bucketed frame cost a full 16-task write per fresh store,
+        # ~2 s of the dedup_incremental bench entry — r12)
         shutil.rmtree(loc, ignore_errors=True)
-        empty = spark.createDataFrame([], schema_sql)
-        writer = empty.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
-        if path is not None:
-            writer = writer.option("path", path)
-        writer.format("parquet").saveAsTable(store_table)
+    spark.sql(
+        f"CREATE TABLE {store_table} ({schema_sql}) "
+        f"USING parquet CLUSTERED BY ({', '.join(bucket_cols)}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
 
 
 # ------------------------------------------- line-level boilerplate (CCNet)
@@ -1098,35 +1097,50 @@ def incremental_minhash_dedup(
     )
     store = spark.table(store_table)
 
-    # Bloom pre-filter on the store probe: a fresh crawl's buckets
-    # mostly MISS the store at scale, and the words table (≤ bits/64
-    # rows by construction) turns those misses into a map-only drop
-    # before the sort-merge store join. No false negatives, so results
-    # are bit-identical with the filter off (pinned in
-    # tests/test_bloom.py); only the hits path uses the filtered frame.
-    nb_probe = nb
-    if bloom_bits is not None:
-        from etl_dag_spark.operators.bloom import bloom_filter_words, bloom_prefilter
+    # bootstrap fast path: a store with no data files (first batch of a
+    # fresh ingest) can match nothing — skip the Bloom build AND the
+    # store-probe join outright instead of executing them against zero
+    # rows (driver-side file listing, no job; identical results — r12)
+    if not store.inputFiles():
+        store_hits = spark.createDataFrame([], "doc_id bigint")
+    else:
+        # Bloom pre-filter on the store probe: a fresh crawl's buckets
+        # mostly MISS the store at scale, and the words table (≤ bits/64
+        # rows by construction) turns those misses into a map-only drop
+        # before the sort-merge store join. No false negatives, so
+        # results are bit-identical with the filter off (pinned in
+        # tests/test_bloom.py); only the hits path uses the filtered
+        # frame.
+        nb_probe = nb
+        if bloom_bits is not None:
+            from etl_dag_spark.operators.bloom import (
+                bloom_filter_words,
+                bloom_prefilter,
+            )
 
-        # materialize the words table ONCE: each of the k broadcast
-        # joins otherwise re-executes the whole build subplan (store
-        # scan + explode + bit_or) per broadcast exchange
-        words = bloom_filter_words(
-            store, ["band", "bucket"], num_bits=bloom_bits
-        ).localCheckpoint(eager=False)
-        nb_probe = bloom_prefilter(nb, words, ["band", "bucket"], num_bits=bloom_bits)
+            # materialize the words table ONCE: each of the k broadcast
+            # joins otherwise re-executes the whole build subplan (store
+            # scan + explode + bit_or) per broadcast exchange
+            words = bloom_filter_words(
+                store, ["band", "bucket"], num_bits=bloom_bits
+            ).localCheckpoint(eager=False)
+            nb_probe = bloom_prefilter(
+                nb, words, ["band", "bucket"], num_bits=bloom_bits
+            )
 
-    store_hits = (
-        nb_probe.join(
-            store.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("__sid")),
-            ["band", "bucket"],
+        store_hits = (
+            nb_probe.join(
+                store.select(
+                    F.col("band"), F.col("bucket"), F.col("doc_id").alias("__sid")
+                ),
+                ["band", "bucket"],
+            )
+            .groupBy("doc_id", "__sid")
+            .agg(F.count(F.lit(1)).alias("nb_match"))
+            .where(F.col("nb_match") >= min_band_matches)
+            .select("doc_id")
+            .distinct()
         )
-        .groupBy("doc_id", "__sid")
-        .agg(F.count(F.lit(1)).alias("nb_match"))
-        .where(F.col("nb_match") >= min_band_matches)
-        .select("doc_id")
-        .distinct()
-    )
 
     l, r = nb.alias("l"), nb.alias("r")
     batch_edges = (
