@@ -51,6 +51,59 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+DIVERSITY_OUT = (
+    "user_id bigint, n_events bigint, n_types int,"
+    " gini_simpson double, inv_simpson double"
+)
+DIVERSITY_STATE = "types array<string>, counts array<bigint>"
+
+
+def _update_diversity(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    counts: dict[str, int] = {}
+    if state.exists:
+        types, ns = state.get
+        counts = {t: int(c) for t, c in zip(types, ns)}
+    for pdf in pdfs:
+        for t, c in pdf["event_type"].value_counts().items():
+            counts[t] = counts.get(t, 0) + int(c)
+    state.update((list(counts), [counts[t] for t in counts]))
+    n = sum(counts.values())
+    s2 = sum(c * c for c in counts.values())
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "n_types": [len(counts)],
+            "gini_simpson": [(n * n - s2) / (n * n)],
+            "inv_simpson": [(n * n) / s2],
+        }
+    )
+
+
+def running_user_diversity(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``olap_event_diversity`` query (r12):
+    per-user event-type counts live in the state store as parallel
+    (type, count) arrays — exact integers, unbounded history — and each
+    micro-batch emits the user's UPDATED Gini-Simpson / inverse-Simpson
+    diversity (update semantics). The divisions happen only at emit
+    time over exact integer moments, so after any batch split the
+    emitted row for a user equals the batch query over everything
+    ingested so far (pinned in tests)."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_diversity,
+            outputStructType=DIVERSITY_OUT,
+            stateStructType=DIVERSITY_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_OUT = (
     "user_id bigint, session_start_us bigint,"
     " session_end_us bigint, n_events bigint"

@@ -143,6 +143,40 @@ def test_stateful_running_totals_across_batches(spark, stream_src):
     assert got == want
 
 
+def test_stateful_running_diversity_across_batches(spark, stream_src):
+    """Streaming twin of olap_event_diversity (r12): per-user type
+    counts accumulate in state; after the last batch the emitted
+    diversity per user equals the batch query over the same events."""
+    from etl_dag_spark.queries import SPARK_QUERIES
+    from etl_dag_spark.streaming.stateful import running_user_diversity
+
+    stream = running_user_diversity(read_event_stream(spark, stream_src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_diversity")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2
+    # update mode re-emits per batch: max n_events marks the final row
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.gini_simpson, r.inv_simpson)
+        for r in spark.sql(
+            """SELECT user_id, n_events, n_types, gini_simpson, inv_simpson
+               FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                     FROM user_diversity) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.n_types, r.gini_simpson, r.inv_simpson)
+        for r in SPARK_QUERIES["olap_event_diversity"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_stream_static_join_enriches_events(spark, stream_src):
     """Stream-static join: the streaming fact side joins a static dim
     per micro-batch (dim broadcast, stream never blocked)."""
