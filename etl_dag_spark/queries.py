@@ -13064,10 +13064,13 @@ _ROTATE_TO_FRONT = [
 ]
 # r13 WINDOW MATH (re-key _ROTATE_TO_FRONT for r13 before anything
 # else lands): the 17 names from "position 51+" above are mandatory
-# leads (r8 evidence — 5 rounds stale by r13), then any oracle whose
-# FIRST driver hash is still pending (new r12 registrations). That
-# leaves ~30 slots; fill them with the oldest r9-evidence oracles
-# (oldest-registered first) to keep the ≤4-round refresh cycle alive.
+# leads (r8 evidence — 5 rounds stale by r13), then the 5 oracles
+# whose FIRST driver hash is pending from r12
+# (dedup_embedding_cosine_nd_exact — rows-only→value-exact upgrade —
+# plus the new dedup_weighted_jaccard, etl_quantile_normalize,
+# olap_event_diversity, etl_rank_fusion). That leaves ~28 slots; fill
+# them with the oldest r9-evidence oracles (oldest-registered first)
+# to keep the ≤4-round refresh cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},
