@@ -46,6 +46,14 @@ Why this scales: a manifest is a DELTA against its parent, so
   refuse the commit with :class:`ConstraintViolationError` BEFORE any
   manifest (or data file) is written, and the txn token is NOT
   consumed — a refused batch stays replayable after repair.
+- **layout-spec evolution** (r12): every snapshot's manifest may carry
+  a ``layout`` spec (recorded by OPTIMIZE — ``{"zorder": [...]}`` or
+  ``{"coalesce": n}`` — and carried by RESTORE/CLONE, surfaced in
+  :func:`history`). Because readers prune by per-FILE stats rather
+  than directory structure, changing the layout is ONE optimize commit
+  and old snapshots keep reading under their own spec — the
+  partition-spec-evolution capability Iceberg gets from spec ids,
+  obtained here by making the spec metadata-only.
 
 Reference parity: the reference pipeline truncate-and-loads its tables
 (ETL_DAG.py:206-229) and keeps no history; this module is the upgrade a
@@ -305,6 +313,7 @@ def write_version(
     expected_parent: int | None = None,
     check=None,
     not_null: list[str] | None = None,
+    layout: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -480,6 +489,8 @@ def write_version(
             manifest["rename"] = renames
         if evolved:
             manifest["evolved"] = True
+        if layout:
+            manifest["layout"] = layout
         if not _commit_manifest(path, version, manifest):
             continue  # lost the race — recompute against the new tip
         if version % _CHECKPOINT_EVERY == 0:
@@ -574,9 +585,10 @@ def history(path: str) -> list[dict]:
     for v in _versions(path):
         m = _load_raw(path, v)
         n = m["n_files"] if "n_files" in m else len(m["files"])
-        out.append(
-            {k: m[k] for k in ("version", "parent", "op")} | {"n_files": n}
-        )
+        row = {k: m[k] for k in ("version", "parent", "op")} | {"n_files": n}
+        if m.get("layout"):
+            row["layout"] = m["layout"]
+        out.append(row)
     return out
 
 
@@ -803,6 +815,11 @@ def compact_version(
         return write_version(
             frame, path, op="optimize", stats_cols=stats,
             txn_id=txn_id, writer_id=writer_id,
+            layout={
+                "zorder": list(zorder_by),
+                "bits": zorder_bits,
+                "target_files": target_files,
+            },
         )
     return write_version(
         current.coalesce(target_files),
@@ -811,6 +828,7 @@ def compact_version(
         stats_cols=stats_cols,
         txn_id=txn_id,
         writer_id=writer_id,
+        layout={"coalesce": target_files},
     )
 
 
@@ -1232,6 +1250,8 @@ def restore_version(
             manifest["rename"] = mt["rename"]
         if mt.get("evolved"):
             manifest["evolved"] = True
+        if mt.get("layout"):
+            manifest["layout"] = mt["layout"]
         if not _commit_manifest(path, parent + 1, manifest):
             continue  # lost the race — recompute against the new tip
         return parent + 1
@@ -1293,6 +1313,8 @@ def clone_table(
         manifest["rename"] = mt["rename"]
     if mt.get("evolved"):
         manifest["evolved"] = True
+    if mt.get("layout"):
+        manifest["layout"] = mt["layout"]
     if not _commit_manifest(dst_path, 1, manifest):
         raise ValueError(f"clone target {dst_path} is not an empty table")
     return 1

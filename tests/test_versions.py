@@ -1262,3 +1262,35 @@ def test_merge_version_forwards_constraints(spark, tmp_path):
     assert _rows(read_version(spark, path).select("k", "v")) == [
         (1, "a"), (2, "b"),
     ]
+
+
+def test_layout_spec_evolves_without_touching_history(spark, tmp_path):
+    """Partition-spec/layout evolution (r12, metadata level): every
+    snapshot records ITS OWN physical layout; OPTIMIZE changes it for
+    the tip only, old snapshots keep theirs, reads are layout-agnostic
+    (stat-based file pruning), and RESTORE carries the restored
+    snapshot's spec."""
+    from etl_dag_spark.sources.versions import compact_version, restore_version
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k int, v string"
+    ).repartition(4)
+    write_version(df, path)  # v1: no declared layout
+    v2 = compact_version(spark, path, target_files=2)  # v2: coalesce
+    v3 = compact_version(
+        spark, path, target_files=2, zorder_by=["k"]
+    )  # v3: z-order — the spec EVOLVED, history untouched
+    h = {e["version"]: e.get("layout") for e in history(path)}
+    assert h[1] is None
+    assert h[v2] == {"coalesce": 2}
+    assert h[v3] == {"zorder": ["k"], "bits": 8, "target_files": 2}
+    # identical rows under every layout generation
+    want = sorted((i, f"v{i}") for i in range(40))
+    for v in (1, v2, v3):
+        assert _rows(read_version(spark, path, v)) == want
+    # restore to the coalesce-era snapshot carries its spec forward
+    v4 = restore_version(path, v2)
+    assert {e["version"]: e.get("layout") for e in history(path)}[v4] == {
+        "coalesce": 2
+    }
