@@ -717,3 +717,167 @@ def drift_chisq_report(observed: DataFrame, reference: DataFrame) -> DataFrame:
         )
         .select("category", "n_ref", "n_obs", "expected_obs", "chisq_contrib")
     )
+
+
+def stream_host_cap(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    cap: int = 40,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming per-host document cap — the ingest twin of the batch
+    ``etl_host_cap`` gate (#78; r12). The cap-smallest content hashes
+    per host are a MERGEABLE summary — topk(A ∪ B) = topk(topk(A) ∪
+    topk(B)) under the (hv, doc_id) total order — so the skyline/KMV
+    delta-store recipe applies: each micro-batch lands its own per-host
+    top-``cap`` under ``batch=<id>`` (overwrite → replay-idempotent),
+    and :func:`read_host_cap_store` folds the union with one more
+    per-host rank. The store holds ≤ cap × hosts rows per batch; no
+    batch ever sees a whole hot host (per_group_top_k's salted
+    two-phase pre-prune). The hash rank is the batch gate's exact
+    md5 ordering, so the fold equals ``etl_host_cap`` over everything
+    ingested — survivors are append-stable across batch splits."""
+    from etl_dag_spark.operators import windows as win
+
+    hv = F.expr(
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        local = win.per_group_top_k(
+            batch_df.select(
+                F.col(id_col).cast("bigint").alias("doc_id"),
+                F.col(host_col).alias("source"),
+                hv.alias("hv"),
+            ),
+            "source",
+            [F.col("hv"), F.col("doc_id")],
+            cap,
+            rank_col="host_rank",
+        ).select("doc_id", "source", "hv")
+        local.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch={batch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_host_cap_store(
+    spark: SparkSession, store_path: str, cap: int = 40
+) -> DataFrame:
+    """Fold a :func:`stream_host_cap` store to the exact global
+    survivors: one per-host rank over the union of per-batch local
+    survivors (the stored ``hv`` makes the fold hash-free). →
+    (doc_id, source, host_rank), equal to the batch gate over every
+    ingested document."""
+    from etl_dag_spark.operators import windows as win
+
+    u = spark.read.parquet(store_path).drop("batch")
+    return win.per_group_top_k(
+        u, "source", [F.col("hv"), F.col("doc_id")], cap, rank_col="host_rank"
+    ).select("doc_id", "source", "host_rank")
+
+
+def decontaminate_batch(
+    docs: DataFrame,
+    eval_shingles: DataFrame,
+    n: int = 4,
+    min_common: int = 2,
+    containment_num: int = 1,
+    containment_den: int = 2,
+) -> DataFrame:
+    """Per-document contamination verdict against a STATIC eval shingle
+    set — the per-doc decision core shared by the streaming guard and
+    its batch-equality pin. ``eval_shingles`` is (eval_doc_id, s);
+    a doc is dropped when ANY eval doc shares ≥ ``min_common`` n-grams
+    with it OR contains ≥ num/den of that eval doc's shingles (integer
+    cross-multiplication — no float-boundary rows). The decision is
+    doc-local given the eval set, so any batch split yields identical
+    verdicts. → input columns + (n_eval_hits, dropped)."""
+    from etl_dag_spark.functions.text import shingle_rows
+
+    sh = shingle_rows(docs, n=n)
+    esz = eval_shingles.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    pairs = (
+        sh.join(eval_shingles, "s")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .join(esz, "eval_doc_id")
+    )
+    hits = (
+        pairs.where(
+            (F.col("n_common") >= min_common)
+            | (
+                F.lit(containment_den) * F.col("n_common")
+                >= F.lit(containment_num) * F.col("n_ev")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"))
+    )
+    return (
+        docs.join(hits, "doc_id", "left")
+        .withColumn(
+            "n_eval_hits", F.coalesce(F.col("n_eval_hits"), F.lit(0).cast("bigint"))
+        )
+        .withColumn("dropped", F.col("n_eval_hits") > 0)
+    )
+
+
+def stream_decontaminate(
+    docs_stream: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 4,
+    min_common: int = 2,
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming decontamination guard (r12) — the ingest twin of the
+    batch removal pipeline (#101b): benchmark/eval shingles are STATIC
+    for the life of the stream (the realistic shape: eval suites change
+    by release, the crawl never stops), each micro-batch's documents
+    are verdict-ed against them with :func:`decontaminate_batch`, and
+    only clean docs land under ``out_dir/batch=<id>`` (overwrite — an
+    at-least-once replay rewrites the identical rows instead of
+    duplicating them, the module's store idempotence recipe; per-doc
+    decisions are doc-local, so the union over batches equals the
+    one-shot batch run). The eval side stays a small static frame
+    joined per batch (stream-static shape); candidate volume is
+    bounded by batch-shingles ⋈ eval-shingles, never corpus × eval."""
+    from etl_dag_spark.functions.text import shingle_rows
+
+    ev = (
+        shingle_rows(eval_docs, n=n)
+        .select(F.col("doc_id").alias("eval_doc_id"), "s")
+        .localCheckpoint(eager=True)  # static: computed once, not per batch
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdict = decontaminate_batch(
+            batch_df, ev, n=n, min_common=min_common
+        )
+        verdict.where(~F.col("dropped")).drop(
+            "n_eval_hits", "dropped"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

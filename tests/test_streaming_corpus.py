@@ -1144,3 +1144,86 @@ def test_stream_cdc_ingest_applies_tombstones_exactly_once(spark, tmp_path):
     )
     assert v == 2
     assert [m["version"] for m in history(table)] == [1, 2]
+
+
+def test_stream_host_cap_fold_equals_batch_gate(spark, doc_stream_src):
+    """Streaming per-host cap (r12, twin of #78): the folded store
+    equals the batch etl_host_cap gate over every ingested document —
+    per-host top-k by content hash is mergeable across micro-batches."""
+    from etl_dag_spark.queries import _HOST_CAP, SPARK_QUERIES
+    from etl_dag_spark.streaming.corpus import (
+        read_host_cap_store,
+        stream_host_cap,
+    )
+    import os as _os
+    import tempfile as _tf
+
+    store = _tf.mkdtemp(prefix="hostcap_store_")
+    ckpt = _tf.mkdtemp(prefix="hostcap_ckpt_")
+    q = stream_host_cap(
+        read_document_stream(spark, doc_stream_src), store, ckpt, cap=_HOST_CAP
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.source, r.host_rank)
+        for r in read_host_cap_store(spark, store, cap=_HOST_CAP).collect()
+    }
+    want = {
+        (r.doc_id, r.source, r.host_rank)
+        for r in SPARK_QUERIES["etl_host_cap"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+    # the store never holds more than cap rows per (batch, host)
+    assert len(
+        [d for d in _os.listdir(store) if d.startswith("batch=")]
+    ) >= 2
+
+
+def test_stream_decontaminate_equals_one_shot(spark, doc_stream_src):
+    """Streaming decontamination guard (r12, twin of #101b): union of
+    per-batch clean outputs == the one-shot batch verdict over the
+    whole corpus (decisions are doc-local vs the static eval set);
+    a replayed batch rewrites identical rows."""
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.functions.text import shingle_rows
+    from etl_dag_spark.streaming.corpus import (
+        decontaminate_batch,
+        stream_decontaminate,
+    )
+
+    docs = spark.read.parquet(doc_stream_src)
+    eval_docs = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    out = _tf.mkdtemp(prefix="decon_out_")
+    ckpt = _tf.mkdtemp(prefix="decon_ckpt_")
+    q = stream_decontaminate(
+        read_document_stream(spark, doc_stream_src), eval_docs, out, ckpt
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    ev = shingle_rows(eval_docs, n=4).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    verdict = decontaminate_batch(docs, ev)
+    want = {r.doc_id for r in verdict.where(~F.col("dropped")).collect()}
+    assert got == want
+    # contamination really fired: every eval doc flags itself
+    n_eval = eval_docs.count()
+    assert verdict.where(F.col("dropped")).count() >= n_eval > 0
+    # replaying one batch (overwrite) leaves the result unchanged
+    batches = sorted(
+        d for d in _os.listdir(out) if d.startswith("batch=")
+    )
+    assert len(batches) >= 2
+    # materialize before self-overwriting (a lazy read of the same
+    # path would see its own deletes)
+    first = spark.read.parquet(
+        _os.path.join(out, batches[0])
+    ).localCheckpoint(eager=True)
+    first.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(out, batches[0])
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == want
