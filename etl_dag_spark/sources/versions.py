@@ -642,6 +642,95 @@ def vacuum(path: str, keep_last: int = 2, min_age_seconds: float = 3600.0) -> li
     return dropped
 
 
+def vacuum_report(
+    path: str, keep_last: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
+    """DRY-RUN of :func:`vacuum` — what WOULD be dropped/reclaimed,
+    nothing touched (the ``VACUUM ... DRY RUN`` surface): the versions
+    whose manifests would go, the unreferenced data dirs old enough to
+    reap with their total bytes, and the young dirs the retention
+    window protects (a possibly-in-flight writer's files). The
+    operator's go/no-go read before an irreversible reclaim."""
+    import time
+
+    versions = _versions(path)
+    dropped = versions[:-keep_last] if keep_last > 0 else versions
+    kept = versions[len(dropped):]
+    keep_dirs = {
+        os.path.dirname(f)
+        for v in kept
+        for f in _load_manifest(path, v)["files"]
+    }
+    reclaim_dirs: list[str] = []
+    held_young: list[str] = []
+    reclaim_bytes = 0
+    data_root = os.path.join(path, _DATA)
+    now = time.time()
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if full in keep_dirs:
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                held_young.append(full)
+                continue
+            reclaim_dirs.append(full)
+            for root, _, names in os.walk(full):
+                reclaim_bytes += sum(
+                    os.path.getsize(os.path.join(root, n)) for n in names
+                )
+    return {
+        "dropped_versions": dropped,
+        "kept_versions": kept,
+        "reclaim_dirs": reclaim_dirs,
+        "reclaim_bytes": reclaim_bytes,
+        "held_young_dirs": held_young,
+    }
+
+
+def fsck(path: str) -> dict:
+    """Table integrity report (the Delta FSCK surface, r12): for every
+    surviving version — is its state still RESOLVABLE (checkpoint/full
+    manifest reachable through the parent chain), and does every file
+    its snapshot lists still exist on disk? Plus the orphan data dirs
+    no version references (crashed writers / not-yet-vacuumed debris —
+    informational, never an error: invisible to readers by
+    construction). ``ok`` is True iff every version resolves with zero
+    missing files. Read-only; cost is O(versions · files-per-manifest
+    fold) metadata, no data scan."""
+    versions = _versions(path)
+    missing: dict[int, list[str]] = {}
+    unresolvable: list[int] = []
+    referenced: set[str] = set()
+    for v in versions:
+        try:
+            files = _load_manifest(path, v)["files"]
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            unresolvable.append(v)
+            continue
+        referenced.update(os.path.dirname(f) for f in files)
+        gone = [f for f in files if not os.path.exists(f)]
+        if gone:
+            missing[v] = gone
+    data_root = os.path.join(path, _DATA)
+    orphans = (
+        sorted(
+            os.path.join(data_root, d)
+            for d in os.listdir(data_root)
+            if os.path.join(data_root, d) not in referenced
+        )
+        if os.path.isdir(data_root)
+        else []
+    )
+    return {
+        "versions": versions,
+        "unresolvable_versions": unresolvable,
+        "missing_files": missing,
+        "orphan_data_dirs": orphans,
+        "ok": not unresolvable and not missing,
+    }
+
+
 def read_version_delta(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -1259,7 +1348,10 @@ def restore_version(
 
 
 def clone_table(
-    src_path: str, dst_path: str, version: int | None = None
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    deep: bool = False,
 ) -> int:
     """SHALLOW CLONE (the Delta CLONE verb, r11): create a NEW table at
     ``dst_path`` whose version-1 manifest simply LISTS the source
@@ -1271,10 +1363,13 @@ def clone_table(
 
     Caveats, both structural: (1) the source's vacuum does not know
     about clones (exactly Delta's shallow-clone caveat) — vacuuming
-    the source can orphan a clone's shared files, so deep-copy
-    (``read_version`` + ``write_version``) when lifetimes decouple;
-    this function fails fast if the source snapshot is already
-    partially vacuumed. (2) The clone's own vacuum only reclaims dirs
+    the source can orphan a clone's shared files, so pass ``deep=True``
+    when lifetimes decouple: the referenced files are byte-copied into
+    the clone's OWN data root (O(snapshot) disk/IO, the honest price of
+    independence — Delta's DEEP CLONE) and the manifest lists the
+    copies, so no source operation can ever touch the clone. Both
+    modes fail fast if the source snapshot is already partially
+    vacuumed. (2) The clone's own vacuum only reclaims dirs
     under ITS data root, so it can never harm the source. Stats,
     schema, and any evolution state are inherited, so manifest-level
     pruning and time-travel-exact reads work on the clone from commit
@@ -1297,14 +1392,35 @@ def clone_table(
     if _versions(dst_path):
         raise ValueError(f"clone target {dst_path} is not an empty table")
     os.makedirs(_manifest_dir(dst_path), exist_ok=True)
+    files = list(mt["files"])
+    stats = dict(mt.get("stats") or {})
+    if deep:
+        import shutil
+
+        # copy ONLY the referenced files, preserving the uuid dir names
+        # (collision-free in an empty target); stats keys follow
+        mapping: dict[str, str] = {}
+        for f in files:
+            rel_dir = os.path.basename(os.path.dirname(f))
+            dst_dir = os.path.join(dst_path, _DATA, rel_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            dst_f = os.path.join(dst_dir, os.path.basename(f))
+            shutil.copy2(f, dst_f)
+            mapping[f] = dst_f
+        files = [mapping[f] for f in files]
+        stats = {mapping[f]: s for f, s in stats.items() if f in mapping}
     manifest = {
         "version": 1,
         "parent": 0,
         "op": "clone",
-        "cloned_from": {"path": os.path.abspath(src_path), "version": v},
-        "files": mt["files"],
-        "n_files": len(mt["files"]),
-        "stats": mt.get("stats", {}),
+        "cloned_from": {
+            "path": os.path.abspath(src_path),
+            "version": v,
+            "deep": deep,
+        },
+        "files": files,
+        "n_files": len(files),
+        "stats": stats,
         "txn_id": None,
         "txns": {},
         "schema": mt["schema"],

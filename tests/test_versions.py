@@ -1294,3 +1294,75 @@ def test_layout_spec_evolves_without_touching_history(spark, tmp_path):
     assert {e["version"]: e.get("layout") for e in history(path)}[v4] == {
         "coalesce": 2
     }
+
+
+def test_vacuum_report_dry_run_touches_nothing(spark, table):
+    """VACUUM DRY RUN: report matches what vacuum() would do, nothing
+    on disk changes; the retention window shows up as held dirs."""
+    from etl_dag_spark.sources.versions import vacuum_report
+
+    before = sorted(os.listdir(os.path.join(table, "data")))
+    rep = vacuum_report(table, keep_last=2, min_age_seconds=0)
+    assert rep["dropped_versions"] == [1] and rep["kept_versions"] == [2, 3]
+    # v1's base dir is SHARED with kept v2 → nothing reclaimable at age 0
+    assert rep["reclaim_dirs"] == [] and rep["reclaim_bytes"] == 0
+    assert sorted(os.listdir(os.path.join(table, "data"))) == before
+    assert _rows(read_version(spark, table, 1)) == [(1, "a"), (2, "b")]
+    # an orphan dir is reclaimable when old, held when young
+    orphan = spark.createDataFrame([(99, "x")], "k int, v string")
+    orphan.write.parquet(os.path.join(table, "data", "orphan_run"))
+    young = vacuum_report(table, keep_last=2, min_age_seconds=3600)
+    assert any("orphan_run" in d for d in young["held_young_dirs"])
+    old = vacuum_report(table, keep_last=2, min_age_seconds=0)
+    assert any("orphan_run" in d for d in old["reclaim_dirs"])
+    assert old["reclaim_bytes"] > 0
+
+
+def test_fsck_reports_missing_files_and_orphans(spark, table):
+    """FSCK: healthy table is ok; a deleted data file is reported per
+    version; crashed-writer debris shows as an orphan, never an error."""
+    import shutil
+
+    from etl_dag_spark.sources.versions import fsck
+
+    rep = fsck(table)
+    assert rep["ok"] and rep["versions"] == [1, 2, 3]
+    spark.createDataFrame([(99, "x")], "k int, v string").write.parquet(
+        os.path.join(table, "data", "orphan_run")
+    )
+    rep = fsck(table)
+    assert rep["ok"] and any("orphan_run" in d for d in rep["orphan_data_dirs"])
+    # delete v3's data dir: v3 (and only v3) reports missing files
+    m3 = _load_manifest(table, 3)
+    shutil.rmtree(os.path.dirname(m3["files"][0]))
+    rep = fsck(table)
+    assert not rep["ok"]
+    assert set(rep["missing_files"]) == {3}
+    assert rep["unresolvable_versions"] == []
+
+
+def test_deep_clone_survives_source_vacuum(spark, table, tmp_path):
+    """DEEP CLONE: the clone owns byte-copies of the referenced files,
+    so vacuuming (even destroying) the source cannot touch it —
+    closing the shallow-clone caveat."""
+    import shutil
+
+    from etl_dag_spark.sources.versions import clone_table, fsck
+
+    dst = str(tmp_path / "deep_clone")
+    assert clone_table(table, dst, version=2, deep=True) == 1
+    # every clone file lives under the CLONE's data root
+    files = _load_manifest(dst, 1)["files"]
+    assert files and all(f.startswith(dst) for f in files)
+    assert _rows(read_version(spark, dst)) == [(1, "a"), (2, "b"), (3, "c")]
+    # obliterate the source: the clone is untouched and fsck-clean
+    shutil.rmtree(table)
+    assert _rows(read_version(spark, dst)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert fsck(dst)["ok"]
+    # the clone evolves independently
+    write_version(
+        spark.createDataFrame([(7, "g")], "k int, v string"), dst, op="append"
+    )
+    assert _rows(read_version(spark, dst)) == [
+        (1, "a"), (2, "b"), (3, "c"), (7, "g"),
+    ]
