@@ -340,3 +340,69 @@ def read_resolved_entities(spark: SparkSession, store_table: str) -> DataFrame:
         canon.select(F.col("doc_id").alias("entity_id"), "cluster_id"),
         "entity_id",
     ).select("record_id", F.col("cluster_id").alias("entity_id"))
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen 2012's record-linkage
+    measures, r12): given the CANDIDATE pairs a blocking scheme admits
+    and the labeled TRUE match pairs, one row of
+
+    - ``reduction_ratio``  = 1 − |candidates| / C(n_records, 2) — how
+      much of the quadratic comparison space the blocking avoided;
+    - ``pairs_completeness`` = |candidates ∩ truth| / |truth| — the
+      recall ceiling the blocking imposes on ANY downstream matcher;
+    - ``pairs_quality``     = |candidates ∩ truth| / |candidates| —
+      how dense the admitted pairs are in true matches.
+
+    The tuning readout for every candidate generator in this repo
+    (deletion-neighborhood keys, MinHash bands, prefix filters, LSH
+    buckets): a scheme is production-ready when reduction ratio ≈ 1 at
+    pairs completeness ≈ 1. Pairs are canonicalized (min, max) and
+    deduplicated on both sides; all three ratios are single divisions
+    of exact BIGINT counts (1-row aggregates — driver-safe at any
+    scale)."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct()
+
+    c, t = canon(candidates), canon(truth)
+    nc = c.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nt = t.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nm = (
+        c.join(t, ["a", "b"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    )
+    total = n_records * (n_records - 1) // 2
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nm))
+        .select(
+            F.lit(int(n_records)).cast("bigint").alias("n_records"),
+            F.lit(int(total)).cast("bigint").alias("n_possible_pairs"),
+            "n_candidates",
+            "n_truth",
+            "n_matched",
+            (
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double") / F.lit(float(total))
+            ).alias("reduction_ratio"),
+            (
+                F.col("n_matched").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("pairs_completeness"),
+            (
+                F.col("n_matched").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("pairs_quality"),
+        )
+    )

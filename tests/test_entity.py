@@ -191,3 +191,58 @@ def test_incremental_resolve_persists_capped_records(spark, tmp_path):
     }
     assert sorted(folded) == sorted(i for i, _, _ in rows)  # nobody vanished
     assert all(folded[i] == i for i in range(40))  # capped → unlinked singletons
+
+
+def test_blocking_quality_metrics_hand_computed(spark):
+    """Christen's blocking measures on a crafted scheme: 5 records,
+    truth = {(1,2),(3,4)}; a blocking that admits (1,2),(1,3),(3,4),
+    (4,5) → RR = 1 - 4/10, PC = 2/2, PQ = 2/4."""
+    from etl_dag_spark.operators.entity import blocking_quality
+
+    cand = spark.createDataFrame(
+        # includes a reversed and a duplicate pair: canonicalization
+        # must fold them
+        [(1, 2), (3, 1), (3, 4), (5, 4), (2, 1)],
+        "doc_id_a long, doc_id_b long",
+    )
+    truth = spark.createDataFrame([(2, 1), (3, 4)], "doc_id_a long, doc_id_b long")
+    row = blocking_quality(cand, truth, n_records=5).collect()[0]
+    assert row.n_possible_pairs == 10
+    assert row.n_candidates == 4 and row.n_truth == 2 and row.n_matched == 2
+    assert row.reduction_ratio == 1.0 - 4 / 10.0
+    assert row.pairs_completeness == 1.0
+    assert row.pairs_quality == 0.5
+
+
+def test_blocking_quality_on_deletion_neighborhood_scheme(spark):
+    """The repo's own ER candidate generator evaluated by the metric:
+    1-edit name variants are structurally complete (PC = 1.0) while the
+    blocking prunes most of the pair space."""
+    from etl_dag_spark.operators.entity import (
+        blocking_quality,
+        deletion_neighborhood_keys,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"customer_{i:03d}") for i in range(100)]
+    rows += [(100 + i, f"customer_{i:03d}x") for i in range(10)]  # 1 edit
+    recs = spark.createDataFrame(rows, "record_id long, name string")
+    keys = deletion_neighborhood_keys(recs, name_col="name")
+    a = keys.select(F.col("__k"), F.col("record_id").alias("doc_id_a"))
+    b = keys.select(F.col("__k"), F.col("record_id").alias("doc_id_b"))
+    cand = (
+        a.join(b, "__k")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    truth = spark.createDataFrame(
+        [(i, 100 + i) for i in range(10)], "doc_id_a long, doc_id_b long"
+    )
+    row = blocking_quality(cand, truth, n_records=110).collect()[0]
+    assert row.pairs_completeness == 1.0  # structural recall for ≤1 edit
+    # near-identical "customer_0NN" names collide heavily on 1-deletion
+    # keys, yet the blocking still prunes most of the quadratic space
+    assert row.reduction_ratio > 0.5
+    assert row.n_candidates < row.n_possible_pairs
