@@ -778,9 +778,17 @@ def read_host_cap_store(
     survivors: one per-host rank over the union of per-batch local
     survivors (the stored ``hv`` makes the fold hash-free). →
     (doc_id, source, host_rank), equal to the batch gate over every
-    ingested document."""
+    ingested document. A store whose stream saw zero non-empty batches
+    folds to an empty frame (the operator's schema is static)."""
     from etl_dag_spark.operators import windows as win
 
+    if not (
+        os.path.isdir(store_path)
+        and any(d.startswith("batch=") for d in os.listdir(store_path))
+    ):
+        return spark.createDataFrame(
+            [], "doc_id bigint, source string, host_rank int"
+        )
     u = spark.read.parquet(store_path).drop("batch")
     return win.per_group_top_k(
         u, "source", [F.col("hv"), F.col("doc_id")], cap, rank_col="host_rank"

@@ -1227,3 +1227,11 @@ def test_stream_decontaminate_equals_one_shot(spark, doc_stream_src):
         _os.path.join(out, batches[0])
     )
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == want
+
+
+def test_read_host_cap_store_empty_store(spark, tmp_path):
+    from etl_dag_spark.streaming.corpus import read_host_cap_store
+
+    folded = read_host_cap_store(spark, str(tmp_path / "nope"))
+    assert folded.columns == ["doc_id", "source", "host_rank"]
+    assert folded.count() == 0
