@@ -1366,3 +1366,35 @@ def test_deep_clone_survives_source_vacuum(spark, table, tmp_path):
     assert _rows(read_version(spark, dst)) == [
         (1, "a"), (2, "b"), (3, "c"), (7, "g"),
     ]
+
+
+def test_cdc_across_checkpoint_with_merge(spark, tmp_path):
+    """cdc_rows must resolve BOTH endpoints' file states through the
+    checkpoint/delta fold when a merge sits past the checkpoint
+    boundary (the non-row-preserving path reads file diffs of resolved
+    states, not raw manifests)."""
+    from etl_dag_spark.sources.versions import cdc_rows, merge_version
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 12):  # v1..v11 appends; checkpoint lands at v10
+        write_version(
+            spark.createDataFrame([(i, f"v{i}", i)], "k int, v string, ts int"),
+            path,
+            op="overwrite" if i == 1 else "append",
+        )
+    upd = spark.createDataFrame(
+        [(3, "V3", 99), (50, "v50", 99)], "k int, v string, ts int"
+    )
+    v12 = merge_version(spark, path, upd, ["k"], "ts")
+    assert v12 == 12
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in cdc_rows(spark, path, 9, 12, key_cols=["k"]).collect()
+    )
+    assert got == [
+        (3, "V3", "update_postimage"),
+        (3, "v3", "update_preimage"),
+        (10, "v10", "insert"),
+        (11, "v11", "insert"),
+        (50, "v50", "insert"),
+    ]
