@@ -41,11 +41,18 @@ Why this scales: a manifest is a DELTA against its parent, so
   (S3 If-None-Match / GCS precondition / a DynamoDB lock row — the
   Delta LogStore abstraction) via :func:`set_log_store`. The loser of
   a race re-reads the log and retries at N+1.
-- **CHECK / NOT NULL constraints at commit** (r12): ``write_version``
-  and ``merge_version`` accept ``check=`` / ``not_null=``; violations
-  refuse the commit with :class:`ConstraintViolationError` BEFORE any
-  manifest (or data file) is written, and the txn token is NOT
-  consumed — a refused batch stays replayable after repair.
+- **CHECK / NOT NULL constraints at commit — and PERSISTED** (r12):
+  ``write_version`` and ``merge_version`` accept ``check=`` /
+  ``not_null=``; violations refuse the commit with
+  :class:`ConstraintViolationError` BEFORE any manifest (or data file)
+  is written, and the txn token is NOT consumed — a refused batch
+  stays replayable after repair. String checks and not_null columns
+  PERSIST in the manifest from the commit that declares them (the
+  Delta ADD CONSTRAINT shape, carried like the txn map and by
+  RESTORE/CLONE): every later overwrite/append enforces them
+  automatically, merge/CDC enforce them on their incoming batch, and
+  deletes never re-validate legacy rows (no retroactive refusal).
+  ``drop_constraints=True`` clears the set with its commit.
 - **layout-spec evolution** (r12): every snapshot's manifest may carry
   a ``layout`` spec (recorded by OPTIMIZE — ``{"zorder": [...]}`` or
   ``{"coalesce": n}`` — and carried by RESTORE/CLONE, surfaced in
@@ -225,18 +232,50 @@ def _write_checkpoint(path: str, version: int) -> None:
     _LOG_STORE.put_if_absent(_checkpoint_path(path, version), body)
 
 
+def _table_constraints(path: str) -> dict:
+    """The PERSISTED table constraints at the tip (empty when none):
+    ``{"check": [sql strings], "not_null": [cols]}`` — carried forward
+    by every commit's manifest (like the txn map) from the commit that
+    declared them, until a commit passes ``drop_constraints=True``."""
+    versions = _versions(path)
+    if not versions:
+        return {}
+    return dict(_load_raw(path, versions[-1]).get("constraints") or {})
+
+
+def _merge_constraints(inherited: dict, check, not_null) -> dict:
+    """Fold a commit's check/not_null params into the inherited
+    persisted set: string checks and not_null columns ACCUMULATE (the
+    Delta ADD CONSTRAINT shape); a Column check enforces this commit
+    only (unserializable — never persisted)."""
+    checks = list(inherited.get("check") or [])
+    if isinstance(check, str) and check not in checks:
+        checks = checks + [check]
+    nn = list(inherited.get("not_null") or [])
+    nn += [c for c in (not_null or []) if c not in nn]
+    out = {}
+    if checks:
+        out["check"] = checks
+    if nn:
+        out["not_null"] = nn
+    return out
+
+
 def _enforce_constraints(df: DataFrame, check, not_null) -> None:
     """Validate commit-time constraints with ONE aggregate over the
     incoming frame (the DQ rule-engine recipe): NULL or FALSE check
-    results are violations (SQL CHECK passes only on TRUE)."""
+    results are violations (SQL CHECK passes only on TRUE). ``check``
+    may be one Column/SQL string or a list of them."""
     from pyspark.sql import functions as F
 
     conds: list[tuple[str, object]] = []
     for c in not_null or []:
         conds.append((f"{c} IS NOT NULL", F.col(c).isNotNull()))
-    if check is not None:
-        expr = F.expr(check) if isinstance(check, str) else check
-        conds.append((str(check), expr))
+    checks = check if isinstance(check, list) else [check]
+    for ck in checks:
+        if ck is not None:
+            expr = F.expr(ck) if isinstance(ck, str) else ck
+            conds.append((str(ck), expr))
     if not conds:
         return
     # when() routes a NULL condition to otherwise(): NULL and FALSE
@@ -314,6 +353,7 @@ def write_version(
     check=None,
     not_null: list[str] | None = None,
     layout: dict | None = None,
+    drop_constraints: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -397,7 +437,26 @@ def write_version(
         )
     if op in ("merge", "delete") and replace_files is None:
         raise ValueError(f"op={op!r} requires replace_files (may be empty)")
-    _enforce_constraints(df, check, not_null)
+    # table constraints persist from the commit that declares them
+    # (manifest-carried, like the txn map): string checks/not_null
+    # accumulate and are enforced on EVERY later overwrite/append
+    # automatically; partial-rewrite verbs enforce them on their
+    # incoming batch instead (a merged frame mixes legacy rows, which
+    # constraints declared later must not retroactively refuse).
+    # drop_constraints=True clears the persisted set with this commit.
+    inherited = {} if drop_constraints else _table_constraints(path)
+    persisted = (
+        {} if drop_constraints else _merge_constraints(inherited, check, not_null)
+    )
+    if op in ("overwrite", "append"):
+        checks = list(inherited.get("check") or [])
+        if check is not None and check not in checks:
+            checks.append(check)
+        nn = list(inherited.get("not_null") or [])
+        nn += [c for c in (not_null or []) if c not in nn]
+        _enforce_constraints(df, checks, nn)
+    else:
+        _enforce_constraints(df, check, not_null)
     if rename:
         bad = [n for o, n in rename.items() if n not in df.columns]
         if bad:
@@ -491,6 +550,8 @@ def write_version(
             manifest["evolved"] = True
         if layout:
             manifest["layout"] = layout
+        if persisted:
+            manifest["constraints"] = persisted
         if not _commit_manifest(path, version, manifest):
             continue  # lost the race — recompute against the new tip
         if version % _CHECKPOINT_EVERY == 0:
@@ -1019,7 +1080,13 @@ def merge_version(
 
     from etl_dag_spark.sources.merge import _latest_per_key
 
-    _enforce_constraints(updates, check, not_null)
+    inh = _table_constraints(path)
+    checks = list(inh.get("check") or [])
+    if check is not None and check not in checks:
+        checks.append(check)
+    nn = list(inh.get("not_null") or [])
+    nn += [c for c in (not_null or []) if c not in nn]
+    _enforce_constraints(updates, checks, nn)
     replayed = _replayed_tip(path, txn_id, writer_id)
     if replayed is not None:
         return replayed
@@ -1235,6 +1302,11 @@ def apply_cdc_version(
         .drop("__rn")
     )
     ups = winners.where(F.col(op_col) != "D").drop(op_col)
+    inh = _table_constraints(path)
+    if inh:
+        _enforce_constraints(
+            ups, list(inh.get("check") or []), list(inh.get("not_null") or [])
+        )
     versions = _versions(path)
     if not versions:
         return write_version(
@@ -1341,6 +1413,8 @@ def restore_version(
             manifest["evolved"] = True
         if mt.get("layout"):
             manifest["layout"] = mt["layout"]
+        if mt.get("constraints"):
+            manifest["constraints"] = mt["constraints"]
         if not _commit_manifest(path, parent + 1, manifest):
             continue  # lost the race — recompute against the new tip
         return parent + 1
@@ -1431,6 +1505,8 @@ def clone_table(
         manifest["evolved"] = True
     if mt.get("layout"):
         manifest["layout"] = mt["layout"]
+    if mt.get("constraints"):
+        manifest["constraints"] = mt["constraints"]
     if not _commit_manifest(dst_path, 1, manifest):
         raise ValueError(f"clone target {dst_path} is not an empty table")
     return 1

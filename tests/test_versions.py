@@ -1398,3 +1398,123 @@ def test_cdc_across_checkpoint_with_merge(spark, tmp_path):
         (11, "v11", "insert"),
         (50, "v50", "insert"),
     ]
+
+
+def test_constraints_persist_across_commits(spark, tmp_path):
+    """Declared-with-a-commit constraints are table metadata: later
+    bare appends enforce them automatically; drop_constraints clears;
+    clone and restore carry them."""
+    from etl_dag_spark.sources.versions import (
+        ConstraintViolationError,
+        clone_table,
+        _load_raw,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        path,
+        not_null=["k"],
+        check="k > 0",
+    )
+    # a later commit with NO params still enforces the persisted set
+    with pytest.raises(ConstraintViolationError, match="k IS NOT NULL"):
+        write_version(
+            spark.createDataFrame([(None, "x")], "k int, v string"),
+            path,
+            op="append",
+        )
+    with pytest.raises(ConstraintViolationError, match="k > 0"):
+        write_version(
+            spark.createDataFrame([(-5, "x")], "k int, v string"),
+            path,
+            op="append",
+        )
+    assert [h["version"] for h in history(path)] == [1]
+    v2 = write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path, op="append"
+    )
+    assert v2 == 2
+    assert _load_raw(path, 2)["constraints"] == {
+        "check": ["k > 0"],
+        "not_null": ["k"],
+    }
+    # clone inherits the constraint set
+    dst = str(tmp_path / "cl")
+    clone_table(path, dst)
+    with pytest.raises(ConstraintViolationError):
+        write_version(
+            spark.createDataFrame([(-1, "x")], "k int, v string"),
+            dst,
+            op="append",
+        )
+    # drop_constraints clears: the same row now commits
+    v3 = write_version(
+        spark.createDataFrame([(-1, "x")], "k int, v string"),
+        path,
+        op="append",
+        drop_constraints=True,
+    )
+    assert v3 == 3 and "constraints" not in _load_raw(path, 3)
+    v4 = write_version(
+        spark.createDataFrame([(None, "y")], "k int, v string"),
+        path,
+        op="append",
+    )
+    assert v4 == 4
+
+
+def test_constraints_enforced_on_merge_and_cdc_batches_not_legacy_rows(
+    spark, tmp_path
+):
+    """Partial-rewrite verbs validate their INCOMING batch against the
+    persisted set; legacy rows predating the constraint never block a
+    delete (no retroactive refusal)."""
+    from etl_dag_spark.sources.versions import (
+        ConstraintViolationError,
+        apply_cdc_version,
+        delete_version,
+        merge_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    # v1 BEFORE any constraint: contains a NULL v (legacy data)
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, None, 1)], "k int, v string, ts int"
+        ),
+        path,
+    )
+    # v2 declares the constraint with a clean append
+    write_version(
+        spark.createDataFrame([(3, "c", 1)], "k int, v string, ts int"),
+        path,
+        op="append",
+        not_null=["v"],
+    )
+    # merge with a violating batch: refused via the INHERITED set
+    with pytest.raises(ConstraintViolationError):
+        merge_version(
+            spark,
+            path,
+            spark.createDataFrame([(4, None, 2)], "k int, v string, ts int"),
+            ["k"],
+            "ts",
+        )
+    # CDC apply with a violating upsert: refused via the inherited set
+    with pytest.raises(ConstraintViolationError):
+        apply_cdc_version(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(5, None, 2, "U")], "k int, v string, ts int, op string"
+            ),
+            ["k"],
+            "ts",
+        )
+    # deleting rows from the file holding the LEGACY NULL row succeeds
+    v = delete_version(spark, path, "k = 1")
+    got = sorted(
+        (r.k, r.v) for r in read_version(spark, path, v).collect()
+    )
+    assert got == [(2, None), (3, "c")]
