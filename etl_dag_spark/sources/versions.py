@@ -437,6 +437,16 @@ def write_version(
         )
     if op in ("merge", "delete") and replace_files is None:
         raise ValueError(f"op={op!r} requires replace_files (may be empty)")
+    # a replayed tokenized commit is a no-op BEFORE anything else runs:
+    # its data already landed, so neither the data write nor constraint
+    # enforcement may fire again — constraints added since the original
+    # commit must not crash an exactly-once replay (and the loop's own
+    # replay check would only catch it after the data files were
+    # written). The loop re-checks under the then-current tip for
+    # racers that commit between here and the claim.
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
     # table constraints persist from the commit that declares them
     # (manifest-carried, like the txn map): string checks/not_null
     # accumulate and are enforced on EVERY later overwrite/append
@@ -1080,6 +1090,9 @@ def merge_version(
 
     from etl_dag_spark.sources.merge import _latest_per_key
 
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed  # replay: already applied, never re-validate
     inh = _table_constraints(path)
     checks = list(inh.get("check") or [])
     if check is not None and check not in checks:
@@ -1087,9 +1100,6 @@ def merge_version(
     nn = list(inh.get("not_null") or [])
     nn += [c for c in (not_null or []) if c not in nn]
     _enforce_constraints(updates, checks, nn)
-    replayed = _replayed_tip(path, txn_id, writer_id)
-    if replayed is not None:
-        return replayed
     upd = updates.withColumn("__is_update", F.lit(1))
     versions = _versions(path)
     if not versions:

@@ -1518,3 +1518,52 @@ def test_constraints_enforced_on_merge_and_cdc_batches_not_legacy_rows(
         (r.k, r.v) for r in read_version(spark, path, v).collect()
     )
     assert got == [(2, None), (3, "c")]
+
+
+def test_replayed_commit_is_noop_even_under_later_constraints(spark, tmp_path):
+    """Exactly-once replay must win over constraints added AFTER the
+    original commit: the replay is a manifest no-op BEFORE enforcement
+    or any data write (a restarted streaming ingest would otherwise
+    crash-loop on its own already-applied batch)."""
+    from etl_dag_spark.sources.versions import merge_version
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, ts int"), path
+    )
+    batch = spark.createDataFrame(
+        [(2, None, 2)], "k int, v string, ts int"  # violates the LATER rule
+    )
+    v2 = write_version(batch, path, op="append", txn_id="b1")
+    assert v2 == 2
+    # the constraint arrives after b1 landed
+    write_version(
+        spark.createDataFrame([(3, "c", 3)], "k int, v string, ts int"),
+        path,
+        op="append",
+        not_null=["v"],
+    )
+    # replays of b1 are no-ops (returning the tip), not violations,
+    # and no new version is created
+    tip = history(path)[-1]["version"]
+    assert write_version(batch, path, op="append", txn_id="b1") == tip
+    assert history(path)[-1]["version"] == tip
+    # the merge-path replay behaves the same
+    m = spark.createDataFrame([(9, None, 9)], "k int, v string, ts int")
+    # (first application BEFORE constraints existed is simulated by a
+    # fresh table)
+    path2 = str(tmp_path / "tbl2")
+    write_version(
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, ts int"), path2
+    )
+    vm = merge_version(spark, path2, m, ["k"], "ts", txn_id="m1")
+    write_version(
+        spark.createDataFrame([(4, "d", 4)], "k int, v string, ts int"),
+        path2,
+        op="append",
+        not_null=["v"],
+    )
+    tip2 = history(path2)[-1]["version"]
+    assert merge_version(spark, path2, m, ["k"], "ts", txn_id="m1") == tip2
+    assert history(path2)[-1]["version"] == tip2
+    assert vm <= tip2
