@@ -13020,38 +13020,10 @@ def etl_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window goes first, maximizing cumulative cross-round hash evidence.
 # Re-keying here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # ---- round-12 window (positions 1-50) ----
-    # (a) the 12 oracles still carrying r7 driver evidence — 4 rounds
-    # stale, keyed first exactly as VERDICT r11 #1 mandated
+    # ---- round-13 window (positions 1-50) ----
+    # (a) the 17 oracles still carrying r8 driver evidence — 5 rounds
+    # stale, keyed first exactly as VERDICT r12 #1 mandated
     # (oldest-registered first):
-    "text_bigram_novelty", "etl_join_key_skew", "olap_gap_fill",
-    "olap_event_anomalies", "etl_pseudonymize", "etl_k_anonymity",
-    "olap_ab_test", "olap_sales_trend", "olap_attribution_last_touch",
-    "olap_attribution_linear", "olap_trending_parts",
-    "etl_span_corruption",
-    # (b) first driver-HASH rows for the r11 oracle upgrade + the 9
-    # new r11 oracled registrations (VERDICT r11 #1):
-    "dedup_embedding_cosine_lsh",
-    "etl_merge_versioned", "etl_delete_versioned",
-    "olap_skyline_customers", "olap_autocorr_orders",
-    "olap_cusum_changepoint", "olap_interval_coverage",
-    "text_yule_richness", "olap_path_trigrams", "etl_cdc_apply",
-    # (c) the 28 oldest-registered of the 45 oracles still carrying r8
-    # evidence — fills the window to exactly 50; the remaining 17 are
-    # position 51+ and head the r13 queue:
-    "etl_dq_report", "text_langid", "text_quality", "text_tokens",
-    "olap_percentiles", "olap_asof_join", "olap_range_join",
-    "olap_session_windows", "etl_upsert_latest", "dedup_cluster",
-    "dedup_cluster_survivorship", "pipeline_corpus_clean",
-    "sql_revenue_by_category", "sql_top_customers", "text_normalize",
-    "etl_dq_uniqueness", "etl_entity_resolution", "olap_rolling_7d",
-    "bi_rfm_segments", "olap_equidepth_histogram", "stream_json_props",
-    "etl_scd2_history", "olap_grouping_sets", "olap_value_moments",
-    "text_pii_scrub", "text_repetition_quality", "etl_pack_sequences",
-    "etl_domain_mix",
-    # ---- position 51+: the r13 front-of-queue ----
-    # the 17 r8-evidence oracles that did not fit this round
-    # (oldest-registered first — they MUST lead the r13 rotation):
     "text_intradoc_dedup", "olap_large_orders",
     "etl_proportional_sample", "pipeline_decontaminate",
     "etl_embedding_confusion", "olap_longest_streak",
@@ -13061,16 +13033,41 @@ _ROTATE_TO_FRONT = [
     "olap_kmv_set_overlap", "olap_join_size_estimate",
     "olap_bloom_pruned_join", "etl_temperature_sample",
     "olap_trade_reach",
+    # (b) first driver-HASH rows for the r12 oracle upgrade
+    # (nd_exact rows-only→value-exact) + the 4 new r12 oracled
+    # registrations (VERDICT r12 #1):
+    "dedup_embedding_cosine_nd_exact", "dedup_weighted_jaccard",
+    "etl_quantile_normalize", "olap_event_diversity", "etl_rank_fusion",
+    # (c) the 28 oldest-registered of the 39 oracles still carrying r9
+    # evidence — fills the window to exactly 50; the remaining 11 are
+    # position 51+ and head the r14 queue:
+    "dedup_edit_verified", "etl_filter_agreement", "text_url_normalize",
+    "etl_l_diversity", "olap_event_transitions", "etl_drift_chisq",
+    "etl_token_budget_select", "etl_curriculum_shards",
+    "text_html_extract", "olap_supplier_hhi", "olap_trade_triangles",
+    "etl_data_card", "etl_rank_agreement", "etl_score_calibration",
+    "text_trigram_backoff", "etl_winsorize", "olap_mad_outliers",
+    "etl_universe_sample", "etl_hard_negatives",
+    "olap_time_weighted_avg", "olap_ohlc_bars", "olap_gap_fill_locf",
+    "etl_fuzzy_name_pairs", "olap_median_bisect",
+    "olap_weighted_median_bisect", "olap_basket_affinity",
+    "text_langid_confusion", "etl_cdc_rows",
+    # ---- position 51+: the r14 front-of-queue ----
+    # the 11 r9-evidence oracles that did not fit this round
+    # (oldest-registered first — they MUST lead the r14 rotation):
+    "etl_version_delta", "text_suffix_dup_spans",
+    "etl_training_export", "text_vocab_coverage", "etl_benford_audit",
+    "olap_nearest_event_join", "olap_spend_gini",
+    "olap_seasonal_decompose", "olap_churn_hazard", "etl_impute_mode",
+    "olap_quantile_sketch_merge",
 ]
-# r13 WINDOW MATH (re-key _ROTATE_TO_FRONT for r13 before anything
-# else lands): the 17 names from "position 51+" above are mandatory
-# leads (r8 evidence — 5 rounds stale by r13), then the 5 oracles
-# whose FIRST driver hash is pending from r12
-# (dedup_embedding_cosine_nd_exact — rows-only→value-exact upgrade —
-# plus the new dedup_weighted_jaccard, etl_quantile_normalize,
-# olap_event_diversity, etl_rank_fusion). That leaves ~28 slots; fill
-# them with the oldest r9-evidence oracles (oldest-registered first)
-# to keep the ≤4-round refresh cycle alive.
+# r14 WINDOW MATH (re-key _ROTATE_TO_FRONT for r14 before anything
+# else lands): the 11 names from "position 51+" above are mandatory
+# leads (r9 evidence — 5 rounds stale by r14), then any oracle whose
+# FIRST driver hash is pending from r13 registrations, then fill the
+# remaining ~35 slots with the oldest r10-evidence oracles
+# (49 carry r10 as of r13 — oldest-registered first) to keep the
+# ≤4-round refresh cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},
