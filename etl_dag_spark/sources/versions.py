@@ -73,6 +73,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -354,6 +355,7 @@ def write_version(
     not_null: list[str] | None = None,
     layout: dict | None = None,
     drop_constraints: bool = False,
+    _pre_enforced: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot of the table at ``path``.
 
@@ -422,6 +424,20 @@ def write_version(
     with ONE aggregate over ``df`` BEFORE any data file or manifest is
     written; a violation raises :class:`ConstraintViolationError` and
     the txn token is NOT consumed, so a repaired batch replays cleanly.
+    Validation runs a separate Spark action over ``df`` before the
+    write re-evaluates the plan — a NONDETERMINISTIC frame (sampling,
+    unpinned ``repartitionByRange``) can pass validation yet persist
+    different rows; callers must pass deterministic frames to
+    constrained commits (pin with a lazy ``localCheckpoint`` first if
+    in doubt). Constraint RACES are detected inside the commit retry
+    loop: if a concurrent writer declared or dropped table constraints
+    after our enforcement pass, the loser re-reads the tip's set,
+    persists THAT set forward, and enforces any newly declared
+    constraint over its already-written files (deterministic by
+    construction) before claiming the commit — a new constraint is
+    never silently erased or skipped. ``_pre_enforced`` is the internal
+    seam for :func:`merge_version` / :func:`delete_version`, which
+    validate the incoming batch themselves before delegating here.
 
     Returns the committed version number. Data files are immutable and
     shared across versions; the commit point is an atomic putIfAbsent
@@ -458,15 +474,26 @@ def write_version(
     persisted = (
         {} if drop_constraints else _merge_constraints(inherited, check, not_null)
     )
-    if op in ("overwrite", "append"):
-        checks = list(inherited.get("check") or [])
-        if check is not None and check not in checks:
-            checks.append(check)
-        nn = list(inherited.get("not_null") or [])
-        nn += [c for c in (not_null or []) if c not in nn]
-        _enforce_constraints(df, checks, nn)
-    else:
-        _enforce_constraints(df, check, not_null)
+    # the enforced-set bookkeeping feeds the retry loop's staleness
+    # check: a racer that commits a new constraint between here and
+    # our putIfAbsent claim must not have its constraint silently
+    # erased OR skipped on our rows (Delta's metadata-conflict rule)
+    enforced_checks = list(inherited.get("check") or [])
+    enforced_nn = list(inherited.get("not_null") or [])
+    if not _pre_enforced:
+        if op in ("overwrite", "append"):
+            checks = list(enforced_checks)
+            # a Column check is never a member of the string list —
+            # `in` would truth-test Column.__eq__ and crash
+            if check is not None and (
+                not isinstance(check, str) or check not in checks
+            ):
+                checks.append(check)
+            nn = list(enforced_nn)
+            nn += [c for c in (not_null or []) if c not in nn]
+            _enforce_constraints(df, checks, nn)
+        else:
+            _enforce_constraints(df, check, not_null)
     if rename:
         bad = [n for o, n in rename.items() if n not in df.columns]
         if bad:
@@ -496,6 +523,43 @@ def write_version(
             )
         version = parent + 1
         writer_key = writer_id or "_default"
+        # constraint-staleness guard (Delta's metadata-conflict rule):
+        # the table's constraint set was read BEFORE the data write;
+        # a racer that committed in between may have declared or
+        # dropped constraints. Re-derive the set from the current tip
+        # so the loser carries the racer's set forward instead of the
+        # stale one, and enforce any newly declared constraint over
+        # the files we already wrote (exactly the committed rows — no
+        # plan re-evaluation) before claiming the commit.
+        if not drop_constraints:
+            cur_inherited = _table_constraints(path) if parent else {}
+            if cur_inherited != inherited:
+                inherited = cur_inherited
+                persisted = _merge_constraints(inherited, check, not_null)
+                if op in ("overwrite", "append"):
+                    new_checks = [
+                        c
+                        for c in (cur_inherited.get("check") or [])
+                        if c not in enforced_checks
+                    ]
+                    new_nn = [
+                        c
+                        for c in (cur_inherited.get("not_null") or [])
+                        if c not in enforced_nn
+                    ]
+                    if (new_checks or new_nn) and new_files:
+                        try:
+                            _enforce_constraints(
+                                df.sparkSession.read.schema(df.schema)
+                                .parquet(*new_files),
+                                new_checks,
+                                new_nn,
+                            )
+                        except ConstraintViolationError:
+                            shutil.rmtree(run_dir, ignore_errors=True)
+                            raise
+                    enforced_checks += new_checks
+                    enforced_nn += new_nn
         txns: dict[str, str] = {}
         # full rewrites leave no legacy-schema file behind; appends and
         # merges inherit the parent's schema debt and may add to it
@@ -1082,7 +1146,11 @@ def merge_version(
     validate the INCOMING batch (one aggregate) before any file or
     manifest is written — a refusal raises
     :class:`ConstraintViolationError` without consuming the txn token,
-    exactly like :func:`write_version`. On an empty table the
+    exactly like :func:`write_version` — and a STRING check /
+    ``not_null`` list also PERSISTS in the committed manifest (ADD
+    CONSTRAINT semantics, same as declaring it through
+    ``write_version`` directly); a Column check, being unserializable,
+    stays batch-scoped. On an empty table the
     deduplicated batch becomes version 1. Returns the version."""
     from urllib.parse import urlparse
 
@@ -1095,7 +1163,9 @@ def merge_version(
         return replayed  # replay: already applied, never re-validate
     inh = _table_constraints(path)
     checks = list(inh.get("check") or [])
-    if check is not None and check not in checks:
+    # a Column check is never a member of the string list — `in`
+    # would truth-test Column.__eq__ and crash
+    if check is not None and (not isinstance(check, str) or check not in checks):
         checks.append(check)
     nn = list(inh.get("not_null") or [])
     nn += [c for c in (not_null or []) if c not in nn]
@@ -1107,6 +1177,7 @@ def merge_version(
         return write_version(
             first, path, op="overwrite", stats_cols=stats_cols,
             txn_id=txn_id, writer_id=writer_id,
+            check=check, not_null=not_null, _pre_enforced=True,
         )
     pm = _load_manifest(path, versions[-1])
     schema = StructType.fromJson(json.loads(pm["schema"]))
@@ -1149,6 +1220,9 @@ def merge_version(
         writer_id=writer_id,
         replace_files=touched,
         expected_parent=versions[-1],
+        check=check,
+        not_null=not_null,
+        _pre_enforced=True,
     )
 
 

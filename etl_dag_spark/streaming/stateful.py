@@ -61,16 +61,22 @@ DIVERSITY_STATE = "types array<string>, counts array<bigint>"
 def _update_diversity(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    counts: dict[str, int] = {}
+    counts: dict[str | None, int] = {}
     if state.exists:
         types, ns = state.get
         counts = {t: int(c) for t, c in zip(types, ns)}
     for pdf in pdfs:
-        for t, c in pdf["event_type"].value_counts().items():
+        # dropna=False: the batch twin's groupBy keeps NULL event_type
+        # as its own group, so the stream must too (a null key round-
+        # trips the array<string> state as a null element)
+        for t, c in pdf["event_type"].value_counts(dropna=False).items():
+            t = None if pd.isna(t) else t
             counts[t] = counts.get(t, 0) + int(c)
     state.update((list(counts), [counts[t] for t in counts]))
     n = sum(counts.values())
     s2 = sum(c * c for c in counts.values())
+    if s2 == 0:  # no events ever ingested for this key: nothing to say
+        return
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

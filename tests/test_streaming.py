@@ -177,6 +177,45 @@ def test_stateful_running_diversity_across_batches(spark, stream_src):
     assert got == want
 
 
+def test_stateful_diversity_counts_null_types(spark, tmp_path):
+    """NULL event_type is its own type in the batch twin's groupBy —
+    the stream's value_counts must not drop it (ADVICE r12), and an
+    all-null user must not divide by zero."""
+    from etl_dag_spark.streaming.stateful import running_user_diversity
+
+    src = str(tmp_path / "null_events")
+    rows = [
+        (1, "view"), (1, None), (1, None),  # mixed: null is a 2nd type
+        (2, None), (2, None),               # all-null user: 1 type
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, event_type string").parquet(src)
+    q = (
+        running_user_diversity(stream)
+        .writeStream.format("memory")
+        .queryName("null_diversity")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.gini_simpson, r.inv_simpson)
+        for r in spark.sql(
+            """SELECT user_id, n_events, n_types, gini_simpson, inv_simpson
+               FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                     FROM null_diversity) WHERE rn = 1"""
+        ).collect()
+    }
+    # batch formula by hand: u1 = {view:1, NULL:2}, u2 = {NULL:2}
+    assert got == {
+        1: (3, 2, (9 - 5) / 9, 9 / 5),
+        2: (2, 1, 0.0, 1.0),
+    }
+
+
 def test_stream_static_join_enriches_events(spark, stream_src):
     """Stream-static join: the streaming fact side joins a static dim
     per micro-batch (dim broadcast, stream never blocked)."""

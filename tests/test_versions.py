@@ -1567,3 +1567,317 @@ def test_replayed_commit_is_noop_even_under_later_constraints(spark, tmp_path):
     assert merge_version(spark, path2, m, ["k"], "ts", txn_id="m1") == tip2
     assert history(path2)[-1]["version"] == tip2
     assert vm <= tip2
+
+
+# --- r13: constraint races, merge-declared persistence, interleavings ---
+
+
+def test_concurrent_merge_delete_interleaving_converges(spark, tmp_path):
+    """Two writers racing partial rewrites through the LogStore seam
+    (VERDICT r12 #6): a real DELETE lands between a merge's
+    read-rewrite cycle and its commit claim — the merge must raise
+    ConcurrentCommitError, and the documented recovery (re-run the
+    cycle against the new tip) must converge to the serial
+    delete-then-merge result."""
+    from etl_dag_spark.sources.versions import (
+        ConcurrentCommitError,
+        HardLinkLogStore,
+        delete_version,
+        merge_version,
+        set_log_store,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", 1) for k in range(1, 6)], "k int, v string, ts int"
+    )
+    write_version(base, path)  # v1
+
+    class InterleavingStore(HardLinkLogStore):
+        """A rival writer lands a real DELETE the instant before the
+        merge claims its manifest."""
+
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, body):
+            if p.endswith(".json") and ".ckpt" not in p and not self.raced:
+                self.raced = True
+                delete_version(spark, path, "k = 2")  # claims v2 first
+            return super().put_if_absent(p, body)
+
+    updates = spark.createDataFrame(
+        [(3, "V3", 9), (6, "v6", 9)], "k int, v string, ts int"
+    )
+    store = InterleavingStore()
+    prev = set_log_store(store)
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge_version(spark, path, updates, ["k"], "ts")
+        v = merge_version(spark, path, updates, ["k"], "ts")
+    finally:
+        set_log_store(prev)
+    assert store.raced
+    assert v == 3
+    assert _rows(read_version(spark, path)) == [
+        (1, "v1"), (3, "V3"), (4, "v4"), (5, "v5"), (6, "v6")
+    ]
+    # time travel still exact: v2 is the delete-only snapshot
+    assert _rows(read_version(spark, path, 2)) == [
+        (1, "v1"), (3, "v3"), (4, "v4"), (5, "v5")
+    ]
+
+
+def test_concurrent_delete_loses_to_merge_then_converges(spark, tmp_path):
+    """The mirror interleaving: a MERGE lands while a delete is
+    claiming. The delete raises; re-running it against the new tip
+    yields the serial merge-then-delete state."""
+    from etl_dag_spark.sources.versions import (
+        ConcurrentCommitError,
+        HardLinkLogStore,
+        delete_version,
+        merge_version,
+        set_log_store,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(k, f"v{k}", 1) for k in range(1, 6)], "k int, v string, ts int"
+        ),
+        path,
+    )
+    updates = spark.createDataFrame([(2, "V2", 9)], "k int, v string, ts int")
+
+    class InterleavingStore(HardLinkLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, body):
+            if p.endswith(".json") and ".ckpt" not in p and not self.raced:
+                self.raced = True
+                merge_version(spark, path, updates, ["k"], "ts")
+            return super().put_if_absent(p, body)
+
+    store = InterleavingStore()
+    prev = set_log_store(store)
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            delete_version(spark, path, "k >= 4")
+        v = delete_version(spark, path, "k >= 4")
+    finally:
+        set_log_store(prev)
+    assert store.raced
+    assert v == 3
+    assert _rows(read_version(spark, path)) == [
+        (1, "v1"), (2, "V2"), (3, "v3")
+    ]
+
+
+def test_constraint_race_carries_rival_constraint_forward(spark, tmp_path):
+    """ADVICE r12 (medium): a writer that loses the commit race to a
+    rival that DECLARED a constraint must not erase it — the retry
+    re-reads the tip's constraint set, enforces the new rule over its
+    own (already written) rows, and persists the rival's set forward."""
+    from etl_dag_spark.sources.versions import (
+        HardLinkLogStore,
+        _table_constraints,
+        set_log_store,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+
+    class ConstraintRival(HardLinkLogStore):
+        """The rival's v2 is a constraint-only append (the ALTER TABLE
+        ADD CONSTRAINT shape): no data files, check: k > 0."""
+
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, body):
+            if p.endswith(".json") and ".ckpt" not in p and not self.raced:
+                self.raced = True
+                rival = json.loads(body)
+                rival["n_files"] -= len(rival["add"])
+                rival["add"] = []
+                rival["stats_add"] = {}
+                rival["constraints"] = {"check": ["k > 0"]}
+                super().put_if_absent(p, json.dumps(rival))
+            return super().put_if_absent(p, body)
+
+    store = ConstraintRival()
+    prev = set_log_store(store)
+    try:
+        v = write_version(
+            spark.createDataFrame([(2, "b")], "k int, v string"),
+            path,
+            op="append",
+        )
+    finally:
+        set_log_store(prev)
+    assert store.raced and v == 3
+    # the loser's manifest carries the rival's constraint forward...
+    assert _table_constraints(path) == {"check": ["k > 0"]}
+    # ...and it is enforced on the next commit
+    from etl_dag_spark.sources.versions import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError, match="k > 0"):
+        write_version(
+            spark.createDataFrame([(-1, "n")], "k int, v string"),
+            path,
+            op="append",
+        )
+
+
+def test_constraint_race_refuses_violating_loser(spark, tmp_path):
+    """Same race, but the loser's rows VIOLATE the rival's new
+    constraint: the retry must refuse the commit (the rival's rule was
+    never enforced on these rows) instead of landing them."""
+    from etl_dag_spark.sources.versions import (
+        ConstraintViolationError,
+        HardLinkLogStore,
+        set_log_store,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+
+    class ConstraintRival(HardLinkLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, body):
+            if p.endswith(".json") and ".ckpt" not in p and not self.raced:
+                self.raced = True
+                rival = json.loads(body)
+                rival["n_files"] -= len(rival["add"])
+                rival["add"] = []
+                rival["stats_add"] = {}
+                rival["constraints"] = {"check": ["k > 0"]}
+                super().put_if_absent(p, json.dumps(rival))
+            return super().put_if_absent(p, body)
+
+    store = ConstraintRival()
+    prev = set_log_store(store)
+    try:
+        with pytest.raises(ConstraintViolationError, match="k > 0"):
+            write_version(
+                spark.createDataFrame([(-5, "n")], "k int, v string"),
+                path,
+                op="append",
+            )
+    finally:
+        set_log_store(prev)
+    assert store.raced
+    # the rival's commit is the tip; the loser landed nothing
+    assert history(path)[-1]["version"] == 2
+    assert _rows(read_version(spark, path)) == [(1, "a")]
+
+
+def test_merge_declared_constraint_persists(spark, tmp_path):
+    """ADVICE r12: a string check / not_null declared through
+    merge_version persists in the manifest exactly like one declared
+    through write_version (ADD CONSTRAINT semantics)."""
+    from etl_dag_spark.sources.versions import (
+        ConstraintViolationError,
+        _table_constraints,
+        merge_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    merge_version(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, ts int"),
+        ["k"],
+        "ts",
+        check="k > 0",
+        not_null=["v"],
+    )
+    assert _table_constraints(path) == {
+        "check": ["k > 0"], "not_null": ["v"]
+    }
+    # enforced on a later plain append...
+    with pytest.raises(ConstraintViolationError, match="k > 0"):
+        write_version(
+            spark.createDataFrame([(-1, "x", 2)], "k int, v string, ts int"),
+            path,
+            op="append",
+        )
+    # ...and on a later merge batch, via inheritance
+    with pytest.raises(ConstraintViolationError, match="v IS NOT NULL"):
+        merge_version(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, None, 3)], "k int, v string, ts int"
+            ),
+            ["k"],
+            "ts",
+        )
+    # declared again on the non-empty-table merge path: still persists
+    merge_version(
+        spark,
+        path,
+        spark.createDataFrame([(3, "c", 4)], "k int, v string, ts int"),
+        ["k"],
+        "ts",
+        check="ts > 0",
+    )
+    assert _table_constraints(path) == {
+        "check": ["k > 0", "ts > 0"], "not_null": ["v"]
+    }
+
+
+def test_column_check_alongside_persisted_string_checks(spark, tmp_path):
+    """ADVICE r12: a Column check on a table that already persists
+    string checks must enforce both, not crash on Column truth-testing
+    — and the Column check stays batch-scoped (never persisted)."""
+    from etl_dag_spark.sources.versions import (
+        ConstraintViolationError,
+        _table_constraints,
+        merge_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        path,
+        check="k > 0",
+    )
+    # passes both the persisted string check and the Column check
+    v = write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"),
+        path,
+        op="append",
+        check=F.col("v").isNotNull(),
+    )
+    assert v == 2
+    # the Column check actually fires...
+    with pytest.raises(ConstraintViolationError):
+        write_version(
+            spark.createDataFrame([(3, None)], "k int, v string"),
+            path,
+            op="append",
+            check=F.col("v").isNotNull(),
+        )
+    # ...but is not persisted
+    assert _table_constraints(path) == {"check": ["k > 0"]}
+    # same pattern through merge_version on a constrained table
+    pathm = str(tmp_path / "tblm")
+    write_version(
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, ts int"),
+        pathm,
+        check="k > 0",
+    )
+    vm = merge_version(
+        spark,
+        pathm,
+        spark.createDataFrame([(2, "b", 2)], "k int, v string, ts int"),
+        ["k"],
+        "ts",
+        check=F.col("v").isNotNull(),
+    )
+    assert vm == 2
+    assert _table_constraints(pathm) == {"check": ["k > 0"]}
