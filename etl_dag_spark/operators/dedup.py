@@ -124,20 +124,26 @@ def weighted_jaccard_pairs(
     only from shared shingles, hot shingles df-capped (the weighting
     makes the cap principled — the capped stop-shingles are exactly
     the weight-≈0 ones). → (doc_id_a, doc_id_b, weighted_jaccard)."""
-    total_docs = documents.count()  # one scalar, embedded as a literal
+    # the corpus total D folds in as a broadcast 1-row aggregate (the
+    # etl_token_budget_select recipe) — no eager count() job at
+    # plan-build time, and no extra corpus scan beyond the plan's own
+    total = documents.agg(F.count(F.lit(1)).cast("bigint").alias("__D"))
     sh = shingle_rows(documents, n=n, id_col=id_col, text_col=text_col)
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     if max_shingle_freq is not None:
         freq = freq.where(F.col("__df") <= max_shingle_freq)
-    weights = freq.select(
+    weights = freq.crossJoin(F.broadcast(total)).select(
         "s",
-        (F.lit(total_docs).cast("bigint") - F.col("__df") + F.lit(1))
-        .cast("bigint")
-        .alias("__w"),
+        (F.col("__D") - F.col("__df") + F.lit(1)).cast("bigint").alias("__w"),
     )
     # weighted inverted index feeds three consumers (sizes + both join
-    # sides): materialize once, like the unweighted form
-    shw = sh.join(weights, "s").localCheckpoint(eager=False)
+    # sides): pin once. persist, NOT localCheckpoint — a lazy local
+    # checkpoint still materializes every upstream AQE stage at BUILD
+    # time (toRdd forces the query stages), while persist launches
+    # nothing until the consumer's own action; every consumer here is
+    # an order-insensitive aggregate, so a cache-eviction recompute
+    # cannot change the answer
+    shw = sh.join(weights, "s").persist()
     sizes = shw.groupBy("doc_id").agg(
         F.sum("__w").cast("bigint").alias("w_tot")
     )

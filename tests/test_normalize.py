@@ -93,6 +93,27 @@ def test_weighted_jaccard_identical_docs_score_one(spark):
     assert got == {(0, 1): 1.0}
 
 
+def test_weighted_jaccard_plan_build_runs_no_job(spark):
+    """VERDICT r12 #5: the corpus total D is a broadcast 1-row
+    aggregate folded into the plan, not an eager count() — building
+    the frame must launch ZERO Spark jobs (at 100 TB an eager count
+    is a full extra corpus scan before the real job starts)."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(0, "one two three four"), (1, "one two three four")],
+        "doc_id long, text string",
+    )
+    sc.setJobGroup("wj-plan-build", "weighted_jaccard_pairs plan build")
+    try:
+        pairs = weighted_jaccard_pairs(df, n=3, num=4, den=5)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("wj-plan-build")
+    assert list(jobs) == [], f"plan build launched Spark jobs: {jobs}"
+    # and the plan still answers correctly when an action finally runs
+    assert [(r.doc_id_a, r.doc_id_b) for r in pairs.collect()] == [(0, 1)]
+
+
 def test_rank_fusion_borda_consensus(spark, tmp_path):
     """Registry-level check on crafted docs: a doc strong on both
     signals out-ranks docs strong on only one."""
