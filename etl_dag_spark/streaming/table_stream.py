@@ -1,0 +1,192 @@
+"""Structured Streaming SOURCE over the snapshot-versioned table — the
+missing half of the Delta streaming contract (VERDICT r12 #3). The
+table already had streaming SINKS (stream_versioned_ingest /
+stream_merge_ingest / stream_cdc_ingest) and incremental BATCH
+consumption (read_version_delta); this module lets a streaming query
+SUBSCRIBE to the manifest log itself: every committed snapshot becomes
+one micro-batch of exactly the rows that commit added.
+
+Implemented as a PySpark Python Data Source (the Spark 4 public
+streaming-source API — offsets, planned input partitions, executor-
+side Arrow reads), registered as format ``"versioned_table"``:
+
+    spark.dataSource.register(VersionedTableDataSource)
+    df = spark.readStream.format("versioned_table").load(path)
+
+Offsets are VERSION NUMBERS (`{"version": N}` = commits ≤ N consumed),
+so restart-exactly-once falls out of Spark's offset checkpointing plus
+the manifest log's immutability — the same design as Delta's
+reservoir-version offsets. Per micro-batch, each added data file is
+one input partition, read executor-side via Arrow (parquet → Arrow
+record batches, zero Python-row materialization).
+
+Semantics (mirroring ``read_version_delta``):
+- the table's FIRST commit (parent 0) is the initial-snapshot batch;
+- ``op="append"`` commits contribute exactly their ``add`` files;
+- ``op="optimize"`` commits are ROW-PRESERVING (dataChange=false) and
+  are skipped;
+- any other op (merge / delete / restore / overwrite mid-stream) makes
+  a file diff not a row diff: the stream FAILS with a clear error,
+  unless ``ignoreChanges=true`` is set, in which case the commit's
+  add-files are emitted as-is (rewritten rows may re-emit — exactly
+  Delta's ``ignoreChanges`` contract);
+- ``startingVersion=N`` begins after version N (default 0 = from the
+  table's beginning, initial snapshot included);
+- added-column schema evolution is reconciled by NAME against the
+  stream's pinned schema (missing → typed NULLs, extra → dropped);
+  RENAMED columns change meaning and fail the stream (Delta also
+  requires a restart on schema change).
+
+Scale posture: latestOffset is an O(1) manifest-dir listing;
+partitions() resolves O(delta) raw manifests driver-side (file LISTS,
+never data); all row bytes move executor-side as Arrow batches, one
+task per added file.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from etl_dag_spark.sources.versions import _load_raw, _versions
+
+
+class VersionedTableDataSource(DataSource):
+    """``format("versioned_table")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "versioned_table requires a table path: "
+                ".format('versioned_table').load(<path>)"
+            )
+        return path
+
+    def schema(self) -> StructType:
+        path = self._path()
+        versions = _versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no versions at {path}")
+        return StructType.fromJson(
+            json.loads(_load_raw(path, versions[-1])["schema"])
+        )
+
+    def streamReader(self, schema: StructType) -> "VersionedTableStreamReader":
+        return VersionedTableStreamReader(
+            self._path(),
+            schema,
+            starting_version=int(self.options.get("startingversion", 0)),
+            ignore_changes=str(
+                self.options.get("ignorechanges", "false")
+            ).lower()
+            == "true",
+        )
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        starting_version: int = 0,
+        ignore_changes: bool = False,
+    ):
+        self._path = path
+        self._schema = schema
+        self._start = starting_version
+        self._ignore_changes = ignore_changes
+
+    # -- offsets -------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        versions = _versions(self._path)
+        tip = versions[-1] if versions else self._start
+        return {"version": max(tip, self._start)}
+
+    # -- planning (driver-side, manifests only) ------------------------
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[InputPartition] = []
+        for v in _versions(self._path):
+            if not (lo < v <= hi):
+                continue
+            m = _load_raw(self._path, v)
+            op = m["op"]
+            if op == "optimize":
+                continue  # dataChange=false: row-preserving rewrite
+            first = m.get("parent", 0) == 0
+            if op != "append" and not first and not self._ignore_changes:
+                raise ValueError(
+                    f"version {v} is {op!r}: a partial/full rewrite is "
+                    "not a row delta — restart the stream from a "
+                    "snapshot, or set ignoreChanges=true to emit its "
+                    "rewritten files (rows may re-emit, Delta's "
+                    "ignoreChanges contract)"
+                )
+            if m.get("rename"):
+                raise ValueError(
+                    f"version {v} renames columns; a renamed column "
+                    "changes meaning mid-stream — restart the stream "
+                    "(its new pinned schema will be the tip's)"
+                )
+            if "add" in m:
+                added = list(m["add"])
+            else:  # pre-r12 full manifest: parent file-set diff
+                from etl_dag_spark.sources.versions import _load_manifest
+
+                parent_files = (
+                    set(_load_manifest(self._path, m["parent"])["files"])
+                    if m.get("parent")
+                    else set()
+                )
+                added = [f for f in m["files"] if f not in parent_files]
+            parts.extend(
+                InputPartition((f, m["schema"])) for f in sorted(added)
+            )
+        return parts
+
+    # -- executor-side Arrow read --------------------------------------
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        file, _file_schema_json = partition.value
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(file)
+        cols = {}
+        for field in target:
+            if field.name in tbl.column_names:
+                cols[field.name] = tbl.column(field.name).cast(field.type)
+            else:  # added-column evolution: older file lacks it
+                cols[field.name] = pa.nulls(len(tbl), field.type)
+        out = pa.table(cols).cast(target)
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; manifests are immutable
+
+
+def read_table_stream(spark, path: str, **options):
+    """Convenience wrapper: register the source (idempotent) and open a
+    streaming frame over the versioned table at ``path``. Options pass
+    through (``startingVersion``, ``ignoreChanges``)."""
+    spark.dataSource.register(VersionedTableDataSource)
+    reader = spark.readStream.format("versioned_table")
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(path)

@@ -1,0 +1,137 @@
+"""Lakehouse SQL verbs (VERDICT r12 #4): TABLE_AT time travel, MERGE
+INTO, DELETE FROM, RESTORE, DESCRIBE HISTORY routed through
+sources/table_sql.py onto the manifest protocol."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dag_spark.sources.table_sql import run_table_sql
+from etl_dag_spark.sources.versions import (
+    history,
+    merge_version,
+    read_version,
+    write_version,
+)
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, v string"),
+        path,
+        op="append",
+    )
+    return path
+
+
+def test_table_at_time_travel(spark, table):
+    tip = run_table_sql(spark, f"SELECT * FROM TABLE_AT('{table}')")
+    assert _rows(tip) == [(1, "a"), (2, "b"), (3, "c")]
+    v1 = run_table_sql(
+        spark, f"SELECT k, v FROM TABLE_AT('{table}', 1) WHERE k > 1"
+    )
+    assert _rows(v1) == [(2, "b")]
+    # two different snapshots of the SAME table in one statement
+    both = run_table_sql(
+        spark,
+        f"""SELECT a.k, a.v FROM TABLE_AT('{table}', 1) a
+            JOIN TABLE_AT('{table}', 2) b ON a.k = b.k""",
+    )
+    assert _rows(both) == [(1, "a"), (2, "b")]
+
+
+def test_merge_into_matches_python_api(spark, table, tmp_path):
+    # the same batch through the Python API on a twin table
+    twin = str(tmp_path / "twin")
+    write_version(read_version(spark, table, 2), twin)
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "z")], "k int, v string"
+    )
+    updates.createOrReplaceTempView("upd_view")
+    v = run_table_sql(
+        spark,
+        f"""MERGE INTO '{table}' AS t USING upd_view AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert v == 3
+    merge_version(spark, twin, updates, ["k"], "k")
+    assert _rows(read_version(spark, table)) == _rows(
+        read_version(spark, twin)
+    )
+    assert _rows(read_version(spark, table)) == [
+        (1, "a"), (2, "B"), (3, "c"), (9, "z")
+    ]
+    # subquery source form, reversed ON sides
+    run_table_sql(
+        spark,
+        f"""MERGE INTO '{table}' t
+            USING (SELECT 9 AS k, 'Z' AS v) s
+            ON s.k = t.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert (9, "Z") in _rows(read_version(spark, table))
+
+
+def test_delete_where_null_predicate_survives(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "k int, v string"
+        ),
+        path,
+    )
+    v = run_table_sql(spark, f"DELETE FROM '{path}' WHERE v = 'c'")
+    assert v == 2
+    # NULL-predicate row (k=2: v='c' is NULL) must SURVIVE (SQL DELETE)
+    assert _rows(read_version(spark, path)) == [(1, "a"), (2, None)]
+
+
+def test_restore_and_history(spark, table):
+    run_table_sql(spark, f"DELETE FROM '{table}' WHERE k = 1")
+    v = run_table_sql(
+        spark, f"RESTORE TABLE '{table}' TO VERSION AS OF 2"
+    )
+    assert v == 4
+    assert _rows(read_version(spark, table)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    h = run_table_sql(spark, f"DESCRIBE HISTORY '{table}'")
+    got = [(r.version, r.op) for r in h.orderBy("version").collect()]
+    assert got == [
+        (1, "overwrite"), (2, "append"), (3, "delete"), (4, "restore")
+    ]
+    assert [x["version"] for x in history(table)] == [1, 2, 3, 4]
+
+
+def test_unsupported_statements_raise(spark, table):
+    with pytest.raises(ValueError, match="supported statements"):
+        run_table_sql(spark, f"TRUNCATE TABLE '{table}'")
+    with pytest.raises(ValueError, match="equi-key"):
+        run_table_sql(
+            spark,
+            f"""MERGE INTO '{table}' t USING (SELECT 1 AS k, 'x' AS v) s
+                ON t.k > s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""",
+        )
+    with pytest.raises(ValueError, match="match by name"):
+        run_table_sql(
+            spark,
+            f"""MERGE INTO '{table}' t USING (SELECT 1 AS kk, 'x' AS v) s
+                ON t.k = s.kk
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""",
+        )

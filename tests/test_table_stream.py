@@ -1,0 +1,207 @@
+"""Streaming SOURCE over the versioned table (VERDICT r12 #3): each
+committed snapshot is one micro-batch; offsets are version numbers;
+stream-over-commits equals the batch delta union."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dag_spark.sources.versions import (
+    compact_version,
+    delete_version,
+    merge_version,
+    read_version,
+    read_version_delta,
+    write_version,
+)
+from etl_dag_spark.streaming.table_stream import read_table_stream
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def _drain(spark, stream, name, checkpoint=None):
+    w = stream.writeStream.format("memory").queryName(name).outputMode(
+        "append"
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
+def test_stream_over_commits_equals_batch_delta_union(spark, tmp_path):
+    """The VERDICT r12 #3 equality pin: initial snapshot + every
+    append (optimize skipped) drained through the stream == the batch
+    read of the tip == initial read ∪ read_version_delta."""
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, v string"), path, op="append"
+    )
+    compact_version(spark, path)  # v3: dataChange=false, must be skipped
+    write_version(
+        spark.createDataFrame([(4, "d")], "k int, v string"), path, op="append"
+    )
+    q = _drain(spark, read_table_stream(spark, path), "vt_eq")
+    try:
+        got = _rows(spark.table("vt_eq"))
+        assert got == _rows(read_version(spark, path))  # tip snapshot
+        want = _rows(
+            read_version(spark, path, 1).unionByName(
+                read_version_delta(spark, path, 1, 4)
+            )
+        )
+        assert got == want
+        # a commit landing WHILE the stream runs is its own micro-batch
+        write_version(
+            spark.createDataFrame([(5, "e")], "k int, v string"),
+            path,
+            op="append",
+        )
+        q.processAllAvailable()
+        assert _rows(spark.table("vt_eq")) == _rows(read_version(spark, path))
+    finally:
+        q.stop()
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Offsets are version numbers in Spark's checkpoint: a restarted
+    stream re-emits NOTHING already consumed and picks up exactly the
+    commits that landed while it was down (the Delta streaming
+    exactly-once contract)."""
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    stream = read_table_stream(spark, path)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # two commits land while the stream is down
+    write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path, op="append"
+    )
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, v string"), path, op="append"
+    )
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.k, r.v) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]  # no dup, no gap
+
+
+def test_starting_version_skips_initial_snapshot(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, v string"), path, op="append"
+    )
+    q = _drain(
+        spark,
+        read_table_stream(spark, path, startingVersion=1),
+        "vt_from1",
+    )
+    try:
+        assert _rows(spark.table("vt_from1")) == [(3, "c")]
+    finally:
+        q.stop()
+
+
+def test_rewrite_commit_fails_stream_unless_ignore_changes(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "k int, v string, ts int"
+        ),
+        path,
+    )
+    merge_version(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B", 2)], "k int, v string, ts int"),
+        ["k"],
+        "ts",
+    )
+    stream = read_table_stream(spark, path)
+    q = stream.writeStream.format("memory").queryName("vt_fail").start()
+    with pytest.raises(Exception, match="not a row delta"):
+        q.processAllAvailable()
+    q.stop()
+    # ignoreChanges: the merge's rewritten files emit as-is — every
+    # current row appears, and the PRE-merge version of a rewritten
+    # row re-emits too (v1's file holding (2,'b') was already consumed
+    # before the rewrite added its replacement) — exactly Delta's
+    # documented ignoreChanges downstream-dedup burden
+    q = _drain(
+        spark,
+        read_table_stream(spark, path, ignoreChanges=True),
+        "vt_ic",
+    )
+    try:
+        got = sorted(
+            (r.k, r.v) for r in spark.table("vt_ic").collect()
+        )
+        assert got == [(1, "a"), (2, "B"), (2, "b")]
+        current = set(
+            (r.k, r.v) for r in read_version(spark, path).collect()
+        )
+        assert current <= set(got)  # no current row is ever missed
+    finally:
+        q.stop()
+    # deletes behave the same way
+    delete_version(spark, path, "k = 1")
+    q2 = read_table_stream(spark, path).writeStream.format("memory").queryName(
+        "vt_fail2"
+    ).start()
+    with pytest.raises(Exception, match="not a row delta"):
+        q2.processAllAvailable()
+    q2.stop()
+
+
+def test_added_column_evolution_pads_nulls(spark, tmp_path):
+    """A restart after an added-column append pins the TIP schema; the
+    older files' missing column reads as typed NULLs (readers.
+    read_evolved semantics, Arrow-side)."""
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    write_version(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "k int, v string, score double"
+        ),
+        path,
+        op="append",
+    )
+    q = _drain(spark, read_table_stream(spark, path), "vt_evolved")
+    try:
+        got = sorted(
+            (r.k, r.v, r.score) for r in spark.table("vt_evolved").collect()
+        )
+        assert got == [(1, "a", None), (2, "b", 9.5)]
+    finally:
+        q.stop()
