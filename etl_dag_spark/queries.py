@@ -13119,6 +13119,191 @@ def sql_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_window_funnel",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON a.user_id = b.user_id
+       AND b.us > a.us AND b.us <= a.us + 86400000000
+  WHERE a.event_type = 'signup' AND b.event_type = 'view'
+),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a
+  JOIN e b ON a.user_id = b.user_id
+       AND b.us > a.us AND b.us <= a.us + 86400000000
+  JOIN e c ON c.user_id = a.user_id
+       AND c.us > b.us AND c.us <= a.us + 86400000000
+  WHERE a.event_type = 'signup' AND b.event_type = 'view'
+    AND c.event_type = 'purchase'
+)
+SELECT CAST(1 AS INT) AS level,
+       CAST((SELECT count(*) FROM l1 x
+             WHERE NOT EXISTS (SELECT 1 FROM l2 y
+                               WHERE y.user_id = x.user_id)) AS BIGINT)
+         AS n_users
+UNION ALL
+SELECT CAST(2 AS INT),
+       CAST((SELECT count(*) FROM l2 x
+             WHERE NOT EXISTS (SELECT 1 FROM l3 y
+                               WHERE y.user_id = x.user_id)) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS INT), CAST((SELECT count(*) FROM l3) AS BIGINT)
+""",
+)
+def olap_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED funnel — ClickHouse's ``windowFunnel`` (r13):
+    per user, the deepest signup → view → purchase chain whose events
+    are strictly increasing in time AND all fall within 24h of the
+    chain's signup; users counted once at their MAX level. The
+    unconstrained funnel (#87 ``olap_funnel_stages``) answers "did
+    they ever convert"; this answers "did they convert within the
+    activation window" — the form growth teams actually gate on
+    (at 24h the sf0.01 levels split 1/58/91 vs 0/1/149 ever-converted).
+
+    Shape: existence joins keyed on user_id (fan-out bounded by
+    events-per-user, never corpus-quadratic), each level a distinct
+    projection, counts by anti-join so a user lands in exactly one
+    level. All comparisons in integer µs (``ts_ns DIV 1000`` ↔ DuckDB
+    ``epoch_us`` — the events contract)."""
+    w_us = 86_400_000_000  # 24h activation window
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("us")
+    )
+    s = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("us").alias("t1")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("t2")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("t3")
+    )
+    l1 = s.select("user_id").distinct()
+    pair = s.join(v, "user_id").where(
+        (F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + w_us)
+    )
+    l2 = pair.select("user_id").distinct()
+    l3 = (
+        pair.join(p, "user_id")
+        .where(
+            (F.col("t3") > F.col("t2")) & (F.col("t3") <= F.col("t1") + w_us)
+        )
+        .select("user_id")
+        .distinct()
+    )
+
+    def level(df: DataFrame, n: int) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        ).select("level", "n_users")
+
+    return (
+        level(l1.join(l2, "user_id", "left_anti"), 1)
+        .unionByName(level(l2.join(l3, "user_id", "left_anti"), 2))
+        .unionByName(level(l3, 3))
+    )
+
+
+@register(
+    "stream_lateness_profile",
+    oracle="""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS us, epoch_us(ts) // 3600000000 AS hr
+  FROM events
+),
+w AS (
+  SELECT event_id, us, hr,
+         max(us) OVER (PARTITION BY hr
+                       ORDER BY md5(CAST(event_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS inhr
+  FROM e
+),
+hmax AS (SELECT hr, max(us) AS mx FROM e GROUP BY 1),
+hprev AS (
+  SELECT hr, max(mx) OVER (ORDER BY hr
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pmx
+  FROM hmax
+),
+l AS (
+  SELECT greatest(coalesce(hprev.pmx, 0), w.inhr) - w.us AS late
+  FROM w JOIN hprev ON w.hr = hprev.hr
+)
+SELECT CASE WHEN late = 0 THEN '0'
+            WHEN late <= 60000000 THEN '<=1m'
+            WHEN late <= 600000000 THEN '<=10m'
+            WHEN late <= 3600000000 THEN '<=1h'
+            ELSE '>1h' END AS lateness_class,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late) AS BIGINT) AS max_lateness_us
+FROM l GROUP BY 1
+""",
+)
+def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-planning profile (r13): how DISORDERED is the event
+    feed — per event, lateness = (max event-time seen so far in
+    arrival order) − (its own event-time), bucketed into the classes a
+    ``withWatermark`` delay would be chosen from. This is the batch
+    statistic computed BEFORE configuring every streaming query in
+    §2e: a watermark shorter than the observed lateness tail silently
+    drops those rows. Arrival order is the deterministic
+    hour-bucketed-shuffle feed (files land hourly in time order,
+    content-hash-shuffled within the hour — md5 of event_id, the
+    repo's engine-portable determinism recipe), so both engines replay
+    the identical arrival sequence.
+
+    Scale shape: NO global sort — the running max decomposes into a
+    per-HOUR window (partition-parallel, ordered by md5) plus a
+    cumulative max over the tiny hourly-max frame (rows = hours of
+    data span, not data volume), joined back on hour. All lateness
+    arithmetic exact integer µs; the only strings are the emitted
+    class labels."""
+    us = F.expr("ts_ns DIV 1000")
+    e = load_events(spark, sf_dir).select(
+        "event_id", us.alias("us")
+    ).withColumn("hr", F.expr("us DIV 3600000000")).withColumn(
+        "h", F.md5(F.col("event_id").cast("string"))
+    )
+    win_in = (
+        Window.partitionBy("hr")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = e.select("us", "hr", F.max("us").over(win_in).alias("inhr"))
+    hmax = e.groupBy("hr").agg(F.max("us").alias("mx"))
+    hprev = hmax.select(
+        "hr",
+        F.max("mx")
+        .over(
+            Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("pmx"),
+    )
+    late = w.join(hprev, "hr").select(
+        (
+            F.greatest(F.coalesce(F.col("pmx"), F.lit(0)), F.col("inhr"))
+            - F.col("us")
+        ).alias("late")
+    )
+    cls = (
+        F.when(F.col("late") == 0, "0")
+        .when(F.col("late") <= 60_000_000, "<=1m")
+        .when(F.col("late") <= 600_000_000, "<=10m")
+        .when(F.col("late") <= 3_600_000_000, "<=1h")
+        .otherwise(">1h")
+    )
+    return late.groupBy(cls.alias("lateness_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("late").cast("bigint").alias("max_lateness_us"),
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
