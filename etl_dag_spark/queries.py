@@ -13360,11 +13360,12 @@ _ROTATE_TO_FRONT = [
 ]
 # r14 WINDOW MATH (re-key _ROTATE_TO_FRONT for r14 before anything
 # else lands): the 11 names from "position 51+" above are mandatory
-# leads (r9 evidence — 5 rounds stale by r14), then any oracle whose
-# FIRST driver hash is pending from r13 registrations, then fill the
-# remaining ~35 slots with the oldest r10-evidence oracles
-# (49 carry r10 as of r13 — oldest-registered first) to keep the
-# ≤4-round refresh cycle alive.
+# leads (r9 evidence — 5 rounds stale by r14), then the 4 oracles
+# whose FIRST driver hash is pending from r13 registrations
+# (`sql_merge_versioned`, `sql_delete_versioned`, `olap_window_funnel`,
+# `stream_lateness_profile`), then fill the remaining ~35 slots with
+# the oldest r10-evidence oracles (49 carry r10 as of r13 —
+# oldest-registered first) to keep the ≤4-round refresh cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},
