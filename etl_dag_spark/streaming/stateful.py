@@ -227,3 +227,85 @@ def closed_user_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_OUT = "user_id bigint, level int"
+FUNNEL_STATE = "types array<string>, uss array<bigint>"
+_FUNNEL_WINDOW_US = 86_400_000_000  # 24h, matching olap_window_funnel
+
+
+def _funnel_level(
+    types: list, uss: list, window_us: int = _FUNNEL_WINDOW_US
+) -> int:
+    """Deepest signup→view→purchase chain strictly increasing in time
+    and completing within ``window_us`` of the chain's signup — the
+    exists-over-all-anchors semantics of the batch twin. For a fixed
+    signup, the EARLIEST admissible view maximizes the remaining
+    purchase interval, so one bisect per stage suffices (O(S log n)
+    per user, no triple loop)."""
+    import bisect
+
+    sig = sorted(u for t, u in zip(types, uss) if t == "signup")
+    if not sig:
+        return 0
+    views = sorted(u for t, u in zip(types, uss) if t == "view")
+    purch = sorted(u for t, u in zip(types, uss) if t == "purchase")
+    level = 1
+    for t1 in sig:
+        hi = t1 + window_us
+        i = bisect.bisect_right(views, t1)
+        if i < len(views) and views[i] <= hi:
+            level = 2
+            t2 = views[i]
+            j = bisect.bisect_right(purch, t2)
+            if j < len(purch) and purch[j] <= hi:
+                return 3
+    return level
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    types: list = []
+    uss: list = []
+    if state.exists:
+        st, su = state.get
+        types, uss = list(st), [int(x) for x in su]
+    for pdf in pdfs:
+        for t, u in zip(pdf["event_type"], pdf["us"]):
+            if t in ("signup", "view", "purchase"):
+                types.append(t)
+                uss.append(int(u))
+    state.update((types, uss))
+    level = _funnel_level(types, uss)
+    if level == 0:
+        return  # never signed up: invisible, like the batch twin
+    yield pd.DataFrame({"user_id": [key[0]], "level": [level]})
+
+
+def running_window_funnel(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``olap_window_funnel`` query (r13):
+    per-user funnel-relevant events accumulate in the state store as
+    parallel (type, µs) arrays — recomputing the level from the full
+    per-user history each batch makes the emission EXACT under any
+    arrival order (levels are monotone in the event set, so the final
+    emission per user equals the batch query; pinned in tests). State
+    is bounded by funnel-relevant events per user, not stream length.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts_utc").alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUT,
+            stateStructType=FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

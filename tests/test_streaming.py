@@ -448,3 +448,38 @@ def test_closed_sessions_held_session_absorbs_later_straggler(
         # the t0+2h session is still open -> absent
     ]
     spark.sql("DROP TABLE IF EXISTS closed_sessions_straggler")
+
+
+def test_stateful_window_funnel_across_batches(spark, stream_src):
+    """Streaming twin of olap_window_funnel (r13): per-user funnel
+    events accumulate in state; the final per-user level histogram
+    equals the batch query over the same events."""
+    from etl_dag_spark.queries import SPARK_QUERIES
+    from etl_dag_spark.streaming.stateful import running_window_funnel
+
+    stream = running_window_funnel(read_event_stream(spark, stream_src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2
+    # levels are monotone in the event set: max emission = final level
+    got = {
+        r.level: r.n
+        for r in spark.sql(
+            """SELECT level, CAST(count(*) AS BIGINT) AS n
+               FROM (SELECT user_id, max(level) AS level
+                     FROM user_funnel GROUP BY user_id)
+               GROUP BY level"""
+        ).collect()
+    }
+    want = {
+        r.level: r.n_users
+        for r in SPARK_QUERIES["olap_window_funnel"](spark, SF_DIR).collect()
+        if r.n_users > 0
+    }
+    assert got == want
