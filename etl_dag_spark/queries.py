@@ -13304,6 +13304,54 @@ def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_pruned_read",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 3000
+""",
+)
+def etl_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping, value-hash-certified (r13): commit
+    orders RANGE-laid-out on ``o_orderkey`` with per-file min/max stats
+    (collected from parquet FOOTERS at commit — sources/versions.py
+    ``stats_cols``), then answer a narrow range predicate through
+    ``read_version(between=...)``, which drops every file the manifest
+    PROVES clean before Spark opens anything. The oracle is the plain
+    predicate over the source table — so the driver hash certifies the
+    skipping is LOSSLESS (footer stat collection, alias mapping, the
+    conservative keep-when-statless rule, and the exact residual
+    filter) end-to-end; test_versions.py separately pins that files
+    are actually dropped (≤2-of-10 on this layout).
+
+    Scale shape: on a 100 TB range/z-ordered table this is the
+    difference between opening a handful of files and launching a scan
+    task per file — pruning at the MANIFEST level, upstream of even
+    parquet row-group skipping."""
+    from etl_dag_spark.sources import versions as ver
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+    )
+
+    def build(path: str) -> None:
+        ver.write_version(
+            o.repartitionByRange(8, "o_orderkey"),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+
+    path = _cached_version_table("etl_pruned_read", sf_dir, build)
+    return ver.read_version(
+        spark, path, between=("o_orderkey", 1000, 3000)
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================
@@ -13360,12 +13408,13 @@ _ROTATE_TO_FRONT = [
 ]
 # r14 WINDOW MATH (re-key _ROTATE_TO_FRONT for r14 before anything
 # else lands): the 11 names from "position 51+" above are mandatory
-# leads (r9 evidence — 5 rounds stale by r14), then the 4 oracles
+# leads (r9 evidence — 5 rounds stale by r14), then the 5 oracles
 # whose FIRST driver hash is pending from r13 registrations
 # (`sql_merge_versioned`, `sql_delete_versioned`, `olap_window_funnel`,
-# `stream_lateness_profile`), then fill the remaining ~35 slots with
-# the oldest r10-evidence oracles (49 carry r10 as of r13 —
-# oldest-registered first) to keep the ≤4-round refresh cycle alive.
+# `stream_lateness_profile`, `etl_pruned_read`), then fill the
+# remaining ~34 slots with the oldest r10-evidence oracles (49 carry
+# r10 as of r13 — oldest-registered first) to keep the ≤4-round
+# refresh cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},
