@@ -68,6 +68,12 @@ SNAPSHOT_QUERIES = [
     # broadcast, SF-scaled dims decided by AQE)
     "text_suffix_dup_spans",
     "etl_training_export",
+    # r13: the lateness profile must stay per-HOUR partitioned windows
+    # plus a tiny hourly-max cumulative — never a global-sort window
+    # over the event table; weighted Jaccard pins the persist()-based
+    # index reuse (InMemoryRelation, no plan-build materialization)
+    "stream_lateness_profile",
+    "dedup_weighted_jaccard",
 ]
 
 # Node headers worth pinning: strategy-bearing operators. Detail
