@@ -21,6 +21,15 @@ Python-API-only through r12:
   (SQL DELETE semantics: TRUE rows removed, FALSE and NULL survive).
 - ``RESTORE TABLE '<path>' TO VERSION AS OF <n>`` →
   :func:`restore_version` (manifest-only, zero data copied).
+- ``OPTIMIZE '<path>' [ZORDER BY (c1[, c2 ...])]`` →
+  :func:`compact_version` (row-preserving ``op="optimize"`` commit;
+  with ZORDER the rewrite is Z-clustered and the clustered columns'
+  per-file min/max land in the manifest for data skipping).
+- ``VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]`` →
+  :func:`vacuum` / :func:`vacuum_report` (DRY RUN reports what would
+  drop without touching anything; both use age 0 — the operator
+  asserts no writer in flight, matching Delta's RETAIN 0 HOURS
+  confirmation semantics).
 - ``DESCRIBE HISTORY '<path>'`` → the commit log as a DataFrame.
 
 Table paths are quoted string literals (the Delta ``delta.`/path```
@@ -74,6 +83,19 @@ _RESTORE = re.compile(
     re.IGNORECASE,
 )
 
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+'(?P<path>[^']+)'"
+    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[\w\s,]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+'(?P<path>[^']+)'"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+'(?P<path>[^']+)'\s*;?\s*$", re.IGNORECASE
 )
@@ -84,6 +106,8 @@ _GRAMMAR = (
     " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;"
     " DELETE FROM '<path>' WHERE <predicate>;"
     " RESTORE TABLE '<path>' TO VERSION AS OF <n>;"
+    " OPTIMIZE '<path>' [ZORDER BY (c1, ...)];"
+    " VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN];"
     " DESCRIBE HISTORY '<path>'"
 )
 
@@ -141,6 +165,36 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
     m = _RESTORE.match(sql)
     if m:
         return restore_version(m.group("path"), int(m.group("v")))
+    m = _OPTIMIZE.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import compact_version
+
+        cols = m.group("cols")
+        return compact_version(
+            spark,
+            m.group("path"),
+            zorder_by=(
+                [c.strip() for c in cols.split(",")] if cols else None
+            ),
+        )
+    m = _VACUUM.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import vacuum, vacuum_report
+
+        keep = int(m.group("n") or 2)
+        if m.group("dry"):
+            rep = vacuum_report(m.group("path"), keep_last=keep,
+                                min_age_seconds=0)
+            return spark.createDataFrame(
+                [(
+                    [int(v) for v in rep["dropped_versions"]],
+                    sorted(rep["reclaim_dirs"]),
+                    int(rep["reclaim_bytes"]),
+                )],
+                "dropped_versions array<int>, reclaim_dirs array<string>,"
+                " reclaim_bytes bigint",
+            )
+        return vacuum(m.group("path"), keep_last=keep, min_age_seconds=0)
     m = _HISTORY.match(sql)
     if m:
         rows = history(m.group("path"))

@@ -135,3 +135,46 @@ def test_unsupported_statements_raise(spark, table):
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *""",
         )
+
+
+def test_optimize_and_vacuum_statements(spark, tmp_path):
+    """OPTIMIZE [ZORDER BY] and VACUUM [RETAIN n VERSIONS] [DRY RUN]
+    route to compact_version / vacuum_report / vacuum."""
+    import os
+
+    from etl_dag_spark.sources.versions import _load_manifest
+
+    path = str(tmp_path / "tbl")
+    for k in range(4):  # streaming-debris shape: 4 small commits
+        write_version(
+            spark.createDataFrame([(k, f"v{k}")], "k int, v string"),
+            path,
+            op="overwrite" if k == 0 else "append",
+        )
+    v = run_table_sql(spark, f"OPTIMIZE '{path}' ZORDER BY (k)")
+    assert v == 5
+    m = _load_manifest(path, 5)
+    assert _rows(read_version(spark, path)) == [
+        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")
+    ]
+    # the zorder layout recorded stats for the clustered column
+    assert any("k" in per for per in m.get("stats", {}).values())
+    # DRY RUN: reports, touches nothing
+    rep = run_table_sql(
+        spark, f"VACUUM '{path}' RETAIN 1 VERSIONS DRY RUN"
+    ).collect()[0]
+    # only the optimized snapshot survives: the pre-optimize small
+    # files become unreferenced and reclaimable
+    assert rep.dropped_versions == [1, 2, 3, 4]
+    assert rep.reclaim_bytes > 0
+    assert len(rep.reclaim_dirs) == 4
+    assert [h["version"] for h in history(path)] == [1, 2, 3, 4, 5]
+    # real vacuum drops exactly what the dry run promised
+    dropped = run_table_sql(spark, f"VACUUM '{path}' RETAIN 1 VERSIONS")
+    assert dropped == [1, 2, 3, 4]
+    assert [h["version"] for h in history(path)] == [5]
+    for d in rep.reclaim_dirs:
+        assert not os.path.exists(d)
+    assert _rows(read_version(spark, path)) == [
+        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")
+    ]
