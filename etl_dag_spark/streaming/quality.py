@@ -74,3 +74,106 @@ def read_dq_store(spark: SparkSession, store_path: str) -> DataFrame:
         F.sum("violations").cast("bigint").alias("violations"),
         F.sum("total_rows").cast("bigint").alias("total_rows"),
     )
+
+
+_LATENESS_BOUNDS = [
+    ("0", 0),
+    ("<=1m", 60_000_000),
+    ("<=10m", 600_000_000),
+    ("<=1h", 3_600_000_000),
+]
+
+
+def stream_lateness_monitor(
+    events: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    time_col: str = "ts_utc",
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming twin of the batch ``stream_lateness_profile`` query
+    (r13): the micro-batch sequence IS the arrival order, so an
+    event's lateness is how far its event time sits behind the maximum
+    event time of every PRIOR batch — exactly the data a
+    ``withWatermark`` delay must cover (an event late by more than the
+    delay would have been dropped). Per micro-batch: one distributed
+    aggregate histograms the batch's lateness into the watermark
+    classes and records the batch's own max event time; the bounded
+    class rows append to ``store_path`` stamped with the batch_id.
+
+    Replay-safe like the other delta stores: a re-delivered batch
+    appends identical rows and the read-time fold collapses
+    (batch_id, class) duplicates by MAX before summing. prev-max
+    lookup excludes the current batch_id, so a replay scores against
+    the same baseline as the original delivery."""
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        prev_max = None
+        if os.path.isdir(store_path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(store_path)
+        ):
+            r = (
+                spark.read.parquet(store_path)
+                .where(F.col("batch_id") < batch_id)
+                .agg(F.max("batch_max_us"))
+                .collect()[0][0]
+            )
+            prev_max = int(r) if r is not None else None
+        us = F.unix_micros(F.col(time_col))
+        late = (
+            F.greatest(F.lit(prev_max) - us, F.lit(0))
+            if prev_max is not None
+            else F.lit(0)
+        )
+        cls = F.when(late == 0, "0")
+        for label, bound in _LATENESS_BOUNDS[1:]:
+            cls = cls.when(late <= bound, label)
+        cls = cls.otherwise(">1h")
+        hist = batch_df.select(
+            late.alias("late"), cls.alias("lateness_class"), us.alias("us")
+        )
+        batch_max = F.max("us")
+        (
+            hist.groupBy("lateness_class")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.max("late").cast("bigint").alias("max_lateness_us"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    hist.agg(batch_max.cast("bigint").alias("batch_max_us"))
+                )
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_lateness_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the lateness delta store to the cumulative watermark
+    readout: (lateness_class, n_events, max_lateness_us). Duplicate
+    (batch_id, class) deliveries collapse by MAX first (replays append
+    identical rows), then classes sum across batches."""
+    per_batch = (
+        spark.read.parquet(store_path)
+        .groupBy("batch_id", "lateness_class")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_lateness_us").alias("max_lateness_us"),
+        )
+    )
+    return per_batch.groupBy("lateness_class").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("max_lateness_us").cast("bigint").alias("max_lateness_us"),
+    )

@@ -1235,3 +1235,76 @@ def test_read_host_cap_store_empty_store(spark, tmp_path):
     folded = read_host_cap_store(spark, str(tmp_path / "nope"))
     assert folded.columns == ["doc_id", "source", "host_rank"]
     assert folded.count() == 0
+
+
+def test_stream_lateness_monitor_scores_cross_batch_disorder(spark, tmp_path):
+    """Streaming lateness monitor (r13, twin of stream_lateness_profile):
+    events arriving in a LATER micro-batch than their event time score
+    against the max of all prior batches; the folded store matches the
+    hand-computed expectation, and a replayed delivery cannot inflate
+    it."""
+    import os
+
+    from etl_dag_spark.streaming.quality import (
+        read_lateness_store,
+        stream_lateness_monitor,
+    )
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000_000  # epoch µs
+    # file 1: on-time events up to t0+2h; file 2: one event 30s late,
+    # one 30min late, one on time; file 3: one 2h late (past every
+    # class bound), one on time
+    files = [
+        [t0, t0 + 7_200_000_000],
+        [t0 + 7_200_000_000 - 30_000_000,
+         t0 + 7_200_000_000 - 1_800_000_000,
+         t0 + 7_300_000_000],
+        [t0 + 100_000_000, t0 + 7_400_000_000],
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, ts_list in enumerate(files):
+        # plain FILES directly under src (the file source ignores
+        # nested dirs); distinct mtimes pin the processing order
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(ts_list)), pa.int64()),
+                "ts_utc": pa.array(ts_list, pa.timestamp("us")),
+            }
+        )
+        f = f"{src}/f{i}.parquet"
+        pq.write_table(tbl, f)
+        os.utime(f, (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("event_id long, ts_utc timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_lateness_monitor(stream, store, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r.lateness_class: (r.n_events, r.max_lateness_us)
+        for r in read_lateness_store(spark, store).collect()
+    }
+    # batch 0: both on time (prev max unknown → 0); batch 1: 30s late
+    # (<=1m), 30min late (<=1h), on-time; batch 2: 2h late (>1h since
+    # 7300s-100s > 1h), on-time
+    assert got == {
+        "0": (4, 0),
+        "<=1m": (1, 30_000_000),
+        "<=1h": (1, 1_800_000_000),
+        ">1h": (1, 7_200_000_000),
+    }
+    # at-least-once: re-delivering a batch's identical rows is folded out
+    dup = spark.read.parquet(store).where("batch_id = 1")
+    dup.write.mode("append").parquet(store)
+    again = {
+        r.lateness_class: (r.n_events, r.max_lateness_us)
+        for r in read_lateness_store(spark, store).collect()
+    }
+    assert again == got
