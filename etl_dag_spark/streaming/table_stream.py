@@ -32,6 +32,11 @@ Semantics (mirroring ``read_version_delta``):
   Delta's ``ignoreChanges`` contract);
 - ``startingVersion=N`` begins after version N (default 0 = from the
   table's beginning, initial snapshot included);
+- ``maxVersionsPerTrigger=K`` caps each micro-batch at K commits
+  (Delta's ``maxFilesPerTrigger`` role): a new subscriber catching up
+  on a long history drains it in bounded batches instead of one giant
+  first batch — at 100 TB the difference between a checkpointable
+  catch-up and an OOM;
 - added-column schema evolution is reconciled by NAME against the
   stream's pinned schema (missing → typed NULLs, extra → dropped);
   RENAMED columns change meaning and fail the stream (Delta also
@@ -84,6 +89,7 @@ class VersionedTableDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> "VersionedTableStreamReader":
+        max_v = self.options.get("maxversionspertrigger")
         return VersionedTableStreamReader(
             self._path(),
             schema,
@@ -92,6 +98,7 @@ class VersionedTableDataSource(DataSource):
                 self.options.get("ignorechanges", "false")
             ).lower()
             == "true",
+            max_versions_per_trigger=int(max_v) if max_v else None,
         )
 
 
@@ -102,11 +109,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: int = 0,
         ignore_changes: bool = False,
+        max_versions_per_trigger: int | None = None,
     ):
         self._path = path
         self._schema = schema
         self._start = starting_version
         self._ignore_changes = ignore_changes
+        self._max_versions = max_versions_per_trigger
+        self._committed = starting_version
 
     # -- offsets -------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -115,11 +125,24 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         versions = _versions(self._path)
         tip = versions[-1] if versions else self._start
-        return {"version": max(tip, self._start)}
+        tip = max(tip, self._start)
+        if self._max_versions is not None:
+            # bounded catch-up: admit at most K commits past the last
+            # committed offset per micro-batch (Spark calls commit()
+            # after each batch, advancing the floor)
+            tip = min(tip, self._committed + self._max_versions)
+        return {"version": tip}
 
     # -- planning (driver-side, manifests only) ------------------------
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        # pacing floor: a planned batch WILL be processed, so the next
+        # latestOffset may admit the next K commits immediately — no
+        # dependence on the commit() callback's timing (which races
+        # availability polling). Also the restart heal: the
+        # checkpointed start is the true floor (a fresh reader instance
+        # only knows startingVersion).
+        self._committed = max(self._committed, lo, hi)
         parts: list[InputPartition] = []
         for v in _versions(self._path):
             if not (lo < v <= hi):
@@ -178,7 +201,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; manifests are immutable
+        # offsets live in Spark's checkpoint; manifests are immutable.
+        # Track the committed floor so maxVersionsPerTrigger paces the
+        # NEXT batch from here (on restart Spark replants it by calling
+        # latestOffset only after re-planning from the checkpoint).
+        self._committed = max(self._committed, int(end["version"]))
 
 
 def read_table_stream(spark, path: str, **options):

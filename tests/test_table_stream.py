@@ -205,3 +205,30 @@ def test_added_column_evolution_pads_nulls(spark, tmp_path):
         assert got == [(1, "a", None), (2, "b", 9.5)]
     finally:
         q.stop()
+
+
+def test_max_versions_per_trigger_paces_catch_up(spark, tmp_path):
+    """A subscriber catching up on history drains it in bounded
+    micro-batches (one commit per batch here), not one giant batch —
+    with no row lost or duplicated."""
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    for k in (2, 3, 4, 5):
+        write_version(
+            spark.createDataFrame([(k, f"v{k}")], "k int, v string"),
+            path,
+            op="append",
+        )
+    q = _drain(
+        spark,
+        read_table_stream(spark, path, maxVersionsPerTrigger=1),
+        "vt_paced",
+    )
+    try:
+        assert _rows(spark.table("vt_paced")) == _rows(
+            read_version(spark, path)
+        )
+        # 5 commits → 5 paced batches
+        assert q.lastProgress["batchId"] >= 4
+    finally:
+        q.stop()
