@@ -119,6 +119,11 @@ def _default_sf_only():
 
 @pytest.mark.parametrize("name", SNAPSHOT_QUERIES)
 def test_plan_matches_golden(spark, name):
+    # an earlier test running the same query leaves persist() entries
+    # in the CacheManager, which substitutes InMemoryRelation into ANY
+    # later plan-equal subtree — fingerprint the UNCACHED plan so the
+    # golden is independent of suite order
+    spark.catalog.clearCache()
     got = plan_fingerprint(SPARK_QUERIES[name](spark, SF_DIR))
     path = os.path.join(GOLDEN_DIR, f"{name}.txt")
     if os.environ.get("UPDATE_PLAN_SNAPSHOTS") == "1":
