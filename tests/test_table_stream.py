@@ -232,3 +232,86 @@ def test_max_versions_per_trigger_paces_catch_up(spark, tmp_path):
         assert q.lastProgress["batchId"] >= 4
     finally:
         q.stop()
+
+
+def test_medallion_pipeline_table_to_table(spark, tmp_path):
+    """Composition pin (r13): the streaming SOURCE feeds a versioned
+    SINK — a bronze→silver medallion hop where each bronze commit
+    streams through an aggregation and MERGEs into silver exactly
+    once. After draining, silver's tip equals the batch aggregate of
+    bronze's tip; bronze commits landing later flow through
+    incrementally on the next drain."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.sources.versions import merge_version
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10), (2, 5), (1, 7)], "k int, amount int"
+        ),
+        bronze,
+    )
+    write_version(
+        spark.createDataFrame([(2, 1), (3, 4)], "k int, amount int"),
+        bronze,
+        op="append",
+    )
+
+    def upsert(batch_df, batch_id):
+        # per-key partial sums of THIS batch merge into silver's
+        # running totals (read-modify-write keyed merge, txn-gated so
+        # an at-least-once redelivery is a manifest no-op)
+        part = batch_df.groupBy("k").agg(
+            F.sum("amount").cast("long").alias("delta")
+        )
+        try:
+            from etl_dag_spark.sources.versions import read_version as rv
+
+            cur = rv(spark, silver).select("k", "total")
+        except FileNotFoundError:
+            cur = spark.createDataFrame([], "k int, total long")
+        merged = (
+            part.join(cur, "k", "full_outer")
+            .select(
+                "k",
+                (
+                    F.coalesce(F.col("delta"), F.lit(0))
+                    + F.coalesce(F.col("total"), F.lit(0))
+                ).cast("long").alias("total"),
+                F.lit(batch_id).cast("long").alias("b"),
+            )
+        )
+        merge_version(
+            spark, silver, merged, ["k"], "b",
+            txn_id=f"b{batch_id}", writer_id="medallion",
+        )
+
+    def drain():
+        q = (
+            read_table_stream(spark, bronze)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {
+        r.k: r.total for r in read_version(spark, silver).collect()
+    }
+    assert got == {1: 17, 2: 6, 3: 4}
+    # late bronze commit flows through incrementally on the next drain
+    write_version(
+        spark.createDataFrame([(3, 6), (4, 2)], "k int, amount int"),
+        bronze,
+        op="append",
+    )
+    drain()
+    got = {
+        r.k: r.total for r in read_version(spark, silver).collect()
+    }
+    assert got == {1: 17, 2: 6, 3: 10, 4: 2}
