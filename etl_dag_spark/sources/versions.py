@@ -893,6 +893,19 @@ def read_version_delta(
     versions = _versions(path)
     if to_version is None:
         to_version = versions[-1]
+    # retention guard: version numbers are contiguous by construction
+    # (parent+1), so any number in (from, to] missing from the log was
+    # VACUUMED — its delta is unrecoverable and silently skipping it
+    # would hand the consumer a hole (Delta throws past the retention
+    # window; so do we). keep_last IS the incremental-read horizon.
+    have = set(versions)
+    gone = [v for v in range(from_version + 1, to_version + 1) if v not in have]
+    if gone:
+        raise FileNotFoundError(
+            f"versions {gone[0]}..{gone[-1]} were vacuumed: the delta "
+            f"since v{from_version} is unrecoverable — re-read a full "
+            f"snapshot (>= v{min(have)}) and resume from there"
+        )
     # one ascending walk of the range collects the append deltas AND
     # the schema-evolution segment structure: an OPTIMIZE resets the
     # cumulative rename map (its files are rewritten under the then-

@@ -143,8 +143,22 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # checkpointed start is the true floor (a fresh reader instance
         # only knows startingVersion).
         self._committed = max(self._committed, lo, hi)
+        versions = _versions(self._path)
+        # retention guard (matches read_version_delta): a vacuumed
+        # manifest in (lo, hi] means the delta is unrecoverable —
+        # fail loudly instead of silently skipping rows (a fresh
+        # subscriber with startingVersion=0 on a vacuumed table would
+        # otherwise stream a hole and never know)
+        have = set(versions)
+        gone = [v for v in range(lo + 1, hi + 1) if v not in have]
+        if gone:
+            raise ValueError(
+                f"versions {gone[0]}..{gone[-1]} were vacuumed: restart "
+                f"the stream with startingVersion >= {min(have)} after "
+                "re-seeding downstream from a full snapshot"
+            )
         parts: list[InputPartition] = []
-        for v in _versions(self._path):
+        for v in versions:
             if not (lo < v <= hi):
                 continue
             m = _load_raw(self._path, v)

@@ -315,3 +315,39 @@ def test_medallion_pipeline_table_to_table(spark, tmp_path):
         r.k: r.total for r in read_version(spark, silver).collect()
     }
     assert got == {1: 17, 2: 6, 3: 10, 4: 2}
+
+
+def test_stream_refuses_vacuumed_history(spark, tmp_path):
+    """r13 retention guard: a fresh subscriber on a vacuumed table
+    fails loudly instead of silently streaming a hole; startingVersion
+    at the retention floor works."""
+    from etl_dag_spark.sources.versions import vacuum
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    for k in (2, 3, 4, 5):
+        write_version(
+            spark.createDataFrame([(k, f"v{k}")], "k int, v string"),
+            path,
+            op="append",
+        )
+    vacuum(path, keep_last=2, min_age_seconds=0)
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("vt_vac")
+        .start()
+    )
+    with pytest.raises(Exception, match="vacuumed"):
+        q.processAllAvailable()
+    q.stop()
+    # the documented recovery: re-seed from the floor, stream after it
+    q = _drain(
+        spark,
+        read_table_stream(spark, path, startingVersion=4),
+        "vt_vac_ok",
+    )
+    try:
+        assert _rows(spark.table("vt_vac_ok")) == [(5, "v5")]
+    finally:
+        q.stop()

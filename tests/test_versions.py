@@ -1926,3 +1926,26 @@ def test_true_concurrent_append_writers_all_land(spark, tmp_path):
         spark.createDataFrame([(1, "dup")], "k int, v string"),
         path, op="append", txn_id="b2", writer_id="w3",
     ) == tip
+
+
+def test_version_delta_refuses_vacuumed_range(spark, tmp_path):
+    """r13 retention guard: a delta read spanning vacuumed versions
+    must FAIL, not silently hand back a hole (9 of 11 appends used to
+    vanish from the 'delta' without a whisper)."""
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    for k in range(2, 13):
+        write_version(
+            spark.createDataFrame([(k, f"v{k}")], "k int, v string"),
+            path,
+            op="append",
+        )
+    vacuum(path, keep_last=2, min_age_seconds=0)
+    from etl_dag_spark.sources.versions import read_version_delta
+
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_version_delta(spark, path, 1, 12)
+    # inside the retained window the delta still reads fine
+    assert _rows(read_version_delta(spark, path, 11, 12)) == [(12, "v12")]
+    # and a snapshot read at the retention floor is the re-seed path
+    assert len(_rows(read_version(spark, path, 11))) == 11
