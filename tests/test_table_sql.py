@@ -178,3 +178,43 @@ def test_optimize_and_vacuum_statements(spark, tmp_path):
     assert _rows(read_version(spark, path)) == [
         (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")
     ]
+
+
+def test_merge_on_clause_parser_fuzz():
+    """Property: any equi-key conjunction over identifiers parses to
+    the key list regardless of side order, case, or whitespace; any
+    asymmetric or non-equi clause raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_dag_spark.sources.table_sql import _merge_keys
+
+    ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(ident, min_size=1, max_size=4, unique_by=str.lower),
+        flips=st.lists(st.booleans(), min_size=4, max_size=4),
+        spaces=st.sampled_from([" ", "  ", " \n "]),
+    )
+    def check(keys, flips, spaces):
+        clauses = []
+        for k, flip in zip(keys, flips):
+            clauses.append(
+                f"s.{k}{spaces}={spaces}t.{k}" if flip else f"t.{k} = s.{k}"
+            )
+        on = " AND ".join(clauses)
+        assert _merge_keys(on, "t", "s") == list(keys)
+
+    check()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _merge_keys("t.a = s.b", "t", "s")  # asymmetric names
+    with _pytest.raises(ValueError):
+        _merge_keys("t.a > s.a", "t", "s")  # non-equi
+    with _pytest.raises(ValueError):
+        _merge_keys("t.a = s.a OR t.b = s.b", "t", "s")  # disjunction
+    with _pytest.raises(ValueError):
+        _merge_keys("x.a = s.a", "t", "s")  # unknown alias
