@@ -66,6 +66,16 @@ def test_stream_over_commits_equals_batch_delta_union(spark, tmp_path):
         )
         q.processAllAvailable()
         assert _rows(spark.table("vt_eq")) == _rows(read_version(spark, path))
+        # an OPTIMIZE landing MID-stream is skipped (dataChange=false)
+        # and appends after it keep flowing
+        compact_version(spark, path)
+        write_version(
+            spark.createDataFrame([(6, "f")], "k int, v string"),
+            path,
+            op="append",
+        )
+        q.processAllAvailable()
+        assert _rows(spark.table("vt_eq")) == _rows(read_version(spark, path))
     finally:
         q.stop()
 
