@@ -13365,56 +13365,54 @@ def etl_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window goes first, maximizing cumulative cross-round hash evidence.
 # Re-keying here preserves source order without moving 2000 lines.
 _ROTATE_TO_FRONT = [
-    # ---- round-13 window (positions 1-50) ----
-    # (a) the 17 oracles still carrying r8 driver evidence — 5 rounds
-    # stale, keyed first exactly as VERDICT r12 #1 mandated
+    # ---- round-14 window (positions 1-50) ----
+    # (a) the 11 oracles still carrying r9 driver evidence — 5 rounds
+    # stale, keyed first exactly as VERDICT r13 #1 mandated
     # (oldest-registered first):
-    "text_intradoc_dedup", "olap_large_orders",
-    "etl_proportional_sample", "pipeline_decontaminate",
-    "etl_embedding_confusion", "olap_longest_streak",
-    "etl_snapshot_diff", "olap_daily_correlation",
-    "olap_cooccurring_parts", "olap_sliding_distinct",
-    "dedup_source_overlap", "text_remove_dup_spans",
-    "olap_kmv_set_overlap", "olap_join_size_estimate",
-    "olap_bloom_pruned_join", "etl_temperature_sample",
-    "olap_trade_reach",
-    # (b) first driver-HASH rows for the r12 oracle upgrade
-    # (nd_exact rows-only→value-exact) + the 4 new r12 oracled
-    # registrations (VERDICT r12 #1):
-    "dedup_embedding_cosine_nd_exact", "dedup_weighted_jaccard",
-    "etl_quantile_normalize", "olap_event_diversity", "etl_rank_fusion",
-    # (c) the 28 oldest-registered of the 39 oracles still carrying r9
-    # evidence — fills the window to exactly 50; the remaining 11 are
-    # position 51+ and head the r14 queue:
-    "dedup_edit_verified", "etl_filter_agreement", "text_url_normalize",
-    "etl_l_diversity", "olap_event_transitions", "etl_drift_chisq",
-    "etl_token_budget_select", "etl_curriculum_shards",
-    "text_html_extract", "olap_supplier_hhi", "olap_trade_triangles",
-    "etl_data_card", "etl_rank_agreement", "etl_score_calibration",
-    "text_trigram_backoff", "etl_winsorize", "olap_mad_outliers",
-    "etl_universe_sample", "etl_hard_negatives",
-    "olap_time_weighted_avg", "olap_ohlc_bars", "olap_gap_fill_locf",
-    "etl_fuzzy_name_pairs", "olap_median_bisect",
-    "olap_weighted_median_bisect", "olap_basket_affinity",
-    "text_langid_confusion", "etl_cdc_rows",
-    # ---- position 51+: the r14 front-of-queue ----
-    # the 11 r9-evidence oracles that did not fit this round
-    # (oldest-registered first — they MUST lead the r14 rotation):
     "etl_version_delta", "text_suffix_dup_spans",
     "etl_training_export", "text_vocab_coverage", "etl_benford_audit",
     "olap_nearest_event_join", "olap_spend_gini",
     "olap_seasonal_decompose", "olap_churn_hazard", "etl_impute_mode",
     "olap_quantile_sketch_merge",
+    # (b) first driver-HASH rows for the 5 r13 oracled registrations
+    # (driver-sim green live at judging, never yet in a window):
+    "sql_merge_versioned", "sql_delete_versioned", "olap_window_funnel",
+    "stream_lateness_profile", "etl_pruned_read",
+    # (c) the 34 oldest-registered of the 49 oracles still carrying r10
+    # evidence — fills the window to exactly 50; the remaining 15 are
+    # position 51+ and head the r15 queue:
+    "etl_country_iso3", "etl_star_fact", "etl_dates_dim",
+    "bi_revenue_by_category", "bi_monthly_trend", "bi_hierarchy_levels",
+    "bi_ancestor_chain", "bi_customers_no_purchase",
+    "olap_pricing_summary", "olap_shipping_priority",
+    "olap_rollup_sales", "olap_running_totals", "olap_sessionize",
+    "stream_windowed_counts", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_topk_bruteforce",
+    "text_fingerprint", "olap_cube_sales", "olap_topk_per_group",
+    "text_bpe_tokens", "olap_set_ops", "sql_monthly_trend",
+    "sql_hierarchy_levels", "sql_ancestor_chain",
+    "sql_customers_no_purchase", "etl_dq_referential",
+    "etl_profile_orders", "olap_ntile_quartiles", "etl_value_histogram",
+    "olap_above_customer_avg", "olap_order_id_list",
+    # ---- position 51+: the r15 front-of-queue ----
+    # the 15 r10-evidence oracles that did not fit this round
+    # (oldest-registered first — they MUST lead the r15 rotation):
+    "olap_pareto_revenue", "olap_ship_latency", "text_code_detect",
+    "dedup_source_divergence", "olap_growth_accounting",
+    "etl_t_closeness", "olap_seasonal_naive_backtest",
+    "bi_customer_ltv", "pipeline_quality_ensemble",
+    "olap_peak_concurrency", "text_readability", "etl_feature_hash",
+    "etl_target_encode", "dedup_minhash_estimate", "olap_max_drawdown",
 ]
-# r14 WINDOW MATH (re-key _ROTATE_TO_FRONT for r14 before anything
-# else lands): the 11 names from "position 51+" above are mandatory
-# leads (r9 evidence — 5 rounds stale by r14), then the 5 oracles
-# whose FIRST driver hash is pending from r13 registrations
-# (`sql_merge_versioned`, `sql_delete_versioned`, `olap_window_funnel`,
-# `stream_lateness_profile`, `etl_pruned_read`), then fill the
-# remaining ~34 slots with the oldest r10-evidence oracles (49 carry
-# r10 as of r13 — oldest-registered first) to keep the ≤4-round
-# refresh cycle alive.
+# r15 WINDOW MATH (re-key _ROTATE_TO_FRONT for r15 before anything
+# else lands): the 15 names from "position 51+" above are mandatory
+# leads (r10 evidence — 5 rounds stale by r15), then any oracle whose
+# FIRST driver hash is pending from r14 registrations (new this round:
+# `sql_update_versioned` and any other r14-oracled entries — check
+# which of them already landed in CORRECTNESS_r14), then fill the
+# remaining slots with the oldest r11-evidence oracles (50 carry r11
+# as of r14 — oldest-registered first) to keep the ≤4-round refresh
+# cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},

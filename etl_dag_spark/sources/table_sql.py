@@ -29,7 +29,10 @@ Python-API-only through r12:
   :func:`vacuum` / :func:`vacuum_report` (DRY RUN reports what would
   drop without touching anything; both use age 0 — the operator
   asserts no writer in flight, matching Delta's RETAIN 0 HOURS
-  confirmation semantics).
+  confirmation semantics). Without a RETAIN clause the router keeps
+  the last 2 versions (``keep_last=2`` — the tip plus one rollback
+  step, the Python API's default); state it with RETAIN when a longer
+  time-travel horizon must survive.
 - ``DESCRIBE HISTORY '<path>'`` → the commit log as a DataFrame.
 
 Table paths are quoted string literals (the Delta ``delta.`/path```
