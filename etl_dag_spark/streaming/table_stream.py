@@ -39,8 +39,13 @@ Semantics (mirroring ``read_version_delta``):
   catch-up and an OOM;
 - added-column schema evolution is reconciled by NAME against the
   stream's pinned schema (missing → typed NULLs, extra → dropped);
-  RENAMED columns change meaning and fail the stream (Delta also
-  requires a restart on schema change).
+  a commit that RENAMES columns changes meaning mid-stream and fails
+  the stream (Delta also requires a restart on schema change) — but
+  only the commit WHERE the rename occurs: manifests carry the
+  cumulative legacy→current map forward on every append, so a table
+  with a rename in its HISTORY streams cleanly from any
+  startingVersion past the rename (r14; the restart-heals contract —
+  previously any carried map bricked the table's stream forever).
 
 Scale posture: latestOffset is an O(1) manifest-dir listing;
 partitions() resolves O(delta) raw manifests driver-side (file LISTS,
@@ -174,10 +179,32 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     "rewritten files (rows may re-emit, Delta's "
                     "ignoreChanges contract)"
                 )
-            if m.get("rename"):
+            # manifests carry the CUMULATIVE legacy→current rename map
+            # forward on every append/merge, so a non-empty map does
+            # NOT mean this commit renamed anything — it usually means
+            # an ancestor did, possibly before this stream even
+            # started, and this commit's added files are written under
+            # the current (pinned) names. Fail ONLY when a rename
+            # OCCURS at v — its map differs from the map its parent
+            # carried (r14, the restart-heals contract: a fresh
+            # subscriber past the rename version streams cleanly; the
+            # old any-non-empty-map check bricked every rename-history
+            # table forever). A vacuumed parent means the rename, if
+            # any, happened at or before the retention boundary the
+            # subscriber already started past — its map is the
+            # baseline, not a change.
+            cur_map = dict(m.get("rename") or {})
+            parent_v = m.get("parent", 0)
+            if parent_v in have:
+                pm_raw = _load_raw(self._path, parent_v)
+                parent_map = dict(pm_raw.get("rename") or {})
+            else:
+                parent_map = cur_map
+            if cur_map != parent_map:
                 raise ValueError(
                     f"version {v} renames columns; a renamed column "
                     "changes meaning mid-stream — restart the stream "
+                    f"with a fresh checkpoint and startingVersion >= {v} "
                     "(its new pinned schema will be the tip's)"
                 )
             if "add" in m:

@@ -327,6 +327,86 @@ def test_medallion_pipeline_table_to_table(spark, tmp_path):
     assert got == {1: 17, 2: 6, 3: 10, 4: 2}
 
 
+def test_rename_fails_only_at_the_renaming_commit(spark, tmp_path):
+    """r14 ADVICE fix: manifests carry the CUMULATIVE rename map
+    forward on every append, so a rename anywhere in history used to
+    fail every later append forever (and the advised restart could
+    not heal). The stream must fail exactly AT the commit where a
+    rename occurs, and a fresh subscriber past it streams cleanly."""
+    from etl_dag_spark.sources.versions import vacuum
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )  # v1
+    write_version(
+        spark.createDataFrame([(2, "b")], "k int, label string"),
+        path,
+        op="append",
+        rename={"v": "label"},
+    )  # v2: the rename
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, label string"),
+        path,
+        op="append",
+    )  # v3: carries the cumulative map but renames NOTHING
+    # streaming THROUGH the rename fails at v2, with restart advice
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("vt_ren_fail")
+        .start()
+    )
+    with pytest.raises(Exception, match="renames columns"):
+        q.processAllAvailable()
+    q.stop()
+    # the advised restart heals: a fresh subscriber past the rename
+    # version streams v3 (whose manifest still carries the map)
+    q = _drain(
+        spark,
+        read_table_stream(spark, path, startingVersion=2),
+        "vt_ren_ok",
+    )
+    try:
+        got = sorted((r.k, r.label) for r in spark.table("vt_ren_ok").collect())
+        assert got == [(3, "c")]
+    finally:
+        q.stop()
+    # appends keep flowing AFTER the rename version too
+    write_version(
+        spark.createDataFrame([(4, "d")], "k int, label string"),
+        path,
+        op="append",
+    )  # v4
+    q = _drain(
+        spark,
+        read_table_stream(spark, path, startingVersion=2),
+        "vt_ren_more",
+    )
+    try:
+        got = sorted(
+            (r.k, r.label) for r in spark.table("vt_ren_more").collect()
+        )
+        assert got == [(3, "c"), (4, "d")]
+    finally:
+        q.stop()
+    # a vacuumed parent at the retention boundary is the subscriber's
+    # baseline, never a mid-stream change
+    vacuum(path, keep_last=1, min_age_seconds=0)
+    q = _drain(
+        spark,
+        read_table_stream(spark, path, startingVersion=3),
+        "vt_ren_vac",
+    )
+    try:
+        got = sorted(
+            (r.k, r.label) for r in spark.table("vt_ren_vac").collect()
+        )
+        assert got == [(4, "d")]
+    finally:
+        q.stop()
+
+
 def test_stream_refuses_vacuumed_history(spark, tmp_path):
     """r13 retention guard: a fresh subscriber on a vacuumed table
     fails loudly instead of silently streaming a hole; startingVersion
