@@ -13352,6 +13352,86 @@ def etl_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_update_versioned",
+    oracle="""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS c,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+),
+upd AS (
+  SELECT k, c,
+         CASE WHEN k % 7 = 0 THEN p + 250 ELSE p END AS p
+  FROM src
+)
+SELECT k AS o_orderkey, c AS o_custkey, p AS price_cents,
+       CAST(2 AS INT) AS snapshot
+FROM upd
+UNION ALL
+SELECT k, c, p, CAST(3 AS INT)
+FROM upd WHERE NOT (k % 11 = 0 AND p < 15000000)
+""",
+)
+def sql_update_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE + MERGE-DELETE through the lakehouse SQL surface
+    (VERDICT r13 #2 — the two Delta DML statements the r13 grammar
+    lacked, sources/table_sql.py): commit orders as v1, ``UPDATE ...
+    SET price_cents = price_cents + 250 WHERE o_orderkey % 7 = 0``
+    (v2 — touched-file partial rewrite through
+    versions.py::update_version), then ``MERGE INTO ... WHEN MATCHED
+    AND t.price_cents < s.cap THEN DELETE`` against a key%11 source
+    view (v3 — the delete branch of Delta's MERGE,
+    versions.py::merge_delete_version). The answer unions the v2
+    TABLE_AT read with the tip, so ONE driver hash certifies the
+    UPDATE grammar → assignment-cast rewrite, the WHEN-MATCHED-AND
+    key+condition matching, both partial rewrites' untouched-file
+    sharing, and time travel across all three snapshots. The oracle
+    states both mutations closed-form over the source rows.
+
+    Scale shape: both verbs rewrite O(touched files) discovered by one
+    predicate-pushed scan; untouched files are manifest-shared
+    (pinned in tests/test_versions.py; NULL-predicate and NULL-cond
+    survival pinned in tests/test_table_sql.py)."""
+    from etl_dag_spark.sources import versions as ver
+    from etl_dag_spark.sources.table_sql import run_table_sql
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+    )
+
+    def build(path: str) -> None:
+        ver.write_version(o.repartition(8, "o_orderkey"), path)
+        run_table_sql(
+            spark,
+            f"UPDATE '{path}' SET price_cents = price_cents + 250 "
+            "WHERE o_orderkey % 7 = 0",
+        )
+        o.where(F.col("o_orderkey") % 11 == 0).select(
+            "o_orderkey",
+            F.lit(15000000).cast("long").alias("cap"),
+        ).createOrReplaceTempView("__sql_update_del_src")
+        run_table_sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING __sql_update_del_src AS s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED AND t.price_cents < s.cap THEN DELETE""",
+        )
+
+    path = _cached_version_table("sql_update_versioned", sf_dir, build)
+    return run_table_sql(
+        spark,
+        f"""SELECT o_orderkey, o_custkey, price_cents,
+                   CAST(2 AS INT) AS snapshot
+            FROM TABLE_AT('{path}', 2)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, price_cents, CAST(3 AS INT)
+            FROM TABLE_AT('{path}', 3)""",
+    )
+
+
 # =====================================================================
 # Registration-order contract
 # =====================================================================

@@ -17,6 +17,16 @@ Python-API-only through r12:
   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
   — the Delta upsert-by-key MERGE subset → :func:`merge_version`
   (SQL MERGE semantics: the update row replaces the target row).
+- ``MERGE INTO '<path>' [AS] t USING <view|(subquery)> [AS] s
+  ON t.k = s.k [...] WHEN MATCHED [AND <cond>] THEN DELETE`` — the
+  delete branch of Delta's MERGE (r14) → :func:`merge_delete_version`
+  (``cond`` may reference both aliases; NULL-cond rows survive).
+- ``UPDATE '<path>' SET c = expr [, ...] [WHERE <predicate>]`` →
+  :func:`update_version` (r14; SQL UPDATE semantics: TRUE rows get
+  the assignments — all reading the PRE-update row, so ``SET a = b,
+  b = a`` swaps — FALSE and NULL rows survive unchanged; every
+  assignment casts to the column's existing type, so UPDATE can never
+  drift the table schema).
 - ``DELETE FROM '<path>' WHERE <predicate>`` → :func:`delete_version`
   (SQL DELETE semantics: TRUE rows removed, FALSE and NULL survive).
 - ``RESTORE TABLE '<path>' TO VERSION AS OF <n>`` →
@@ -75,8 +85,22 @@ _MERGE = re.compile(
     re.IGNORECASE | re.DOTALL | re.VERBOSE,
 )
 
+_MERGE_DELETE = re.compile(
+    r"""^\s*MERGE\s+INTO\s+'(?P<path>[^']+)'\s*(?:AS\s+)?(?P<t>\w+)\s+
+        USING\s+(?P<src>\(.*\)|\w+)\s*(?:AS\s+)?(?P<s>\w+)\s+
+        ON\s+(?P<on>.+?)\s+
+        WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+DELETE\s*;?\s*$""",
+    re.IGNORECASE | re.DOTALL | re.VERBOSE,
+)
+
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+'(?P<path>[^']+)'\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+'(?P<path>[^']+)'\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -107,12 +131,53 @@ _GRAMMAR = (
     "supported statements: SELECT ... FROM TABLE_AT('<path>'[, <version>]);"
     " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
     " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;"
+    " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
+    " WHEN MATCHED [AND <cond>] THEN DELETE;"
+    " UPDATE '<path>' SET c = expr [, ...] [WHERE <predicate>];"
     " DELETE FROM '<path>' WHERE <predicate>;"
     " RESTORE TABLE '<path>' TO VERSION AS OF <n>;"
     " OPTIMIZE '<path>' [ZORDER BY (c1, ...)];"
     " VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN];"
     " DESCRIBE HISTORY '<path>'"
 )
+
+
+def _split_assignments(sets: str) -> dict[str, str]:
+    """Parse ``c1 = expr1, c2 = expr2, ...`` splitting on commas at
+    paren/quote depth 0 only (an expr may contain ``coalesce(a, b)``
+    or a quoted literal with a comma)."""
+    parts: list[str] = []
+    depth, buf, in_str = 0, [], False
+    for ch in sets:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for part in parts:
+        m = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+        if not m:
+            raise ValueError(
+                f"UPDATE SET assignments must be 'col = expr', got: {part!r}"
+            )
+        col = m.group(1)
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice in one UPDATE")
+        out[col] = m.group(2)
+    return out
 
 
 def _merge_keys(on: str, t: str, s: str) -> list[str]:
@@ -155,12 +220,65 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
             spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
         )
         keys = _merge_keys(m.group("on"), m.group("t"), m.group("s"))
+        # SQL MERGE forbids multiple source rows matching one target
+        # row (Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING...);
+        # with duplicate source keys the tie-break below is arbitrary,
+        # so the committed state would be nondeterministic — refuse
+        # with one count-distinct aggregate BEFORE touching the table
+        # (r14 ADVICE fix). groupBy treats NULL keys as equal, which
+        # matches the underlying _latest_per_key collapse behavior.
+        from pyspark.sql import functions as F
+
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            dup_key = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                "MERGE source has duplicate rows for key "
+                f"{dup_key}: SQL MERGE forbids multiple source rows "
+                "matching one target row — deduplicate the source "
+                "first (or use merge_version(latest_wins=True) with a "
+                "real ordering column for event-time CDC)"
+            )
         # SQL MERGE semantics (latest_wins=False): the update row
         # replaces the target; order_col only tie-breaks duplicate
-        # keys WITHIN the batch, which SQL MERGE forbids anyway — any
+        # keys WITHIN the batch, which the check above rules out — any
         # deterministic column serves, so the first key does
         return merge_version(
             spark, m.group("path"), source, keys, keys[0], latest_wins=False
+        )
+    m = _MERGE_DELETE.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import merge_delete_version
+
+        src = m.group("src")
+        source = (
+            spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
+        )
+        keys = _merge_keys(m.group("on"), m.group("t"), m.group("s"))
+        return merge_delete_version(
+            spark,
+            m.group("path"),
+            source,
+            keys,
+            cond=m.group("cond"),
+            target_alias=m.group("t"),
+            source_alias=m.group("s"),
+        )
+    m = _UPDATE.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import update_version
+
+        return update_version(
+            spark,
+            m.group("path"),
+            _split_assignments(m.group("sets")),
+            m.group("pred"),
         )
     m = _DELETE.match(sql)
     if m:

@@ -378,6 +378,8 @@ def write_version(
     frame replaces ``replace_files``), recorded under its own verb so
     ``history()`` reads honestly; :func:`delete_version` is the
     in-repo writer.
+    ``op="update"`` — same partial-rewrite mechanics, recorded under
+    its own verb (r14); :func:`update_version` is the in-repo writer.
     ``rename`` — SCHEMA EVOLUTION (r11): declare that this commit
     renames existing columns (``{old_name: new_name}``). ``df`` must
     already carry the new names; history is NOT rewritten — at 100 TB
@@ -447,11 +449,13 @@ def write_version(
     ``_CHECKPOINT_EVERY`` versions so readers fold a bounded number of
     deltas.
     """
-    if op not in ("overwrite", "append", "optimize", "merge", "delete"):
+    if op not in ("overwrite", "append", "optimize", "merge", "delete",
+                  "update"):
         raise ValueError(
-            f"op must be overwrite|append|optimize|merge|delete, got {op!r}"
+            "op must be overwrite|append|optimize|merge|delete|update, "
+            f"got {op!r}"
         )
-    if op in ("merge", "delete") and replace_files is None:
+    if op in ("merge", "delete", "update") and replace_files is None:
         raise ValueError(f"op={op!r} requires replace_files (may be empty)")
     # a replayed tokenized commit is a no-op BEFORE anything else runs:
     # its data already landed, so neither the data write nor constraint
@@ -581,7 +585,7 @@ def write_version(
                 txns = {"_default": pm["txn_id"]}
             if txn_id is not None and txns.get(writer_key) == txn_id:
                 return parent  # replayed commit: already applied
-            if op in ("append", "merge", "delete"):
+            if op in ("append", "merge", "delete", "update"):
                 # compose the cumulative legacy→current map: an ancient
                 # name that mapped to a parent-current name now renamed
                 # follows the new rename to ITS current name
@@ -614,7 +618,7 @@ def write_version(
             manifest["n_files"] = len(new_files)
         elif op == "append":
             manifest["n_files"] = parent_n + len(new_files)
-        else:  # merge / delete: partial rewrite
+        else:  # merge / delete / update: partial rewrite
             replaced = sorted(replace_files or [])
             manifest["replaced"] = replaced
             manifest["n_files"] = parent_n - len(replaced) + len(new_files)
@@ -1335,6 +1339,233 @@ def delete_version(
     )
     # survivors keep manifest-stat pruning for the same columns the
     # parent tracked (plus any newly requested)
+    stats = _inherited_stat_cols(pm, stats_cols)
+    return write_version(
+        remaining,
+        path,
+        op="delete",
+        stats_cols=stats,
+        txn_id=txn_id,
+        writer_id=writer_id,
+        replace_files=touched,
+        expected_parent=versions[-1],
+    )
+
+
+def update_version(
+    spark: SparkSession,
+    path: str,
+    assignments: dict,
+    predicate=None,
+    stats_cols: list[str] | None = None,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+    prune_between: tuple[str, object, object] | None = None,
+) -> int:
+    """UPDATE ... SET ... WHERE as a SNAPSHOT COMMIT — the remaining
+    DML verb of the Delta surface next to :func:`merge_version` /
+    :func:`delete_version` (VERDICT r13 #2). SQL UPDATE semantics:
+    rows where ``predicate`` is TRUE get ``assignments`` applied; rows
+    where it is FALSE **and NULL** survive UNCHANGED (the same NULL
+    trap :func:`delete_version` documents — a NULL-predicate row is
+    not updated). ``predicate=None`` updates every row (SQL UPDATE
+    without WHERE — a full-table touched set).
+
+    ``assignments`` maps column name → Column or SQL-string expression
+    over the table's current (post-rename) schema; each value is CAST
+    to the column's existing type so an UPDATE can never drift the
+    table schema (Delta's assignability rule). Expressions may
+    reference other columns — they all read the PRE-update row, SQL
+    assignment semantics (``SET a = b, b = a`` swaps).
+
+    Mechanics mirror :func:`delete_version`: ONE predicate-pushed
+    discovery scan finds the touched files (``prune_between`` bounds
+    it at the MANIFEST level when the caller can), only those files
+    are rewritten (updated rows transformed, other rows byte-carried),
+    the commit is ``op="update"`` sharing every untouched file with
+    the parent, guarded by ``expected_parent`` optimistic concurrency.
+    Persisted table CHECK/NOT NULL constraints are enforced over the
+    POST-image of the updated rows only (legacy untouched rows are
+    never retroactively refused — same rule as merge). ``txn_id``/
+    ``writer_id`` make replays a manifest no-op. Returns the committed
+    version (the tip if nothing matched — the txn token still lands).
+    """
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    if not assignments:
+        raise ValueError("UPDATE requires at least one SET assignment")
+    if predicate is None:
+        predicate = F.lit(True)
+    elif isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
+    versions = _versions(path)
+    if not versions:
+        raise ValueError(f"no committed version to update at {path}")
+    pm = _load_manifest(path, versions[-1])
+    schema = StructType.fromJson(json.loads(pm["schema"]))
+    bad = [c for c in assignments if c not in schema.names]
+    if bad:
+        raise ValueError(
+            f"SET targets not in table schema: {sorted(bad)} "
+            f"(have {schema.names})"
+        )
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e).cast(schema[c].dataType)
+        for c, e in assignments.items()
+    }
+    candidates = pm["files"]
+    if prune_between is not None and candidates:
+        col, lo, hi = prune_between
+        stats_map = pm.get("stats", {})
+        aliases = [col] + [
+            legacy
+            for legacy, cur in (pm.get("rename") or {}).items()
+            if cur == col
+        ]
+
+        def _may_hold(f: str) -> bool:
+            per = stats_map.get(f, {})
+            rng = next((per[a] for a in aliases if a in per), None)
+            return rng is None or not (rng[1] < lo or rng[0] > hi)
+
+        candidates = [f for f in candidates if _may_hold(f)]
+    if not candidates:
+        touched_rows = []
+    else:
+        touched_rows = (
+            _read_snapshot_subset(spark, pm, candidates)
+            .where(predicate)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+    touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
+    by_path = set(pm["files"])
+    missing = [f for f in touched if f not in by_path]
+    if missing:
+        raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
+    if touched:
+        frame = _read_snapshot_subset(spark, pm, touched).drop("__file")
+        # every assignment reads the PRE-update row: one select with
+        # per-column when(pred, new).otherwise(old) — never chained
+        # withColumn (SET a = b, b = a must swap, not cascade)
+        rewritten = frame.select(
+            *[
+                F.when(predicate, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in frame.columns
+            ]
+        )
+        inh = _table_constraints(path)
+        if inh:
+            _enforce_constraints(
+                frame.where(predicate).select(
+                    *[
+                        exprs[c].alias(c) if c in exprs else F.col(c)
+                        for c in frame.columns
+                    ]
+                ),
+                list(inh.get("check") or []),
+                list(inh.get("not_null") or []),
+            )
+    else:
+        rewritten = spark.createDataFrame([], schema)
+    stats = _inherited_stat_cols(pm, stats_cols)
+    return write_version(
+        rewritten,
+        path,
+        op="update",
+        stats_cols=stats,
+        txn_id=txn_id,
+        writer_id=writer_id,
+        replace_files=touched,
+        expected_parent=versions[-1],
+        _pre_enforced=True,
+    )
+
+
+def merge_delete_version(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    cond=None,
+    target_alias: str = "t",
+    source_alias: str = "s",
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """``MERGE INTO ... WHEN MATCHED [AND cond] THEN DELETE`` as a
+    SNAPSHOT COMMIT (VERDICT r13 #2 — the delete branch of Delta's
+    MERGE next to :func:`merge_version`'s upsert branch): target rows
+    whose key appears in ``source`` — and, when ``cond`` is given,
+    satisfy it — are removed; every other row survives, including
+    NULL-key rows (SQL ``ON t.k = s.k`` never matches NULL) and rows
+    whose ``cond`` evaluates NULL.
+
+    ``cond`` is a Column or SQL string that may reference BOTH sides
+    through ``target_alias``/``source_alias`` qualified names
+    (``"t.price_cents < s.floor_cents"``) — the full Delta
+    WHEN-MATCHED-AND shape. Mechanics are :func:`delete_version`'s:
+    one key⋈file discovery scan finds the touched files, only they are
+    rewritten (an anti-join on the matched keys), untouched files are
+    manifest-shared, the commit is ``op="delete"`` guarded by
+    ``expected_parent``. Duplicate source keys are harmless here —
+    matching is by distinct key — unlike the upsert branch, where the
+    SQL router refuses them. Returns the committed version."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    if isinstance(cond, str):
+        cond = F.expr(cond)
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
+    versions = _versions(path)
+    if not versions:
+        raise ValueError(f"no committed version to merge-delete at {path}")
+    pm = _load_manifest(path, versions[-1])
+    schema = StructType.fromJson(json.loads(pm["schema"]))
+
+    def _matched_keys(target: DataFrame) -> DataFrame:
+        j = target.alias(target_alias).join(
+            source.alias(source_alias), key_cols, "inner"
+        )
+        if cond is not None:
+            j = j.where(cond)
+        return j.select(
+            *[F.col(f"{target_alias}.{k}").alias(k) for k in key_cols]
+        ).distinct()
+
+    # discovery: files holding at least one matched key (cond narrows
+    # the touched set when it can; Catalyst prunes the scan to the
+    # key/cond columns plus _metadata)
+    snapshot = _read_snapshot_subset(spark, pm, pm["files"])
+    j = snapshot.alias(target_alias).join(
+        source.alias(source_alias), key_cols, "inner"
+    )
+    if cond is not None:
+        j = j.where(cond)
+    touched_rows = (
+        j.select(f"{target_alias}.__file").distinct().collect()
+    )
+    touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
+    missing = [f for f in touched if f not in set(pm["files"])]
+    if missing:
+        raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
+    if touched:
+        frame = _read_snapshot_subset(spark, pm, touched).drop("__file")
+        remaining = frame.join(_matched_keys(frame), key_cols, "left_anti")
+    else:
+        remaining = spark.createDataFrame([], schema)
     stats = _inherited_stat_cols(pm, stats_cols)
     return write_version(
         remaining,

