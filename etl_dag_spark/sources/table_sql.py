@@ -6,9 +6,12 @@ BI_Questions.sql → etl_dag_spark/sql.py); this module covers the table
 MUTATION and TIME TRAVEL statements Delta exposes in SQL that were
 Python-API-only through r12:
 
-- ``SELECT ... FROM TABLE_AT('<path>'[, <version>]) ...`` — time
-  travel as a table function (Delta's ``VERSION AS OF``). Every
-  ``TABLE_AT`` occurrence is resolved to a snapshot read
+- ``SELECT ... FROM TABLE_AT('<path>'[, <version> |
+  TIMESTAMP '<iso>']) ...`` — time travel as a table function
+  (Delta's ``VERSION AS OF`` / ``TIMESTAMP AS OF``; the timestamp
+  literal is ISO-8601 read as UTC, resolved to the last version
+  committed at or before it, failing fast past the vacuum horizon).
+  Every ``TABLE_AT`` occurrence is resolved to a snapshot read
   (:func:`read_version`) registered as a temp view, then the rewritten
   statement runs through plain ``spark.sql`` — so pushdown/pruning
   apply to the snapshot scan exactly as to any other view.
@@ -29,8 +32,9 @@ Python-API-only through r12:
   drift the table schema).
 - ``DELETE FROM '<path>' WHERE <predicate>`` → :func:`delete_version`
   (SQL DELETE semantics: TRUE rows removed, FALSE and NULL survive).
-- ``RESTORE TABLE '<path>' TO VERSION AS OF <n>`` →
-  :func:`restore_version` (manifest-only, zero data copied).
+- ``RESTORE TABLE '<path>' TO VERSION AS OF <n>`` (or ``TO TIMESTAMP
+  AS OF '<iso>'``, r14) → :func:`restore_version` (manifest-only,
+  zero data copied).
 - ``OPTIMIZE '<path>' [ZORDER BY (c1[, c2 ...])]`` →
   :func:`compact_version` (row-preserving ``op="optimize"`` commit;
   with ZORDER the rewrite is Z-clustered and the clustered columns'
@@ -73,7 +77,9 @@ from etl_dag_spark.sources.versions import (
 )
 
 _TABLE_AT = re.compile(
-    r"TABLE_AT\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+    r"TABLE_AT\(\s*'([^']+)'\s*"
+    r"(?:,\s*(?:(\d+)|TIMESTAMP\s+'([^']+)')\s*)?\)",
+    re.IGNORECASE,
 )
 
 _MERGE = re.compile(
@@ -105,8 +111,9 @@ _UPDATE = re.compile(
 )
 
 _RESTORE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+'(?P<path>[^']+)'\s+TO\s+VERSION\s+AS\s+OF"
-    r"\s+(?P<v>\d+)\s*;?\s*$",
+    r"^\s*RESTORE\s+TABLE\s+'(?P<path>[^']+)'\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -128,14 +135,16 @@ _HISTORY = re.compile(
 )
 
 _GRAMMAR = (
-    "supported statements: SELECT ... FROM TABLE_AT('<path>'[, <version>]);"
+    "supported statements: SELECT ... FROM TABLE_AT('<path>'"
+    "[, <version> | TIMESTAMP '<iso-utc>']);"
     " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
     " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;"
     " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
     " WHEN MATCHED [AND <cond>] THEN DELETE;"
     " UPDATE '<path>' SET c = expr [, ...] [WHERE <predicate>];"
     " DELETE FROM '<path>' WHERE <predicate>;"
-    " RESTORE TABLE '<path>' TO VERSION AS OF <n>;"
+    " RESTORE TABLE '<path>' TO VERSION AS OF <n>"
+    " | TO TIMESTAMP AS OF '<iso-utc>';"
     " OPTIMIZE '<path>' [ZORDER BY (c1, ...)];"
     " VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN];"
     " DESCRIBE HISTORY '<path>'"
@@ -285,7 +294,9 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
         return delete_version(spark, m.group("path"), m.group("pred"))
     m = _RESTORE.match(sql)
     if m:
-        return restore_version(m.group("path"), int(m.group("v")))
+        if m.group("v") is not None:
+            return restore_version(m.group("path"), int(m.group("v")))
+        return restore_version(m.group("path"), timestamp=m.group("ts"))
     m = _OPTIMIZE.match(sql)
     if m:
         from etl_dag_spark.sources.versions import compact_version
@@ -321,18 +332,27 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
         rows = history(m.group("path"))
         return spark.createDataFrame(
             [
-                (h["version"], h["parent"], h["op"], h["n_files"])
+                (
+                    h["version"],
+                    h["parent"],
+                    h["op"],
+                    h["n_files"],
+                    h.get("ts"),
+                )
                 for h in rows
             ],
-            "version int, parent int, op string, n_files int",
+            "version int, parent int, op string, n_files int, ts double",
         )
     if _TABLE_AT.search(sql):
         rewritten = sql
         for i, tm in enumerate(_TABLE_AT.finditer(sql)):
-            path, ver = tm.group(1), tm.group(2)
+            path, ver, ts = tm.group(1), tm.group(2), tm.group(3)
             view = f"__table_at_{i}"
             read_version(
-                spark, path, int(ver) if ver is not None else None
+                spark,
+                path,
+                int(ver) if ver is not None else None,
+                timestamp=ts,
             ).createOrReplaceTempView(view)
             rewritten = rewritten.replace(tm.group(0), view)
         return spark.sql(rewritten)

@@ -144,6 +144,14 @@ def set_log_store(store: LogStore) -> LogStore:
     return prev
 
 
+def _now() -> float:
+    """Commit wall-time (epoch seconds) — one seam so tests can freeze
+    or order clocks deterministically."""
+    import time
+
+    return time.time()
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, _MANIFESTS)
 
@@ -607,6 +615,12 @@ def write_version(
             "version": version,
             "parent": parent,
             "op": op,
+            # commit wall-time (epoch seconds, UTC) — the TIMESTAMP AS
+            # OF surface (r14). Metadata-only; resolution reads it
+            # through a monotone max-so-far view, so clock skew between
+            # writers can never make time travel non-monotonic (the
+            # Delta timestamp-adjustment rule).
+            "ts": _now(),
             "add": new_files,
             "stats_add": new_stats,
             "txn_id": txn_id,
@@ -638,16 +652,83 @@ def write_version(
     raise RuntimeError(f"could not commit a version after {max_retries} races")
 
 
+def _to_epoch(ts) -> float:
+    """Normalize a timestamp argument to epoch seconds: float/int pass
+    through; datetime and ISO-8601 strings are accepted — NAIVE values
+    are read as UTC (commit times are recorded in UTC epoch seconds;
+    never let the session timezone leak into time travel)."""
+    from datetime import datetime, timezone
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if isinstance(ts, datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"timestamp must be epoch/datetime/ISO string, got {ts!r}")
+
+
+def version_at_timestamp(path: str, ts) -> int:
+    """TIMESTAMP AS OF resolution (r14): the LAST version committed at
+    or before ``ts`` — Delta's timestamp time travel. Commit times are
+    the ``ts`` field every r14+ manifest records (UTC epoch seconds);
+    resolution reads them through a MONOTONE max-so-far view, so clock
+    skew between racing writers can never send an earlier timestamp to
+    a later version (Delta's commit-timestamp adjustment rule).
+
+    Fails fast when ``ts`` predates the oldest RETAINED commit — after
+    a vacuum that boundary is exactly the time-travel horizon (the
+    true owner of an older timestamp was vacuumed; silently answering
+    with the floor version would be a lie). Pre-r14 manifests carry no
+    commit time: versions older than the first timestamped commit are
+    likewise unreachable by timestamp (resolve them by NUMBER), and the
+    error says so."""
+    versions = _versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    want = _to_epoch(ts)
+    best = None
+    running = None  # monotone max-so-far of recorded commit times
+    earliest = None
+    for v in versions:
+        rec = _load_raw(path, v).get("ts")
+        if rec is None:
+            continue
+        running = rec if running is None else max(running, rec)
+        if earliest is None:
+            earliest = running
+        if running <= want:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts!r} predates the oldest retained commit"
+            + (
+                f" (earliest resolvable: epoch {earliest})"
+                if earliest is not None
+                else " (no commit timestamps recorded — pre-r14 history"
+                " resolves by version number only)"
+            )
+            + "; vacuum retention is the timestamp time-travel horizon"
+        )
+    return best
+
+
 def read_version(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     between: tuple[str, object, object] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). Resolves the
     snapshot's exact file list through its manifest — files written by
     later versions, crashed writers, or vacuum-pending snapshots are
-    never visible.
+    never visible. ``timestamp=`` (r14, mutually exclusive with
+    ``version``) resolves Delta's ``TIMESTAMP AS OF``: the last version
+    committed at or before it (:func:`version_at_timestamp` — UTC;
+    fails fast past the vacuum horizon).
 
     ``between=(col, lo, hi)`` — data skipping: drop every file whose
     manifest min/max for ``col`` (see ``write_version(stats_cols=...)``)
@@ -670,6 +751,10 @@ def read_version(
     versions = _versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -725,6 +810,8 @@ def history(path: str) -> list[dict]:
         m = _load_raw(path, v)
         n = m["n_files"] if "n_files" in m else len(m["files"])
         row = {k: m[k] for k in ("version", "parent", "op")} | {"n_files": n}
+        if m.get("ts") is not None:
+            row["ts"] = m["ts"]
         if m.get("layout"):
             row["layout"] = m["layout"]
         out.append(row)
@@ -1678,10 +1765,11 @@ def apply_cdc_version(
 
 def restore_version(
     path: str,
-    to_version: int,
+    to_version: int | None = None,
     txn_id: str | None = None,
     writer_id: str | None = None,
     max_retries: int = 10,
+    timestamp=None,
 ) -> int:
     """RESTORE TABLE ... TO VERSION AS OF — roll the table back (or
     forward) to ``to_version`` as a NEW, manifest-only commit (the
@@ -1696,7 +1784,17 @@ def restore_version(
     already been vacuumed: the vacuum retention window IS the rollback
     horizon, exactly as in Delta. Restoring to the current tip is a
     no-op returning the tip. ``txn_id``/``writer_id`` gate replays
-    like every other commit verb."""
+    like every other commit verb. ``timestamp=`` (r14, mutually
+    exclusive with ``to_version``) restores to the last version
+    committed at or before it — Delta's ``RESTORE ... TO TIMESTAMP AS
+    OF`` (:func:`version_at_timestamp`; UTC, fails fast past the
+    vacuum horizon)."""
+    if timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR timestamp, not both")
+        to_version = version_at_timestamp(path, timestamp)
+    if to_version is None:
+        raise ValueError("restore_version requires to_version or timestamp")
     try:
         mt = _load_manifest(path, to_version)
     except FileNotFoundError:
@@ -1727,6 +1825,7 @@ def restore_version(
             "version": parent + 1,
             "parent": parent,
             "op": "restore",
+            "ts": _now(),
             "restored_from": to_version,
             "files": mt["files"],
             "n_files": len(mt["files"]),
@@ -1815,6 +1914,7 @@ def clone_table(
         "version": 1,
         "parent": 0,
         "op": "clone",
+        "ts": _now(),
         "cloned_from": {
             "path": os.path.abspath(src_path),
             "version": v,

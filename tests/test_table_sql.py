@@ -221,6 +221,44 @@ def test_restore_and_history(spark, table):
     assert [x["version"] for x in history(table)] == [1, 2, 3, 4]
 
 
+def test_timestamp_as_of_sql(spark, tmp_path):
+    """r14 (VERDICT r13 #4): TABLE_AT with a TIMESTAMP literal and
+    RESTORE ... TO TIMESTAMP AS OF resolve to the last version
+    committed at or before it (UTC), equal to the version-number
+    forms."""
+    import time
+    from datetime import datetime, timezone
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    time.sleep(0.05)
+    between = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+    time.sleep(0.05)
+    write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"),
+        path,
+        op="append",
+    )
+    ts_read = run_table_sql(
+        spark,
+        f"SELECT * FROM TABLE_AT('{path}', TIMESTAMP '{between}')",
+    )
+    assert _rows(ts_read) == [(1, "a")]
+    v = run_table_sql(
+        spark,
+        f"RESTORE TABLE '{path}' TO TIMESTAMP AS OF '{between}'",
+    )
+    assert v == 3
+    assert _rows(read_version(spark, path)) == [(1, "a")]
+    # the commit time surfaces in DESCRIBE HISTORY
+    h = run_table_sql(spark, f"DESCRIBE HISTORY '{path}'")
+    assert "ts" in h.columns
+    tss = [r.ts for r in h.orderBy("version").collect()]
+    assert all(t is not None for t in tss)
+
+
 def test_unsupported_statements_raise(spark, table):
     with pytest.raises(ValueError, match="supported statements"):
         run_table_sql(spark, f"TRUNCATE TABLE '{table}'")

@@ -48,7 +48,11 @@ def test_append_shares_parent_files_without_copying(spark, table):
     m1, m2 = _load_manifest(table, 1), _load_manifest(table, 2)
     assert set(m1["files"]) < set(m2["files"])  # parent files reused as-is
     assert len(m2["files"]) > len(m1["files"])
-    assert history(table) == [
+    # commit wall-times (r14 TIMESTAMP AS OF) ride along, monotone
+    hist = history(table)
+    tss = [h.pop("ts") for h in hist]
+    assert tss == sorted(tss) and all(t > 0 for t in tss)
+    assert hist == [
         {"version": 1, "parent": 0, "op": "overwrite", "n_files": len(m1["files"])},
         {"version": 2, "parent": 1, "op": "append", "n_files": len(m2["files"])},
         {
@@ -2049,3 +2053,79 @@ def test_merge_delete_version_python_api(spark, tmp_path):
     # k=1 deleted (10<15); k=2 kept (20<5 false); NULL key never
     # matches; k=4 unmatched
     assert got == [(2, 20), (4, 40), (None, 30)]
+
+
+def test_timestamp_time_travel_resolution(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 #4): TIMESTAMP AS OF — every version is
+    reachable by its commit wall-time, between-commit timestamps
+    resolve to the preceding version, version/timestamp reads are
+    EQUAL, and writer clock skew is healed by the monotone
+    max-so-far view (Delta's adjustment rule)."""
+    from etl_dag_spark.sources import versions as ver
+
+    clock = iter([1000.0, 3000.0, 2000.0])  # v3's writer clock lags!
+    monkeypatch.setattr(ver, "_now", lambda: next(clock))
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )  # v1 @ 1000
+    write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"),
+        path,
+        op="append",
+    )  # v2 @ 3000
+    write_version(
+        spark.createDataFrame([(3, "c")], "k int, v string"),
+        path,
+        op="append",
+    )  # v3 @ 2000 recorded, 3000 effective (monotone view)
+    vat = ver.version_at_timestamp
+    assert vat(path, 1000.0) == 1
+    assert vat(path, 2500.0) == 1  # v3's raw 2000 must NOT win here
+    assert vat(path, 3000.0) == 3  # equal effective times: latest wins
+    assert vat(path, 9999.0) == 3
+    with pytest.raises(ValueError, match="predates"):
+        vat(path, 999.0)
+    # version/timestamp equivalence through read_version
+    assert _rows(read_version(spark, path, timestamp=2500.0)) == _rows(
+        read_version(spark, path, 1)
+    )
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, path, 1, timestamp=1000.0)
+    # ISO-string input (naive = UTC)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(2500.0, tz=timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    assert vat(path, iso) == 1
+    # restore by timestamp commits a manifest-only rollback
+    from etl_dag_spark.sources.versions import restore_version
+
+    monkeypatch.setattr(ver, "_now", lambda: 5000.0)
+    v = restore_version(path, timestamp=2500.0)
+    assert v == 4
+    assert _rows(read_version(spark, path)) == [(1, "a")]
+    assert vat(path, 5000.0) == 4
+
+
+def test_timestamp_travel_vacuum_horizon(spark, tmp_path, monkeypatch):
+    """The vacuum retention window IS the timestamp time-travel
+    horizon: a timestamp older than the oldest RETAINED commit fails
+    fast instead of silently answering with the floor version."""
+    from etl_dag_spark.sources import versions as ver
+
+    clock = iter([1000.0, 2000.0, 3000.0])
+    monkeypatch.setattr(ver, "_now", lambda: next(clock))
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    for k, tag in ((2, "b"), (3, "c")):
+        write_version(
+            spark.createDataFrame([(k, tag)], "k int, v string"),
+            path,
+            op="append",
+        )
+    vacuum(path, keep_last=2, min_age_seconds=0)
+    assert ver.version_at_timestamp(path, 2000.0) == 2
+    with pytest.raises(ValueError, match="predates"):
+        ver.version_at_timestamp(path, 1500.0)  # v1's slot was vacuumed
