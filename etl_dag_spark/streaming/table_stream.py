@@ -32,6 +32,17 @@ Semantics (mirroring ``read_version_delta``):
   Delta's ``ignoreChanges`` contract);
 - ``startingVersion=N`` begins after version N (default 0 = from the
   table's beginning, initial snapshot included);
+- ``readChangeFeed=true`` (r14, VERDICT r13 #3 — Delta's streaming
+  CDF): the stream emits CHANGE rows instead of snapshot rows — the
+  table's columns plus ``_change_type`` ∈ {insert, delete,
+  update_preimage, update_postimage} and ``_commit_version`` — exactly
+  the batch ``cdc_rows`` classification, derived per commit from the
+  manifests (appends stream per-file inserts; merge/delete/update
+  commits diff their replaced-vs-added files with a keyed
+  outer-merge, hash-bucketed into ``cdcBuckets`` partitions — bounded
+  read amplification over the TOUCHED files only). Requires
+  ``keyCols=k1[,k2...]`` when the lineage holds rewrite commits; the
+  principled alternative to ``ignoreChanges`` re-emission;
 - ``maxVersionsPerTrigger=K`` caps each micro-batch at K commits
   (Delta's ``maxFilesPerTrigger`` role): a new subscriber catching up
   on a long history drains it in bounded batches instead of one giant
@@ -84,17 +95,35 @@ class VersionedTableDataSource(DataSource):
             )
         return path
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
         path = self._path()
         versions = _versions(path)
         if not versions:
             raise FileNotFoundError(f"no versions at {path}")
-        return StructType.fromJson(
+        base = StructType.fromJson(
             json.loads(_load_raw(path, versions[-1])["schema"])
         )
+        if self._cdf():
+            return StructType(
+                [
+                    *base.fields,
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> "VersionedTableStreamReader":
         max_v = self.options.get("maxversionspertrigger")
+        key_cols = self.options.get("keycols")
         return VersionedTableStreamReader(
             self._path(),
             schema,
@@ -104,6 +133,11 @@ class VersionedTableDataSource(DataSource):
             ).lower()
             == "true",
             max_versions_per_trigger=int(max_v) if max_v else None,
+            read_change_feed=self._cdf(),
+            key_cols=(
+                [c.strip() for c in key_cols.split(",")] if key_cols else None
+            ),
+            cdc_buckets=int(self.options.get("cdcbuckets", 4)),
         )
 
 
@@ -115,13 +149,30 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         starting_version: int = 0,
         ignore_changes: bool = False,
         max_versions_per_trigger: int | None = None,
+        read_change_feed: bool = False,
+        key_cols: list[str] | None = None,
+        cdc_buckets: int = 4,
     ):
         self._path = path
         self._schema = schema
         self._start = starting_version
         self._ignore_changes = ignore_changes
         self._max_versions = max_versions_per_trigger
+        self._cdf = read_change_feed
+        self._key_cols = key_cols
+        self._cdc_buckets = max(1, cdc_buckets)
         self._committed = starting_version
+        if read_change_feed:
+            base = [
+                f.name
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+            for k in key_cols or []:
+                if k not in base:
+                    raise ValueError(
+                        f"keyCols column {k!r} not in table schema {base}"
+                    )
 
     # -- offsets -------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -171,13 +222,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if op == "optimize":
                 continue  # dataChange=false: row-preserving rewrite
             first = m.get("parent", 0) == 0
-            if op != "append" and not first and not self._ignore_changes:
+            if (
+                op != "append"
+                and not first
+                and not self._ignore_changes
+                and not self._cdf
+            ):
                 raise ValueError(
                     f"version {v} is {op!r}: a partial/full rewrite is "
                     "not a row delta — restart the stream from a "
-                    "snapshot, or set ignoreChanges=true to emit its "
+                    "snapshot, set ignoreChanges=true to emit its "
                     "rewritten files (rows may re-emit, Delta's "
-                    "ignoreChanges contract)"
+                    "ignoreChanges contract), or subscribe with "
+                    "readChangeFeed=true for exact change rows"
                 )
             # manifests carry the CUMULATIVE legacy→current rename map
             # forward on every append/merge, so a non-empty map does
@@ -207,6 +264,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     f"with a fresh checkpoint and startingVersion >= {v} "
                     "(its new pinned schema will be the tip's)"
                 )
+            if self._cdf:
+                parts.extend(self._cdf_partitions(v, m, op, first))
+                continue
             if "add" in m:
                 added = list(m["add"])
             else:  # pre-r12 full manifest: parent file-set diff
@@ -223,12 +283,82 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             )
         return parts
 
+    def _cdf_partitions(
+        self, v: int, m: dict, op: str, first: bool
+    ) -> list[InputPartition]:
+        """Plan one commit's CHANGE rows (readChangeFeed=true — the
+        Delta CDF streaming contract, VERDICT r13 #3, derived from the
+        manifests like the batch ``cdc_rows``):
+
+        - the initial snapshot and every append emit per-file INSERT
+          partitions (one task per added file — the scale path);
+        - a merge/delete/update commit emits a keyed diff of its
+          REPLACED vs ADDED files: rows only in the old side are
+          deletes, only in the new side inserts, both sides with any
+          value change an update_preimage/update_postimage pair.
+          Data files are immutable and keys unique per snapshot (the
+          MERGE contract), so rows in SHARED files appear on neither
+          side and the diff is exact while reading O(touched files);
+        - overwrite/restore/clone commits diff the two snapshots' full
+          file-set difference (same rule as ``cdc_rows``).
+
+        The diff is hash-bucketed into ``cdcBuckets`` partitions by
+        key (each bucket re-reads the commit's touched files and keeps
+        its key range) — bounded read amplification over the TOUCHED
+        files only, never the table."""
+        rename = dict(m.get("rename") or {})
+        if op == "append" or first:
+            if "add" in m:
+                added = list(m["add"])
+            else:
+                from etl_dag_spark.sources.versions import _load_manifest
+
+                parent_files = (
+                    set(_load_manifest(self._path, m["parent"])["files"])
+                    if m.get("parent")
+                    else set()
+                )
+                added = [f for f in m["files"] if f not in parent_files]
+            return [
+                InputPartition(("cdf_ins", v, f, None)) for f in sorted(added)
+            ]
+        if not self._key_cols:
+            raise ValueError(
+                f"version {v} is {op!r}: readChangeFeed needs "
+                "keyCols=<k1,k2,...> to derive exact change rows across "
+                "a rewrite commit"
+            )
+        if op in ("merge", "delete", "update") and "replaced" in m:
+            old_files = sorted(m["replaced"])
+            new_files = sorted(m.get("add") or [])
+        else:  # overwrite / restore / clone: full snapshot diff
+            from etl_dag_spark.sources.versions import _resolve_state
+
+            v_files, _ = _resolve_state(self._path, v)
+            p_files, _ = (
+                _resolve_state(self._path, m["parent"])
+                if m.get("parent")
+                else ([], {})
+            )
+            old_files = sorted(set(p_files) - set(v_files))
+            new_files = sorted(set(v_files) - set(p_files))
+        nb = self._cdc_buckets
+        return [
+            InputPartition(
+                ("cdf_diff", v, old_files, new_files, rename, b, nb)
+            )
+            for b in range(nb)
+        ]
+
     # -- executor-side Arrow read --------------------------------------
     def read(self, partition: InputPartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if partition.value[0] in ("cdf_ins", "cdf_diff"):
+            yield from self._cdf_read(partition.value)
+            return
         file, _file_schema_json = partition.value
         target = to_arrow_schema(self._schema)
         tbl = pq.read_table(file)
@@ -240,6 +370,115 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 cols[field.name] = pa.nulls(len(tbl), field.type)
         out = pa.table(cols).cast(target)
         yield from out.to_batches()
+
+    def _cdf_read(self, val) -> Iterator:
+        """Executor-side change-row derivation: Arrow reads, a pandas
+        keyed outer-merge for the diff shape, NaN-safe value compare —
+        all over ONE commit's touched files (never the table)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        base = StructType(
+            [
+                f
+                for f in self._schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        base_arrow = to_arrow_schema(base)
+        target = to_arrow_schema(self._schema)
+
+        def load(files: list[str], rename: dict | None) -> pa.Table:
+            tbls = []
+            for f in files:
+                t = pq.read_table(f)
+                if rename:
+                    t = t.rename_columns(
+                        [rename.get(c, c) for c in t.column_names]
+                    )
+                cols = {}
+                for field in base_arrow:
+                    if field.name in t.column_names:
+                        cols[field.name] = t.column(field.name).cast(
+                            field.type
+                        )
+                    else:  # added-column evolution on an older file
+                        cols[field.name] = pa.nulls(len(t), field.type)
+                tbls.append(pa.table(cols).cast(base_arrow))
+            if not tbls:
+                return base_arrow.empty_table()
+            return pa.concat_tables(tbls)
+
+        def emit(df: "pd.DataFrame", change: str, v: int) -> pa.Table:
+            arrays = [
+                pa.Array.from_pandas(df[f.name], type=f.type)
+                for f in base_arrow
+            ]
+            arrays.append(pa.array([change] * len(df), pa.string()))
+            arrays.append(pa.array([v] * len(df), pa.int64()))
+            return pa.table(
+                dict(zip([f.name for f in target], arrays))
+            ).cast(target)
+
+        if val[0] == "cdf_ins":
+            _, v, f, rename = val
+            t = load([f], rename)
+            out = t.append_column(
+                "_change_type", pa.array(["insert"] * len(t), pa.string())
+            ).append_column(
+                "_commit_version", pa.array([v] * len(t), pa.int64())
+            )
+            yield from out.cast(target).to_batches()
+            return
+
+        _, v, old_files, new_files, rename, bucket, nb = val
+        keys = list(self._key_cols)
+        # the cumulative rename map applies to the OLD side only:
+        # replaced files may predate a rename in the current schema-
+        # debt segment; files added at v are written under current names
+        old = load(old_files, rename).to_pandas()
+        new = load(new_files, None).to_pandas()
+        if nb > 1:
+
+            def pick(df: "pd.DataFrame") -> "pd.DataFrame":
+                if not len(df):
+                    return df
+                h = pd.util.hash_pandas_object(df[keys], index=False)
+                return df[(h % nb).to_numpy() == bucket]
+
+            old, new = pick(old), pick(new)
+        val_cols = [c for c in old.columns if c not in keys]
+        merged = old.merge(
+            new,
+            on=keys,
+            how="outer",
+            suffixes=("__old", "__new"),
+            indicator=True,
+        )
+        in_both = merged["_merge"] == "both"
+        changed = pd.Series(False, index=merged.index)
+        for c in val_cols:
+            a, b = merged[f"{c}__old"], merged[f"{c}__new"]
+            changed |= ~((a == b) | (a.isna() & b.isna()))
+
+        def side(mask, suffix: str) -> "pd.DataFrame":
+            sel = merged[mask]
+            out = sel[keys].copy()
+            for c in val_cols:
+                out[c] = sel[f"{c}{suffix}"]
+            return out[[f.name for f in base_arrow]]
+
+        parts = [
+            emit(side(merged["_merge"] == "left_only", "__old"), "delete", v),
+            emit(side(merged["_merge"] == "right_only", "__new"), "insert", v),
+            emit(side(in_both & changed, "__old"), "update_preimage", v),
+            emit(side(in_both & changed, "__new"), "update_postimage", v),
+        ]
+        nonempty = [p for p in parts if len(p)]
+        if nonempty:  # a bucket may own no keys of this commit
+            yield from pa.concat_tables(nonempty).to_batches()
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint; manifests are immutable.

@@ -441,3 +441,149 @@ def test_stream_refuses_vacuumed_history(spark, tmp_path):
         assert _rows(spark.table("vt_vac_ok")) == [(5, "v5")]
     finally:
         q.stop()
+
+
+def test_cdf_stream_equals_batch_cdc(spark, tmp_path):
+    """r14 (VERDICT r13 #3): readChangeFeed=true streams exact change
+    rows — per commit, the streamed set equals batch cdc_rows(v-1, v)
+    across an append, a MERGE, and a DELETE commit."""
+    from etl_dag_spark.sources.versions import cdc_rows
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ts int"
+        ).repartition(2, "k"),
+        path,
+    )  # v1
+    write_version(
+        spark.createDataFrame([(4, "d", 1)], "k int, v string, ts int"),
+        path,
+        op="append",
+    )  # v2
+    merge_version(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "B", 2), (9, "z", 2)], "k int, v string, ts int"
+        ),
+        ["k"],
+        "ts",
+    )  # v3: update k=2, insert k=9
+    delete_version(spark, path, "k = 1")  # v4
+    q = _drain(
+        spark,
+        read_table_stream(
+            spark, path, readChangeFeed=True, keyCols="k", cdcBuckets=2
+        ),
+        "vt_cdf",
+    )
+    try:
+        got = spark.table("vt_cdf")
+        assert set(got.columns) == {
+            "k", "v", "ts", "_change_type", "_commit_version"
+        }
+        # v1+v2 (initial snapshot + append) are pure inserts
+        ins = sorted(
+            (r.k, r.v, r._commit_version)
+            for r in got.where("_commit_version <= 2").collect()
+        )
+        assert ins == [(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, "d", 2)]
+        assert {
+            r._change_type
+            for r in got.where("_commit_version <= 2").collect()
+        } == {"insert"}
+        # per rewrite commit: streamed changes == batch cdc_rows
+        for v in (3, 4):
+            streamed = sorted(
+                (r.k, r.v, r._change_type)
+                for r in got.where(f"_commit_version = {v}").collect()
+            )
+            batch = sorted(
+                (r.k, r.v, r._change_type)
+                for r in cdc_rows(spark, path, v - 1, v, key_cols=["k"])
+                .collect()
+            )
+            assert streamed == batch, f"v{v}: {streamed} != {batch}"
+        # a rewrite landing WHILE the CDF stream runs flows through
+        merge_version(
+            spark,
+            path,
+            spark.createDataFrame([(3, "C", 3)], "k int, v string, ts int"),
+            ["k"],
+            "ts",
+        )  # v5
+        q.processAllAvailable()
+        got5 = sorted(
+            (r.k, r.v, r._change_type)
+            for r in spark.table("vt_cdf")
+            .where("_commit_version = 5")
+            .collect()
+        )
+        assert got5 == [
+            (3, "C", "update_postimage"), (3, "c", "update_preimage"),
+        ]
+    finally:
+        q.stop()
+
+
+def test_cdf_stream_restart_exactly_once(spark, tmp_path):
+    """CDF offsets ride the same version checkpointing: a restart
+    re-emits NOTHING and picks up rewrite commits that landed while
+    the stream was down."""
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_version(
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, ts int"), path
+    )
+
+    def drain():
+        q = (
+            read_table_stream(spark, path, readChangeFeed=True, keyCols="k")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    merge_version(
+        spark,
+        path,
+        spark.createDataFrame([(1, "A", 2)], "k int, v string, ts int"),
+        ["k"],
+        "ts",
+    )
+    delete_version(spark, path, "k = 1")
+    drain()
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "A", "delete", 3),
+        (1, "A", "update_postimage", 2),
+        (1, "a", "insert", 1),
+        (1, "a", "update_preimage", 2),
+    ]
+
+
+def test_cdf_requires_key_cols_for_rewrites(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a", 1)], "k int, v string, ts int"), path
+    )
+    delete_version(spark, path, "k = 1")
+    q = (
+        read_table_stream(spark, path, readChangeFeed=True)
+        .writeStream.format("memory")
+        .queryName("vt_cdf_nokeys")
+        .start()
+    )
+    with pytest.raises(Exception, match="keyCols"):
+        q.processAllAvailable()
+    q.stop()
