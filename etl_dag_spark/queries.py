@@ -13352,6 +13352,36 @@ def etl_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_unigram_lm")
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py — the
+    SentencePiece-class trainer next to BPE, VERDICT r13 #5): learn a
+    300-piece vocabulary from the documents corpus via seed-substring
+    frequencies → Viterbi-EM (distributed E-step over the capped
+    word-type table behind an Arrow seam, integer expected counts,
+    vocabulary-sized M-step) → iterative shrink; returns (rank, piece,
+    logprob). Rows-only by design (the EM fixpoint is not
+    SQL-expressible); correctness is pinned by tests/test_unigram.py's
+    bit-exact equality with a literal pure-Python reference
+    implementation on crafted AND real corpora.
+
+    Scale shape: ONE corpus pass builds the word-type table; every EM
+    job runs over that capped frame (corpus-size-independent); driver
+    state is one vocab-sized dict per round."""
+    from etl_dag_spark.operators.unigram import train_unigram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return train_unigram(
+        docs,
+        vocab_size=300,
+        max_word_types=5000,
+        seed_size=1200,
+        max_piece_len=6,
+        shrink=0.5,
+        em_iters=2,
+    )
+
+
 @register(
     "sql_update_versioned",
     oracle="""
