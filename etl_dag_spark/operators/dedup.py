@@ -979,7 +979,12 @@ def cluster_pairs(
 # ------------------------------------------- incremental dedup w/ store
 
 
-def greedy_earliest_survivors(edges: DataFrame, nodes: DataFrame, max_iter: int = 30) -> DataFrame:
+def greedy_earliest_survivors(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 30,
+    driver_solve_max_edges: int = 500_000,
+) -> DataFrame:
     """Deterministic sequential-greedy dedup decision, distributed:
     processing nodes in ascending id order, a node is DROPPED iff it
     matches some earlier node that itself SURVIVED — the lexicographic
@@ -988,8 +993,23 @@ def greedy_earliest_survivors(edges: DataFrame, nodes: DataFrame, max_iter: int 
     ``A ∪ B`` (ids of A below B) equals survivors(A) followed by
     survivors(B given survivors(A)'s store).
 
-    ``edges``: (u, v) matches with u < v. ``nodes``: one ``node`` column.
-    → (node, keep).
+    ``edges``: (u, v) matches with u < v and BOTH endpoints in
+    ``nodes`` (the callers prune to the undecided set first).
+    ``nodes``: one ``node`` column. → (node, keep).
+
+    ADAPTIVE physical strategy (r14, the AQE idea applied to an
+    iterative op): only nodes that appear in some edge need any
+    decision logic — the matched subgraph, typically a small fraction
+    of a mostly-unique batch. When its edge count is at most
+    ``driver_solve_max_edges`` (one count over the already-checkpointed
+    edge frame), the exact sequential greedy runs DRIVER-SIDE in one
+    pass over the collected edges — replacing the fixpoint's per-round
+    Spark jobs (count + join per round) whose scheduler overhead
+    dominates at small sizes (measured 3.6 s → ~0.3 s per ingest batch
+    at sf0.1). Above the bound, the distributed fixpoint below runs
+    unchanged — the 100 TB path never collects a corpus-scaled frame;
+    the two strategies are equal by construction and pinned equal in
+    tests/test_properties.py.
 
     Fixed-point iteration (no driver graph state): a node becomes KEEP
     when every smaller-id neighbor is DROP (or it has none), DROP when
@@ -1013,6 +1033,26 @@ def greedy_earliest_survivors(edges: DataFrame, nodes: DataFrame, max_iter: int 
     untouched = all_nodes.join(touched, "node", "left_anti").withColumn(
         "state", F.lit(1)
     )
+    n_edges = e.count()
+    if n_edges <= driver_solve_max_edges:
+        spark = edges.sparkSession
+        smaller: dict[int, list[int]] = {}
+        for r in e.collect():
+            smaller.setdefault(int(r["v"]), []).append(int(r["u"]))
+        keep: dict[int, bool] = {}
+        for node in sorted(
+            set(smaller) | {u for us in smaller.values() for u in us}
+        ):
+            keep[node] = not any(
+                keep.get(u, True) for u in smaller.get(node, [])
+            )
+        decided = spark.createDataFrame(
+            [(n, 1 if k else -1) for n, k in sorted(keep.items())],
+            "node bigint, state int",
+        )
+        return decided.unionByName(untouched).select(
+            "node", (F.col("state") == 1).alias("keep")
+        )
     states = all_nodes.join(touched, "node", "left_semi").withColumn(
         "state", F.lit(0)
     ).localCheckpoint(eager=False)
@@ -1146,6 +1186,16 @@ def incremental_minhash_dedup(
             .where(F.col("nb_match") >= min_band_matches)
             .select("doc_id")
             .distinct()
+            # pinned: store_hits feeds BOTH the greedy's undecided set
+            # and the final result projection — unpinned, the result
+            # job re-runs the Bloom prefilter + store join a second
+            # time (r14; ~1.5 s/batch of pure recompute at sf0.1).
+            # persist(), not localCheckpoint: consumers are
+            # order-insensitive (a set of ids) and a lazy
+            # localCheckpoint would force every upstream AQE stage at
+            # PLAN BUILD time (the weighted_jaccard_pairs lesson,
+            # SURVEY §6b-7). The frame is matched-doc-ids-sized.
+            .persist()
         )
 
     l, r = nb.alias("l"), nb.alias("r")

@@ -259,8 +259,19 @@ def test_greedy_survivors_matches_sequential_reference(spark, case):
         else spark.createDataFrame([], "u long, v long")
     )
     nodes = spark.range(1, n + 1).select(F.col("id").alias("node"))
+    # r14: the operator is adaptive — a small matched subgraph solves
+    # driver-side, a large one runs the distributed fixpoint. Pin BOTH
+    # strategies equal to the sequential reference (max_edges=0 forces
+    # the distributed path no matter the size).
     got = {r.node: r.keep for r in greedy_earliest_survivors(e_df, nodes).collect()}
     assert got == want
+    got_dist = {
+        r.node: r.keep
+        for r in greedy_earliest_survivors(
+            e_df, nodes, driver_solve_max_edges=0
+        ).collect()
+    }
+    assert got_dist == want
 
 
 @st.composite
