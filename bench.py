@@ -303,9 +303,16 @@ def main() -> None:
     # keep the min, pinning per-query evidence the way sf1_smoke's
     # min-of-2 already pins the scale panel
     retried: list[str] = []
+    # r14 ADVICE fix: the retry gives regressions min-of-3 while
+    # improvements keep min-of-2, so records could only ratchet down —
+    # record each retried query's PRE-retry min alongside, so a
+    # persistent slowdown stays visible across rounds even when one
+    # lucky third pass hides it from the headline record
+    pre_retry: dict[str, float] = {}
     for name in sorted(SPARK_QUERIES):
         prev = prior.get(name)
         if prev and timings[name] > 1.5 * prev:
+            pre_retry[name] = timings[name]
             t0 = time.time()
             SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -360,7 +367,13 @@ def main() -> None:
         },
         "queries_note": f"top-10 slowest of {len(registry)}; full map on prior stdout line + BENCH_local.json",
     }
-    local = dict(headline, queries=timings, sf1_smoke=sf1, retried=retried)
+    local = dict(
+        headline,
+        queries=timings,
+        sf1_smoke=sf1,
+        retried=retried,
+        pre_retry_timings=pre_retry,
+    )
     local.pop("queries_note", None)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
         json.dump(local, f, indent=1, sort_keys=True)

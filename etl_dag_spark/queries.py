@@ -13352,6 +13352,54 @@ def etl_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_sql_table_changes() -> None:
+    """Deferred registration so the oracle can be SHARED BY REFERENCE
+    with ``etl_cdc_rows`` (same fixture, same closed-form SQL): a
+    driver hash on this entry therefore certifies the TABLE_CHANGES
+    grammar → cdc_rows equivalence, the sql_merge_versioned pattern."""
+
+    @register("sql_table_changes", oracle=ORACLES["etl_cdc_rows"])
+    def sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SQL twin of ``etl_cdc_rows`` (r14): the SAME two-snapshot
+        fixture, but the change rows are read through the lakehouse SQL
+        surface — ``SELECT ... FROM TABLE_CHANGES('<path>', 1, 2,
+        KEY (o_orderkey))`` (Delta's ``table_changes`` CDC function,
+        sources/table_sql.py) — proving the grammar lands on the
+        identical manifest-derived CDC machinery."""
+        from etl_dag_spark.sources import versions as ver
+        from etl_dag_spark.sources.table_sql import run_table_sql
+
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            star.cents("o_totalprice").alias("price_cents"),
+        )
+        v1 = o.where(F.col("o_orderkey") % 97 != 0)
+        v2 = o.where(F.col("o_orderkey") % 89 != 0).withColumn(
+            "price_cents",
+            F.col("price_cents")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(500)).otherwise(
+                F.lit(0)
+            ),
+        )
+
+        def build(path: str) -> None:
+            ver.write_version(v1, path)
+            ver.write_version(v2, path)
+
+        # the SAME fixture key as etl_cdc_rows: both entries read one
+        # shared manifest log per process (identical builds)
+        path = _cached_version_table("etl_cdc_rows", sf_dir, build)
+        return run_table_sql(
+            spark,
+            f"SELECT * FROM TABLE_CHANGES('{path}', 1, 2, "
+            "KEY (o_orderkey))",
+        )
+
+
+_register_sql_table_changes()
+
+
 @register("text_unigram_lm")
 def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators/unigram.py — the

@@ -15,6 +15,12 @@ Python-API-only through r12:
   (:func:`read_version`) registered as a temp view, then the rewritten
   statement runs through plain ``spark.sql`` — so pushdown/pruning
   apply to the snapshot scan exactly as to any other view.
+- ``SELECT ... FROM TABLE_CHANGES('<path>', <from_v>[, <to_v>]
+  [, KEY (k1, ...)]) ...`` (r14) — Delta's ``table_changes`` CDC
+  function → :func:`cdc_rows` registered as a temp view (rows tagged
+  ``_change_type``; the KEY clause names the row-matching columns,
+  required across merge/delete/update/overwrite lineage exactly as in
+  the Python API; append-only lineage needs none).
 - ``MERGE INTO '<path>' [AS] t USING <view|(subquery)> [AS] s
   ON t.k = s.k [AND t.k2 = s.k2 ...]
   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
@@ -91,6 +97,13 @@ _MERGE = re.compile(
     re.IGNORECASE | re.DOTALL | re.VERBOSE,
 )
 
+_TABLE_CHANGES = re.compile(
+    r"TABLE_CHANGES\(\s*'([^']+)'\s*,\s*(\d+)"
+    r"(?:\s*,\s*(\d+))?"
+    r"(?:\s*,\s*KEY\s*\(([\w\s,]+)\))?\s*\)",
+    re.IGNORECASE,
+)
+
 _MERGE_DELETE = re.compile(
     r"""^\s*MERGE\s+INTO\s+'(?P<path>[^']+)'\s*(?:AS\s+)?(?P<t>\w+)\s+
         USING\s+(?P<src>\(.*\)|\w+)\s*(?:AS\s+)?(?P<s>\w+)\s+
@@ -137,6 +150,8 @@ _HISTORY = re.compile(
 _GRAMMAR = (
     "supported statements: SELECT ... FROM TABLE_AT('<path>'"
     "[, <version> | TIMESTAMP '<iso-utc>']);"
+    " SELECT ... FROM TABLE_CHANGES('<path>', <from_v>[, <to_v>]"
+    "[, KEY (k1, ...)]);"
     " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
     " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;"
     " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
@@ -343,9 +358,24 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
             ],
             "version int, parent int, op string, n_files int, ts double",
         )
-    if _TABLE_AT.search(sql):
+    if _TABLE_CHANGES.search(sql) or _TABLE_AT.search(sql):
+        from etl_dag_spark.sources.versions import cdc_rows
+
         rewritten = sql
-        for i, tm in enumerate(_TABLE_AT.finditer(sql)):
+        for i, tm in enumerate(_TABLE_CHANGES.finditer(sql)):
+            path, lo, hi, keys = tm.groups()
+            view = f"__table_changes_{i}"
+            cdc_rows(
+                spark,
+                path,
+                int(lo),
+                int(hi) if hi is not None else None,
+                key_cols=(
+                    [k.strip() for k in keys.split(",")] if keys else None
+                ),
+            ).createOrReplaceTempView(view)
+            rewritten = rewritten.replace(tm.group(0), view)
+        for i, tm in enumerate(_TABLE_AT.finditer(rewritten)):
             path, ver, ts = tm.group(1), tm.group(2), tm.group(3)
             view = f"__table_at_{i}"
             read_version(
