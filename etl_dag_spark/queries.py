@@ -13352,6 +13352,72 @@ def etl_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_merge_update_versioned",
+    oracle="""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS c,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+)
+SELECT k AS o_orderkey, c AS o_custkey,
+       CASE WHEN k % 13 = 0 AND p % 2 = 0 THEN p + 999 ELSE p END
+         AS price_cents
+FROM src
+UNION ALL
+SELECT -k, c, p + 555 FROM src WHERE k % 101 = 0 AND k > 0
+""",
+)
+def sql_merge_update_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-assignment MERGE branch through the lakehouse SQL
+    surface (r14 — ``WHEN MATCHED [AND cond] THEN UPDATE SET c = expr
+    ... WHEN NOT MATCHED THEN INSERT *``, sources/table_sql.py →
+    versions.py::merge_update_version): commit orders as v1, then ONE
+    MERGE whose source carries key%13 rows with a bumped-price column
+    (applied only where the matched target's price is EVEN — the
+    AND-condition) plus re-keyed negative insert rows. The driver hash
+    certifies assignment parsing (alias-qualified LHS, s.-referencing
+    RHS), the condition's three-valued matching, the
+    duplicate-source-key guard path, the O(touched) rewrite, and the
+    unmatched-insert append in one answer; the oracle states the same
+    mutation closed-form."""
+    from etl_dag_spark.sources import versions as ver
+    from etl_dag_spark.sources.table_sql import run_table_sql
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+    )
+    source = (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .withColumn("np", F.col("price_cents") + F.lit(999))
+        .unionByName(
+            o.where(
+                (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0)
+            )
+            .withColumn("o_orderkey", -F.col("o_orderkey"))
+            .withColumn("price_cents", F.col("price_cents") + F.lit(555))
+            .withColumn("np", F.lit(0).cast("long"))
+        )
+    )
+
+    def build(path: str) -> None:
+        ver.write_version(o.repartition(8, "o_orderkey"), path)
+        source.createOrReplaceTempView("__sql_merge_update_src")
+        run_table_sql(
+            spark,
+            f"""MERGE INTO '{path}' AS t USING __sql_merge_update_src AS s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED AND t.price_cents % 2 = 0
+                THEN UPDATE SET price_cents = s.np
+                WHEN NOT MATCHED THEN INSERT *""",
+        )
+
+    path = _cached_version_table("sql_merge_update_versioned", sf_dir, build)
+    return run_table_sql(spark, f"SELECT * FROM TABLE_AT('{path}')")
+
+
 def _register_sql_table_changes() -> None:
     """Deferred registration so the oracle can be SHARED BY REFERENCE
     with ``etl_cdc_rows`` (same fixture, same closed-form SQL): a

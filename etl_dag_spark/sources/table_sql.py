@@ -26,6 +26,13 @@ Python-API-only through r12:
   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
   — the Delta upsert-by-key MERGE subset → :func:`merge_version`
   (SQL MERGE semantics: the update row replaces the target row).
+- ``MERGE INTO ... WHEN MATCHED [AND <cond>] THEN UPDATE SET
+  c = expr [, ...] [WHEN NOT MATCHED THEN INSERT *]`` — the
+  explicit-assignment branch of Delta's MERGE (r14) →
+  :func:`merge_update_version` (assignments/cond may reference both
+  aliases, values cast to the column type, key columns unassignable,
+  duplicate source keys refused; with the INSERT branch, unmatched
+  source rows append).
 - ``MERGE INTO '<path>' [AS] t USING <view|(subquery)> [AS] s
   ON t.k = s.k [...] WHEN MATCHED [AND <cond>] THEN DELETE`` — the
   delete branch of Delta's MERGE (r14) → :func:`merge_delete_version`
@@ -112,6 +119,16 @@ _MERGE_DELETE = re.compile(
     re.IGNORECASE | re.DOTALL | re.VERBOSE,
 )
 
+_MERGE_UPDATE = re.compile(
+    r"""^\s*MERGE\s+INTO\s+'(?P<path>[^']+)'\s*(?:AS\s+)?(?P<t>\w+)\s+
+        USING\s+(?P<src>\(.*\)|\w+)\s*(?:AS\s+)?(?P<s>\w+)\s+
+        ON\s+(?P<on>.+?)\s+
+        WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?
+        THEN\s+UPDATE\s+SET\s+(?P<sets>.+?)
+        (?P<ins>\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$""",
+    re.IGNORECASE | re.DOTALL | re.VERBOSE,
+)
+
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+'(?P<path>[^']+)'\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -155,6 +172,9 @@ _GRAMMAR = (
     " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
     " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;"
     " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
+    " WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr [, ...]"
+    " [WHEN NOT MATCHED THEN INSERT *];"
+    " MERGE INTO '<path>' t USING <view|(subquery)> s ON t.k = s.k [AND ...]"
     " WHEN MATCHED [AND <cond>] THEN DELETE;"
     " UPDATE '<path>' SET c = expr [, ...] [WHERE <predicate>];"
     " DELETE FROM '<path>' WHERE <predicate>;"
@@ -166,10 +186,12 @@ _GRAMMAR = (
 )
 
 
-def _split_assignments(sets: str) -> dict[str, str]:
+def _split_assignments(sets: str, alias: str | None = None) -> dict[str, str]:
     """Parse ``c1 = expr1, c2 = expr2, ...`` splitting on commas at
     paren/quote depth 0 only (an expr may contain ``coalesce(a, b)``
-    or a quoted literal with a comma)."""
+    or a quoted literal with a comma). ``alias``: when given (the
+    MERGE form), SET targets may be written ``alias.col``; bare UPDATE
+    targets must be bare column names."""
     parts: list[str] = []
     depth, buf, in_str = 0, [], False
     for ch in sets:
@@ -192,15 +214,27 @@ def _split_assignments(sets: str) -> dict[str, str]:
     parts.append("".join(buf))
     out: dict[str, str] = {}
     for part in parts:
-        m = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+        m = re.match(
+            r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL
+        )
         if not m:
             raise ValueError(
-                f"UPDATE SET assignments must be 'col = expr', got: {part!r}"
+                f"UPDATE SET assignments must be '[t.]col = expr', "
+                f"got: {part!r}"
             )
-        col = m.group(1)
+        prefix, col = m.group(1), m.group(2)
+        if alias is not None and prefix is not None and prefix != alias:
+            raise ValueError(
+                f"SET target {prefix}.{col} must use the target alias "
+                f"{alias!r}"
+            )
+        if alias is None and prefix is not None:
+            raise ValueError(
+                f"SET target must be a bare column name, got {prefix}.{col}"
+            )
         if col in out:
             raise ValueError(f"column {col!r} assigned twice in one UPDATE")
-        out[col] = m.group(2)
+        out[col] = m.group(3)
     return out
 
 
@@ -275,6 +309,26 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
         # deterministic column serves, so the first key does
         return merge_version(
             spark, m.group("path"), source, keys, keys[0], latest_wins=False
+        )
+    m = _MERGE_UPDATE.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import merge_update_version
+
+        src = m.group("src")
+        source = (
+            spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
+        )
+        keys = _merge_keys(m.group("on"), m.group("t"), m.group("s"))
+        return merge_update_version(
+            spark,
+            m.group("path"),
+            source,
+            keys,
+            _split_assignments(m.group("sets"), alias=m.group("t")),
+            cond=m.group("cond"),
+            insert_unmatched=m.group("ins") is not None,
+            target_alias=m.group("t"),
+            source_alias=m.group("s"),
         )
     m = _MERGE_DELETE.match(sql)
     if m:

@@ -1666,6 +1666,186 @@ def merge_delete_version(
     )
 
 
+def merge_update_version(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    assignments: dict,
+    cond=None,
+    insert_unmatched: bool = False,
+    target_alias: str = "t",
+    source_alias: str = "s",
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """``MERGE INTO ... WHEN MATCHED [AND cond] THEN UPDATE SET
+    c = expr [, ...] [WHEN NOT MATCHED THEN INSERT *]`` — the
+    explicit-assignment branch of Delta's MERGE (r14), completing the
+    verb next to :func:`merge_version` (whole-row ``SET *``) and
+    :func:`merge_delete_version` (the DELETE branch).
+
+    Target rows whose key matches a source row — and satisfy ``cond``
+    when given — get ``assignments`` applied; every other target row
+    survives unchanged (NULL conditions keep the row, SQL
+    three-valued logic). Assignment expressions and ``cond`` may
+    reference BOTH sides through ``target_alias``/``source_alias``
+    qualified names (``{"price_cents": "s.new_price"}``); every
+    assignment CASTs to the target column's existing type (schema can
+    never drift), all assignments read the PRE-update row, and merge
+    KEY columns cannot be assigned (Delta's rule — rewriting the match
+    key mid-merge is ill-defined). With ``insert_unmatched=True``
+    source rows matching no target key append as inserts (the upsert
+    shape with a partial update), committed ``op="merge"``; without,
+    the commit is ``op="update"``.
+
+    Duplicate source keys are REFUSED before any file is touched (one
+    aggregate — SQL MERGE's multiple-source-rows-matched error: with
+    duplicates the applied assignment would be nondeterministic).
+    Mechanics are the usual partial rewrite: one key⋈file discovery
+    scan, only touched files rewritten, untouched files
+    manifest-shared, ``expected_parent`` concurrency guard, txn
+    replays a manifest no-op. Persisted CHECK/NOT-NULL constraints are
+    enforced over the POST-image of updated rows plus any inserts.
+    Returns the committed version."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    if not assignments:
+        raise ValueError("MERGE UPDATE requires at least one assignment")
+    if isinstance(cond, str):
+        cond = F.expr(cond)
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
+    versions = _versions(path)
+    if not versions:
+        raise ValueError(f"no committed version to merge-update at {path}")
+    pm = _load_manifest(path, versions[-1])
+    schema = StructType.fromJson(json.loads(pm["schema"]))
+    bad = [c for c in assignments if c not in schema.names]
+    if bad:
+        raise ValueError(
+            f"SET targets not in table schema: {sorted(bad)} "
+            f"(have {schema.names})"
+        )
+    keyed = [c for c in assignments if c in key_cols]
+    if keyed:
+        raise ValueError(f"cannot assign merge key columns: {sorted(keyed)}")
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        dup_key = {k: dup[0][k] for k in key_cols}
+        raise ValueError(
+            f"MERGE source has duplicate rows for key {dup_key}: the "
+            "applied assignment would be nondeterministic — deduplicate "
+            "the source first"
+        )
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e).cast(schema[c].dataType)
+        for c, e in assignments.items()
+    }
+    t, s = target_alias, source_alias
+    snapshot = _read_snapshot_subset(spark, pm, pm["files"])
+    j = snapshot.alias(t).join(source.alias(s), key_cols, "inner")
+    if cond is not None:
+        j = j.where(cond)
+    touched_rows = j.select(f"{t}.__file").distinct().collect()
+    touched = sorted(urlparse(r["__file"]).path for r in touched_rows)
+    missing = [f for f in touched if f not in set(pm["files"])]
+    if missing:
+        raise RuntimeError(f"touched files not in manifest: {missing[:3]}")
+    inh = _table_constraints(path)
+    if touched:
+        frame = _read_snapshot_subset(spark, pm, touched).drop("__file")
+        src_m = source.withColumn("__m", F.lit(1))
+        jj = frame.alias(t).join(src_m.alias(s), key_cols, "left")
+        matched = F.col("__m").isNotNull()
+        if cond is not None:
+            # NULL cond keeps the row unchanged — when() already
+            # routes NULL to otherwise()
+            matched = matched & cond
+        rewritten = jj.select(
+            *[
+                F.when(matched, exprs[c])
+                .otherwise(F.col(f"{t}.{c}"))
+                .alias(c)
+                if c in exprs
+                else (
+                    F.col(c)
+                    if c in key_cols
+                    else F.col(f"{t}.{c}").alias(c)
+                )
+                for c in schema.names
+            ]
+        )
+        if inh:
+            _enforce_constraints(
+                jj.where(matched).select(
+                    *[
+                        exprs[c].alias(c)
+                        if c in exprs
+                        else (
+                            F.col(c)
+                            if c in key_cols
+                            else F.col(f"{t}.{c}").alias(c)
+                        )
+                        for c in schema.names
+                    ]
+                ),
+                list(inh.get("check") or []),
+                list(inh.get("not_null") or []),
+            )
+    else:
+        rewritten = spark.createDataFrame([], schema)
+    if insert_unmatched:
+        ins_src = [c for c in schema.names if c not in source.columns]
+        if ins_src:
+            raise ValueError(
+                f"INSERT * needs every target column in the source; "
+                f"missing: {sorted(ins_src)}"
+            )
+        inserts = (
+            source.join(
+                snapshot.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            .select(
+                *[F.col(c).cast(schema[c].dataType).alias(c)
+                  for c in schema.names]
+            )
+        )
+        if inh:
+            _enforce_constraints(
+                inserts,
+                list(inh.get("check") or []),
+                list(inh.get("not_null") or []),
+            )
+        remaining = rewritten.unionByName(inserts)
+        op = "merge"
+    else:
+        remaining = rewritten
+        op = "update"
+    stats = _inherited_stat_cols(pm, stats_cols)
+    return write_version(
+        remaining,
+        path,
+        op=op,
+        stats_cols=stats,
+        txn_id=txn_id,
+        writer_id=writer_id,
+        replace_files=touched,
+        expected_parent=versions[-1],
+        _pre_enforced=True,
+    )
+
+
 def apply_cdc_version(
     spark: SparkSession,
     path: str,

@@ -186,6 +186,71 @@ def test_merge_when_matched_delete(spark, tmp_path):
     assert sorted(r.k for r in read_version(spark, path).collect()) == [2, 3]
 
 
+def test_merge_when_matched_update_set(spark, tmp_path):
+    """r14: the explicit-assignment MERGE branch — alias-qualified SET
+    targets, s.-referencing values, an AND-condition with SQL
+    three-valued logic (NULL keeps the row), optional INSERT * for
+    unmatched source rows, key columns unassignable."""
+    from etl_dag_spark.sources.versions import merge_update_version
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c")],
+            "k int, price double, v string",
+        ).repartition(2, "k"),
+        path,
+    )
+    spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 99.0)], "k int, np double"
+    ).createOrReplaceTempView("mupd_src")
+    v = run_table_sql(
+        spark,
+        f"""MERGE INTO '{path}' AS t USING mupd_src AS s
+            ON t.k = s.k
+            WHEN MATCHED AND t.price > s.np
+            THEN UPDATE SET t.price = s.np, v = upper(t.v)""",
+    )
+    assert v == 2
+    got = sorted(
+        (r.k, r.price, r.v) for r in read_version(spark, path).collect()
+    )
+    # k=1: 10>5 → updated; k=2: NULL>7 is NULL → unchanged; k=3:
+    # 30>99 FALSE → unchanged
+    assert got == [(1, 5.0, "A"), (2, None, "b"), (3, 30.0, "c")]
+    assert history(path)[-1]["op"] == "update"
+    # INSERT * branch appends unmatched source rows; schema casts
+    spark.createDataFrame(
+        [(2, 70.0, "B"), (8, 80.0, "H")], "k int, price double, v string"
+    ).createOrReplaceTempView("mupd_src2")
+    v = run_table_sql(
+        spark,
+        f"""MERGE INTO '{path}' t USING mupd_src2 s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET price = s.price
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert history(path)[-1]["op"] == "merge"
+    got = sorted(
+        (r.k, r.price) for r in read_version(spark, path).collect()
+    )
+    assert got == [(1, 5.0), (2, 70.0), (3, 30.0), (8, 80.0)]
+    # merge keys are unassignable; duplicate source keys refused
+    with pytest.raises(ValueError, match="key columns"):
+        run_table_sql(
+            spark,
+            f"MERGE INTO '{path}' t USING mupd_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k",
+        )
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "k int, np double"
+    ).createOrReplaceTempView("mupd_dup")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_update_version(
+            spark, path, spark.table("mupd_dup"), ["k"],
+            {"price": "s.np"},
+        )
+
+
 def test_merge_duplicate_source_keys_refused(spark, table):
     """r14 ADVICE fix: SQL MERGE forbids multiple source rows matching
     one target row — the router refuses BEFORE touching the table, so
