@@ -13630,13 +13630,14 @@ _ROTATE_TO_FRONT = [
 ]
 # r15 WINDOW MATH (re-key _ROTATE_TO_FRONT for r15 before anything
 # else lands): the 15 names from "position 51+" above are mandatory
-# leads (r10 evidence — 5 rounds stale by r15), then any oracle whose
-# FIRST driver hash is pending from r14 registrations (new this round:
-# `sql_update_versioned` and any other r14-oracled entries — check
-# which of them already landed in CORRECTNESS_r14), then fill the
-# remaining slots with the oldest r11-evidence oracles (50 carry r11
-# as of r14 — oldest-registered first) to keep the ≤4-round refresh
-# cycle alive.
+# leads (r10 evidence — 5 rounds stale by r15), then the 3 oracles
+# whose FIRST driver hash is pending from the r14 registrations
+# (`sql_update_versioned`, `sql_table_changes`,
+# `sql_merge_update_versioned` — all driver-sim green at r14;
+# `text_unigram_lm` is rows-only and needs no slot), then fill the
+# remaining ~32 slots with the oldest r11-evidence oracles (50 carry
+# r11 as of r14 — oldest-registered first) to keep the ≤4-round
+# refresh cycle alive.
 SPARK_QUERIES = {
     **{n: SPARK_QUERIES[n] for n in _ROTATE_TO_FRONT if n in SPARK_QUERIES},
     **{n: f for n, f in SPARK_QUERIES.items() if n in ORACLES},
