@@ -60,6 +60,12 @@ Python-API-only through r12:
   the last 2 versions (``keep_last=2`` — the tip plus one rollback
   step, the Python API's default); state it with RETAIN when a longer
   time-travel horizon must survive.
+- ``ALTER TABLE '<path>' ADD CHECK (<expr>)`` / ``ALTER COLUMN <col>
+  SET NOT NULL`` / ``DROP CONSTRAINTS`` (r14) →
+  :func:`alter_table_constraints` — a METADATA-ONLY ``op="alter"``
+  commit (dataChange=false: incremental readers and the stream skip
+  it). ADD validates the EXISTING table first, Delta's rule;
+  constraints here are unnamed, so DROP drops them all.
 - ``DESCRIBE HISTORY '<path>'`` → the commit log as a DataFrame.
 
 Table paths are quoted string literals (the Delta ``delta.`/path```
@@ -160,6 +166,23 @@ _VACUUM = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_ADD_CHECK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+ADD\s+CHECK\s*"
+    r"\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_NOT_NULL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+SET\s+NOT\s+NULL\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+DROP\s+CONSTRAINTS\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+'(?P<path>[^']+)'\s*;?\s*$", re.IGNORECASE
 )
@@ -182,6 +205,9 @@ _GRAMMAR = (
     " | TO TIMESTAMP AS OF '<iso-utc>';"
     " OPTIMIZE '<path>' [ZORDER BY (c1, ...)];"
     " VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN];"
+    " ALTER TABLE '<path>' ADD CHECK (<expr>)"
+    " | ALTER COLUMN <col> SET NOT NULL | DROP CONSTRAINTS"
+    " (constraints are unnamed);"
     " DESCRIBE HISTORY '<path>'"
 )
 
@@ -396,6 +422,25 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
                 " reclaim_bytes bigint",
             )
         return vacuum(m.group("path"), keep_last=keep, min_age_seconds=0)
+    m = _ALTER_ADD_CHECK.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import alter_table_constraints
+
+        return alter_table_constraints(
+            spark, m.group("path"), add_check=m.group("expr").strip()
+        )
+    m = _ALTER_NOT_NULL.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import alter_table_constraints
+
+        return alter_table_constraints(
+            spark, m.group("path"), add_not_null=[m.group("col")]
+        )
+    m = _ALTER_DROP.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import alter_table_constraints
+
+        return alter_table_constraints(spark, m.group("path"), drop_all=True)
     m = _HISTORY.match(sql)
     if m:
         rows = history(m.group("path"))

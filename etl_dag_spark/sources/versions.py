@@ -1031,6 +1031,9 @@ def read_version_delta(
                 # segment boundary: close it with its end-of-segment map
                 seg_maps.append(cur_map)
                 cur_map = {}
+            elif m["op"] == "alter":
+                pass  # metadata-only (dataChange=false): no rows, no
+                # file rewrite, rename map carried unchanged
             else:
                 raise ValueError(
                     f"version {v} is {m['op']!r}: file diff != row diff; "
@@ -2028,6 +2031,110 @@ def restore_version(
     raise RuntimeError(f"could not commit a version after {max_retries} races")
 
 
+def alter_table_constraints(
+    spark: SparkSession,
+    path: str,
+    add_check: str | None = None,
+    add_not_null: list[str] | None = None,
+    drop_all: bool = False,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+    max_retries: int = 10,
+) -> int:
+    """ALTER TABLE ADD/DROP CONSTRAINT as a METADATA-ONLY commit (r14 —
+    the Delta verb; through r13 a constraint could only be declared by
+    piggybacking a data write). ``add_check`` is an SQL-string CHECK,
+    ``add_not_null`` lists columns; constraints are UNNAMED here (the
+    SQL grammar says so explicitly), so ``drop_all=True`` is the drop
+    form. Like Delta, ADDing validates the EXISTING table first — one
+    aggregate scan of the current snapshot; a violation refuses the
+    commit with :class:`ConstraintViolationError` and nothing lands.
+
+    The commit is ``op="alter"``: a delta manifest adding NO files
+    (dataChange=false — incremental readers and the streaming source
+    skip it exactly like OPTIMIZE's row-preserving commits, and
+    ``cdc_rows`` counts it row-preserving), carrying the parent's
+    schema/rename/layout state forward with the NEW constraint set.
+    Retries re-validate against the then-current tip (a racer may have
+    appended rows the new check must cover). Returns the version."""
+    if not (add_check or add_not_null or drop_all):
+        raise ValueError(
+            "alter_table_constraints needs add_check, add_not_null, "
+            "or drop_all"
+        )
+    if add_check is not None and not isinstance(add_check, str):
+        raise ValueError(
+            "add_check must be an SQL string (Column checks are "
+            "unserializable and cannot persist)"
+        )
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
+    writer_key = writer_id or "_default"
+    validated_tip = None
+    for _ in range(max_retries):
+        versions = _versions(path)
+        if not versions:
+            raise ValueError(f"no committed version to alter at {path}")
+        parent = versions[-1]
+        pm_raw = _load_raw(path, parent)
+        inherited = dict(pm_raw.get("constraints") or {})
+        persisted = (
+            {}
+            if drop_all
+            else _merge_constraints(inherited, add_check, add_not_null)
+        )
+        # Delta's ADD CONSTRAINT rule: existing rows must already
+        # satisfy the new constraint — validate the PARENT snapshot
+        # (re-done if a racer moved the tip between validation and
+        # claim; the aggregate is one scan)
+        if (add_check or add_not_null) and validated_tip != parent:
+            _enforce_constraints(
+                read_version(spark, path, parent),
+                [add_check] if add_check else [],
+                list(add_not_null or []),
+            )
+            validated_tip = parent
+        txns = dict(pm_raw.get("txns") or {})
+        if "txns" not in pm_raw and pm_raw.get("txn_id") is not None:
+            txns = {"_default": pm_raw["txn_id"]}
+        if txn_id is not None:
+            if txns.get(writer_key) == txn_id:
+                return parent
+            txns[writer_key] = txn_id
+        parent_n = (
+            pm_raw["n_files"]
+            if "n_files" in pm_raw
+            else len(pm_raw["files"])
+        )
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "op": "alter",
+            "ts": _now(),
+            "add": [],
+            "stats_add": {},
+            "n_files": parent_n,
+            "txn_id": txn_id,
+            "txns": txns,
+            "schema": pm_raw["schema"],
+        }
+        if pm_raw.get("rename"):
+            manifest["rename"] = pm_raw["rename"]
+        if pm_raw.get("evolved"):
+            manifest["evolved"] = True
+        if pm_raw.get("layout"):
+            manifest["layout"] = pm_raw["layout"]
+        if persisted:
+            manifest["constraints"] = persisted
+        if not _commit_manifest(path, parent + 1, manifest):
+            continue  # lost the race — recompute against the new tip
+        if (parent + 1) % _CHECKPOINT_EVERY == 0:
+            _write_checkpoint(path, parent + 1)
+        return parent + 1
+    raise RuntimeError(f"could not commit a version after {max_retries} races")
+
+
 def clone_table(
     src_path: str,
     dst_path: str,
@@ -2176,10 +2283,11 @@ def cdc_rows(
     versions = _versions(path)
     if to_version is None:
         to_version = versions[-1]
-    # op="optimize" versions are row-preserving, so a lineage of
-    # appends + optimizes still has an exact file-level insert set
+    # op="optimize"/"alter" versions are row-preserving (dataChange=
+    # false), so a lineage of appends + optimizes + alters still has
+    # an exact file-level insert set
     row_preserving = all(
-        _load_raw(path, v)["op"] in ("append", "optimize")
+        _load_raw(path, v)["op"] in ("append", "optimize", "alter")
         for v in versions
         if from_version < v <= to_version
     )

@@ -219,8 +219,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 continue
             m = _load_raw(self._path, v)
             op = m["op"]
-            if op == "optimize":
-                continue  # dataChange=false: row-preserving rewrite
+            if op in ("optimize", "alter"):
+                continue  # dataChange=false: row-preserving rewrite /
+                # metadata-only constraint change
             first = m.get("parent", 0) == 0
             if (
                 op != "append"

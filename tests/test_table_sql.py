@@ -372,6 +372,38 @@ def test_timestamp_as_of_sql(spark, tmp_path):
     assert all(t is not None for t in tss)
 
 
+def test_alter_constraint_sql(spark, tmp_path):
+    """r14: the ALTER TABLE constraint verbs route to the metadata-only
+    alter commit; a violating ADD refuses before anything lands."""
+    from etl_dag_spark.sources.versions import ConstraintViolationError
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, None)], "k int, v string"),
+        path,
+    )
+    with pytest.raises(ConstraintViolationError):
+        run_table_sql(
+            spark, f"ALTER TABLE '{path}' ALTER COLUMN v SET NOT NULL"
+        )
+    v = run_table_sql(spark, f"ALTER TABLE '{path}' ADD CHECK (k > 0)")
+    assert v == 2
+    assert history(path)[-1]["op"] == "alter"
+    with pytest.raises(ConstraintViolationError):
+        write_version(
+            spark.createDataFrame([(0, "x")], "k int, v string"),
+            path,
+            op="append",
+        )
+    run_table_sql(spark, f"ALTER TABLE '{path}' DROP CONSTRAINTS")
+    write_version(
+        spark.createDataFrame([(0, "x")], "k int, v string"),
+        path,
+        op="append",
+    )
+    assert len(read_version(spark, path).collect()) == 3
+
+
 def test_unsupported_statements_raise(spark, table):
     with pytest.raises(ValueError, match="supported statements"):
         run_table_sql(spark, f"TRUNCATE TABLE '{table}'")

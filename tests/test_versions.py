@@ -2129,3 +2129,96 @@ def test_timestamp_travel_vacuum_horizon(spark, tmp_path, monkeypatch):
     assert ver.version_at_timestamp(path, 2000.0) == 2
     with pytest.raises(ValueError, match="predates"):
         ver.version_at_timestamp(path, 1500.0)  # v1's slot was vacuumed
+
+
+def test_alter_table_constraints_metadata_only(spark, tmp_path):
+    """r14: ALTER TABLE ADD/DROP CONSTRAINT as a metadata-only commit —
+    existing data validates first (Delta's rule), the commit adds no
+    files, later writes enforce the declared set, incremental readers
+    skip the alter version, and DROP clears."""
+    from etl_dag_spark.sources.versions import (
+        ConstraintViolationError,
+        _load_raw,
+        alter_table_constraints,
+        read_version_delta,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, amt int"), path
+    )
+    # adding a check the EXISTING data violates refuses, commits nothing
+    with pytest.raises(ConstraintViolationError):
+        alter_table_constraints(spark, path, add_check="amt > 15")
+    assert history(path)[-1]["version"] == 1
+    # a satisfiable check commits metadata-only
+    v = alter_table_constraints(spark, path, add_check="amt > 0")
+    assert v == 2
+    m = _load_raw(path, 2)
+    assert m["op"] == "alter" and m["add"] == []
+    assert m["constraints"] == {"check": ["amt > 0"]}
+    assert history(path)[-1]["n_files"] == history(path)[0]["n_files"]
+    # the declared set now gates every later write
+    with pytest.raises(ConstraintViolationError):
+        write_version(
+            spark.createDataFrame([(3, -1)], "k int, amt int"),
+            path,
+            op="append",
+        )
+    write_version(
+        spark.createDataFrame([(3, 5)], "k int, amt int"), path, op="append"
+    )  # v3
+    # incremental readers skip the alter (dataChange=false)
+    got = sorted(
+        (r.k, r.amt) for r in read_version_delta(spark, path, 1, 3).collect()
+    )
+    assert got == [(3, 5)]
+    # SET NOT NULL validates existing rows too
+    alter_table_constraints(spark, path, add_not_null=["amt"])  # clean
+    with pytest.raises(ConstraintViolationError):
+        write_version(
+            spark.createDataFrame([(4, None)], "k int, amt int"),
+            path,
+            op="append",
+        )
+    # DROP clears the whole (unnamed) set
+    alter_table_constraints(spark, path, drop_all=True)
+    write_version(
+        spark.createDataFrame([(4, None)], "k int, amt int"),
+        path,
+        op="append",
+    )
+    assert len(read_version(spark, path).collect()) == 4
+
+
+def test_alter_does_not_break_the_table_stream(spark, tmp_path):
+    """An ALTER landing mid-stream is skipped like OPTIMIZE — the
+    subscriber keeps flowing (a metadata commit must never force a
+    restart)."""
+    from etl_dag_spark.sources.versions import alter_table_constraints
+    from etl_dag_spark.streaming.table_stream import read_table_stream
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("vt_alter")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        alter_table_constraints(spark, path, add_check="k > 0")
+        write_version(
+            spark.createDataFrame([(2, "b")], "k int, v string"),
+            path,
+            op="append",
+        )
+        q.processAllAvailable()
+        got = sorted((r.k, r.v) for r in spark.table("vt_alter").collect())
+        assert got == [(1, "a"), (2, "b")]
+    finally:
+        q.stop()
