@@ -66,6 +66,14 @@ Python-API-only through r12:
   commit (dataChange=false: incremental readers and the stream skip
   it). ADD validates the EXISTING table first, Delta's rule;
   constraints here are unnamed, so DROP drops them all.
+- ``ALTER TABLE '<path>' ADD COLUMNS (c type [, ...])`` / ``DROP
+  COLUMN <c>`` / ``DROP COLUMNS (c1, ...)`` (r14) →
+  :func:`alter_table_schema` — schema evolution as the same
+  metadata-only commit: added columns read as typed NULLs from
+  pre-alter files, dropped columns are projected out of every later
+  read while pre-drop versions still time-travel to them (OPTIMIZE
+  materializes the narrowed schema; constraint-referenced columns
+  refuse to drop).
 - ``DESCRIBE HISTORY '<path>'`` → the commit log as a DataFrame.
 
 Table paths are quoted string literals (the Delta ``delta.`/path```
@@ -183,6 +191,18 @@ _ALTER_DROP = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_ADD_COLS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+ADD\s+COLUMNS\s*"
+    r"\((?P<cols>[^()]+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_DROP_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'(?P<path>[^']+)'\s+DROP\s+COLUMN"
+    r"(?:S\s*\((?P<cols>[\w\s,]+)\)|\s+(?P<col>\w+))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+'(?P<path>[^']+)'\s*;?\s*$", re.IGNORECASE
 )
@@ -207,7 +227,9 @@ _GRAMMAR = (
     " VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN];"
     " ALTER TABLE '<path>' ADD CHECK (<expr>)"
     " | ALTER COLUMN <col> SET NOT NULL | DROP CONSTRAINTS"
-    " (constraints are unnamed);"
+    " (constraints are unnamed)"
+    " | ADD COLUMNS (c type [, ...]) | DROP COLUMN <c>"
+    " | DROP COLUMNS (c1, c2, ...);"
     " DESCRIBE HISTORY '<path>'"
 )
 
@@ -441,6 +463,27 @@ def run_table_sql(spark: SparkSession, sql: str) -> DataFrame | int:
         from etl_dag_spark.sources.versions import alter_table_constraints
 
         return alter_table_constraints(spark, m.group("path"), drop_all=True)
+    m = _ALTER_ADD_COLS.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import alter_table_schema
+
+        return alter_table_schema(
+            spark, m.group("path"), add_columns=m.group("cols").strip()
+        )
+    m = _ALTER_DROP_COL.match(sql)
+    if m:
+        from etl_dag_spark.sources.versions import alter_table_schema
+
+        cols = m.group("cols")
+        return alter_table_schema(
+            spark,
+            m.group("path"),
+            drop_columns=(
+                [c.strip() for c in cols.split(",")]
+                if cols
+                else [m.group("col")]
+            ),
+        )
     m = _HISTORY.match(sql)
     if m:
         rows = history(m.group("path"))

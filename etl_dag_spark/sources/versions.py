@@ -2135,6 +2135,137 @@ def alter_table_constraints(
     raise RuntimeError(f"could not commit a version after {max_retries} races")
 
 
+def alter_table_schema(
+    spark: SparkSession,
+    path: str,
+    add_columns: str | None = None,
+    drop_columns: list[str] | None = None,
+    txn_id: str | None = None,
+    writer_id: str | None = None,
+    max_retries: int = 10,
+) -> int:
+    """ALTER TABLE ADD COLUMNS / DROP COLUMN as METADATA-ONLY commits
+    (r14 — the Delta schema-evolution verbs; through r13 a column
+    could only be added by appending data that carried it). Zero data
+    is rewritten at any table size:
+
+    - ``add_columns`` is a DDL fragment (``"score double, tag
+      string"``): the new version's schema is the parent's plus these
+      fields; existing files simply lack them, and the ``evolved``
+      read path pads typed NULLs (the same machinery added-column
+      appends already use). Names must not collide with existing
+      columns or pending legacy names in the rename map.
+    - ``drop_columns`` removes fields from the schema only: old files
+      still CONTAIN the bytes (history is never rewritten — time
+      travel to a pre-drop version still reads them; an OPTIMIZE
+      materializes the narrowed schema and a later VACUUM reclaims
+      the old files, exactly Delta's column-mapping DROP contract),
+      but every read of this and later versions projects them out via
+      the ``evolved`` reconciliation. Refuses to drop key structural
+      state: a column referenced by a persisted CHECK / NOT NULL
+      constraint (Delta's rule) or every column at once.
+
+    The commit is ``op="alter"`` (dataChange=false — incremental
+    readers, ``cdc_rows``, and the streaming source skip it, pinned in
+    tests). Returns the committed version."""
+    if not (add_columns or drop_columns):
+        raise ValueError(
+            "alter_table_schema needs add_columns or drop_columns"
+        )
+    replayed = _replayed_tip(path, txn_id, writer_id)
+    if replayed is not None:
+        return replayed
+    new_fields = (
+        StructType.fromDDL(add_columns).fields if add_columns else []
+    )
+    writer_key = writer_id or "_default"
+    for _ in range(max_retries):
+        versions = _versions(path)
+        if not versions:
+            raise ValueError(f"no committed version to alter at {path}")
+        parent = versions[-1]
+        pm_raw = _load_raw(path, parent)
+        schema = StructType.fromJson(json.loads(pm_raw["schema"]))
+        names = set(schema.names)
+        renames = dict(pm_raw.get("rename") or {})
+        clash = [f.name for f in new_fields if f.name in names or f.name in renames]
+        if clash:
+            raise ValueError(f"columns already exist: {sorted(clash)}")
+        missing = [c for c in (drop_columns or []) if c not in names]
+        if missing:
+            raise ValueError(f"cannot drop unknown columns: {sorted(missing)}")
+        cons = dict(pm_raw.get("constraints") or {})
+        import re as _re
+
+        guarded = [
+            c
+            for c in (drop_columns or [])
+            if c in (cons.get("not_null") or [])
+            or any(
+                _re.search(rf"\b{_re.escape(c)}\b", ck)
+                for ck in (cons.get("check") or [])
+            )
+        ]
+        if guarded:
+            raise ValueError(
+                f"cannot drop constraint-referenced columns: "
+                f"{sorted(guarded)} (drop the constraint first)"
+            )
+        kept = [f for f in schema.fields if f.name not in (drop_columns or [])]
+        if not kept and not new_fields:
+            raise ValueError("cannot drop every column")
+        new_schema = StructType([*kept, *new_fields])
+        txns = dict(pm_raw.get("txns") or {})
+        if "txns" not in pm_raw and pm_raw.get("txn_id") is not None:
+            txns = {"_default": pm_raw["txn_id"]}
+        if txn_id is not None:
+            if txns.get(writer_key) == txn_id:
+                return parent
+            txns[writer_key] = txn_id
+        parent_n = (
+            pm_raw["n_files"]
+            if "n_files" in pm_raw
+            else len(pm_raw["files"])
+        )
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "op": "alter",
+            "ts": _now(),
+            "add": [],
+            "stats_add": {},
+            "n_files": parent_n,
+            "txn_id": txn_id,
+            "txns": txns,
+            "schema": new_schema.json(),
+            # the file set no longer matches the declared schema 1:1 —
+            # reads go through the evolved reconciliation (pad added,
+            # project out dropped)
+            "evolved": True,
+        }
+        if renames:
+            # a dropped CURRENT name orphans its legacy keys: remove
+            # them (reconcile would send the legacy column to a name
+            # the target schema lacks anyway — this keeps the map tidy)
+            renames = {
+                legacy: cur
+                for legacy, cur in renames.items()
+                if cur not in (drop_columns or [])
+            }
+            if renames:
+                manifest["rename"] = renames
+        if pm_raw.get("layout"):
+            manifest["layout"] = pm_raw["layout"]
+        if cons:
+            manifest["constraints"] = cons
+        if not _commit_manifest(path, parent + 1, manifest):
+            continue  # lost the race — recompute against the new tip
+        if (parent + 1) % _CHECKPOINT_EVERY == 0:
+            _write_checkpoint(path, parent + 1)
+        return parent + 1
+    raise RuntimeError(f"could not commit a version after {max_retries} races")
+
+
 def clone_table(
     src_path: str,
     dst_path: str,

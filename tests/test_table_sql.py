@@ -404,6 +404,25 @@ def test_alter_constraint_sql(spark, tmp_path):
     assert len(read_version(spark, path).collect()) == 3
 
 
+def test_alter_schema_sql(spark, tmp_path):
+    """r14: the ADD COLUMNS / DROP COLUMN verbs through SQL."""
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    v = run_table_sql(
+        spark,
+        f"ALTER TABLE '{path}' ADD COLUMNS (score double, tag string)",
+    )
+    assert v == 2
+    assert read_version(spark, path).columns == ["k", "v", "score", "tag"]
+    run_table_sql(spark, f"ALTER TABLE '{path}' DROP COLUMN tag")
+    assert read_version(spark, path).columns == ["k", "v", "score"]
+    run_table_sql(spark, f"ALTER TABLE '{path}' DROP COLUMNS (v, score)")
+    assert read_version(spark, path).columns == ["k"]
+    assert [r.k for r in read_version(spark, path).collect()] == [1]
+
+
 def test_unsupported_statements_raise(spark, table):
     with pytest.raises(ValueError, match="supported statements"):
         run_table_sql(spark, f"TRUNCATE TABLE '{table}'")
@@ -506,3 +525,61 @@ def test_merge_on_clause_parser_fuzz():
         _merge_keys("t.a = s.a OR t.b = s.b", "t", "s")  # disjunction
     with _pytest.raises(ValueError):
         _merge_keys("x.a = s.a", "t", "s")  # unknown alias
+
+
+def test_update_set_splitter_fuzz():
+    """Property (r14, companion to the ON-clause fuzz): any assignment
+    list whose expressions contain nested parens, quoted literals with
+    commas/equals, and arbitrary whitespace splits back to exactly the
+    (column, expression) pairs it was built from; malformed parts and
+    duplicate targets raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_dag_spark.sources.table_sql import _split_assignments
+
+    ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
+    # expression atoms that stress the depth-0 comma splitter
+    atom = st.sampled_from(
+        [
+            "x + 1",
+            "coalesce(a, b, 0)",
+            "'lit,with,commas'",
+            "'it''s = tricky'",
+            "greatest(f(a, b), g(c))",
+            "CAST(p AS DOUBLE)",
+            "s.np * 2",
+            "(a + (b - c)) / 2",
+        ]
+    )
+    spaces = st.sampled_from([" ", "  ", " \n "])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        cols=st.lists(ident, min_size=1, max_size=5, unique=True),
+        exprs=st.lists(atom, min_size=5, max_size=5),
+        sp=spaces,
+        qualify=st.booleans(),
+    )
+    def check(cols, exprs, sp, qualify):
+        alias = "t" if qualify else None
+        parts = []
+        for c, e in zip(cols, exprs):
+            lhs = f"t.{c}" if qualify else c
+            parts.append(f"{sp}{lhs}{sp}={sp}{e}{sp}")
+        sets = ",".join(parts)
+        got = _split_assignments(sets, alias=alias)
+        assert got == {c: e for c, e in zip(cols, exprs)}
+
+    check()
+
+    with pytest.raises(ValueError):
+        _split_assignments("a = 1, a = 2")  # duplicate target
+    with pytest.raises(ValueError):
+        _split_assignments("just_an_expr")  # no '='
+    with pytest.raises(ValueError):
+        _split_assignments("t.a = 1")  # qualified LHS on bare UPDATE
+    with pytest.raises(ValueError):
+        _split_assignments("x.a = 1", alias="t")  # wrong alias
+    # a quoted '=' or comma never splits/parses as an assignment op
+    assert _split_assignments("a = 'x=y, z'") == {"a": "'x=y, z'"}

@@ -2222,3 +2222,64 @@ def test_alter_does_not_break_the_table_stream(spark, tmp_path):
         assert got == [(1, "a"), (2, "b")]
     finally:
         q.stop()
+
+
+def test_alter_table_schema_add_and_drop_columns(spark, tmp_path):
+    """r14: ADD COLUMNS / DROP COLUMN as metadata-only commits — added
+    columns read as typed NULLs from pre-alter files, appends carry
+    them forward, dropped columns project out of later reads while
+    time travel still sees them, OPTIMIZE materializes the narrowed
+    schema, and constraint-referenced columns refuse to drop."""
+    from etl_dag_spark.sources.versions import (
+        _load_raw,
+        alter_table_constraints,
+        alter_table_schema,
+        compact_version,
+        read_version_delta,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )  # v1
+    v = alter_table_schema(spark, path, add_columns="score double")  # v2
+    assert v == 2
+    m = _load_raw(path, 2)
+    assert m["op"] == "alter" and m["add"] == [] and m["evolved"]
+    got = sorted(
+        (r.k, r.v, r.score) for r in read_version(spark, path).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None)]
+    # an append under the WIDENED schema flows through
+    write_version(
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "k int, v string, score double"
+        ),
+        path,
+        op="append",
+    )  # v3
+    got = sorted(
+        (r.k, r.score) for r in read_version(spark, path).collect()
+    )
+    assert got == [(1, None), (2, None), (3, 9.5)]
+    # incremental read across the alter: only the appended rows
+    inc = read_version_delta(spark, path, 1, 3)
+    assert [(r.k, r.score) for r in inc.collect()] == [(3, 9.5)]
+    # DROP COLUMN projects it out of later reads; time travel intact
+    v = alter_table_schema(spark, path, drop_columns=["v"])  # v4
+    assert read_version(spark, path).columns == ["k", "score"]
+    assert "v" in read_version(spark, path, 3).columns
+    # duplicate-add and unknown-drop refuse
+    with pytest.raises(ValueError, match="already exist"):
+        alter_table_schema(spark, path, add_columns="score double")
+    with pytest.raises(ValueError, match="unknown"):
+        alter_table_schema(spark, path, drop_columns=["nope"])
+    # a constraint-referenced column refuses to drop
+    alter_table_constraints(spark, path, add_check="k > 0")  # v5
+    with pytest.raises(ValueError, match="constraint-referenced"):
+        alter_table_schema(spark, path, drop_columns=["k"])
+    # OPTIMIZE materializes the narrowed schema (no legacy bytes left)
+    compact_version(spark, path)  # v6
+    m6 = _load_raw(path, 6)
+    assert not m6.get("evolved")
+    assert read_version(spark, path).columns == ["k", "score"]
