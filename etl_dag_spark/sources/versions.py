@@ -1859,6 +1859,7 @@ def apply_cdc_version(
     stats_cols: list[str] | None = None,
     txn_id: str | None = None,
     writer_id: str | None = None,
+    drop_order_col: bool = False,
 ) -> int:
     """Apply a Debezium-style CDC batch — insert/update/delete rows
     mixed in one frame — as ONE snapshot commit (r11; the verb that
@@ -1880,7 +1881,12 @@ def apply_cdc_version(
     ``writer_id`` make a replayed batch a manifest no-op — the
     exactly-once contract a streaming CDC feed needs. On an empty
     table the batch's upsert winners seed version 1 (deletes of
-    never-seen keys are no-ops)."""
+    never-seen keys are no-ops).
+
+    ``drop_order_col=True`` (r14): drop ``order_col`` from the rows
+    AFTER winner resolution, so a transport-only ordering column (a
+    replication stream's ``_commit_version``) never lands in the
+    table — the destination schema stays exactly the source's."""
     from urllib.parse import urlparse
 
     from pyspark.sql import Window
@@ -1899,6 +1905,8 @@ def apply_cdc_version(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if drop_order_col:
+        winners = winners.drop(order_col)
     ups = winners.where(F.col(op_col) != "D").drop(op_col)
     inh = _table_constraints(path)
     if inh:

@@ -489,6 +489,82 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._committed = max(self._committed, int(end["version"]))
 
 
+def replicate_table_stream(
+    spark,
+    src_path: str,
+    dst_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    **options,
+):
+    """CDC TABLE REPLICATION (r14): keep a downstream versioned table
+    exactly in sync with an upstream one by streaming the upstream's
+    CHANGE FEED into :func:`apply_cdc_version` — the Delta→Delta
+    replication shape (source CDF → MERGE sink), composed entirely
+    from this engine's own primitives:
+
+    - the source is ``readChangeFeed=true`` over ``src_path``: exact
+      per-commit change rows, so merges and deletes replicate as
+      surgical key operations — never ``ignoreChanges`` re-emission;
+    - each micro-batch folds its change rows into ONE CDC batch
+      (update_preimage rows drop — the postimage carries the new
+      values; deletes map to tombstones) ordered by
+      ``_commit_version``, so several upstream commits arriving in one
+      trigger apply in commit order per key;
+    - the apply is txn-gated by batch_id, so an at-least-once
+      foreachBatch redelivery is a manifest no-op — restart
+      exactly-once falls out of the offset checkpoint + txn map.
+
+    Returns the StreamingQuery (``availableNow`` trigger: one drain of
+    everything committed so far — call again to catch up, or pass
+    ``trigger_once=False`` semantics by managing the query yourself
+    via read_table_stream)."""
+    from pyspark.sql import functions as F
+
+    from etl_dag_spark.sources.versions import apply_cdc_version
+
+    changes = read_table_stream(
+        spark,
+        src_path,
+        readChangeFeed=True,
+        keyCols=",".join(key_cols),
+        **options,
+    )
+
+    def apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cdc = (
+            batch_df.where(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", "D").otherwise(
+                    "U"
+                ),
+            )
+            .drop("_change_type")
+        )
+        apply_cdc_version(
+            spark,
+            dst_path,
+            cdc,
+            key_cols,
+            order_col="_commit_version",
+            txn_id=f"replicate-{batch_id}",
+            writer_id=f"replicate:{src_path}",
+            # _commit_version is transport ordering, not data: the
+            # destination schema stays exactly the source's
+            drop_order_col=True,
+        )
+
+    return (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_table_stream(spark, path: str, **options):
     """Convenience wrapper: register the source (idempotent) and open a
     streaming frame over the versioned table at ``path``. Options pass
