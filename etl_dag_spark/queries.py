@@ -13418,6 +13418,86 @@ def sql_merge_update_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_table_sql(spark, f"SELECT * FROM TABLE_AT('{path}')")
 
 
+@register(
+    "sql_alter_versioned",
+    oracle="""
+WITH src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+)
+SELECT k AS o_orderkey, p AS price_cents, CAST(-1 AS BIGINT) AS bonus,
+       CAST(4 AS INT) AS snapshot
+FROM src
+UNION ALL
+SELECT -k, p, CAST(777 AS BIGINT), CAST(4 AS INT)
+FROM src WHERE k % 101 = 0 AND k > 0
+UNION ALL
+SELECT k, p, CAST(-2 AS BIGINT), CAST(1 AS INT) FROM src
+""",
+)
+def sql_alter_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution driven end-to-end through the SQL
+    surface (r14 — the ALTER verbs, sources/table_sql.py →
+    versions.py::alter_table_schema/alter_table_constraints): commit
+    orders as v1, ``ADD COLUMNS (bonus_cents bigint)`` + ``ADD CHECK
+    (price_cents >= 0)`` as zero-file alter commits, append re-keyed
+    negative rows CARRYING the new column (bonus 777), then ``DROP
+    COLUMN o_custkey``. The answer unions the post-drop tip (original
+    rows' bonus reads as the NULL-pad sentinel −1, appended rows 777,
+    o_custkey projected out) with the v1 snapshot (pre-evolution
+    schema, sentinel −2) — so ONE driver hash certifies widened-read
+    NULL padding, append-under-widened-schema, drop projection, the
+    constraint commit's no-op on data, and time travel ACROSS schema
+    changes. The oracle states it all closed-form over the source
+    rows.
+
+    Scale shape: every ALTER is O(1) data (zero files written); the
+    evolved read path is the same mergeSchema+reconcile machinery the
+    r11 appends use."""
+    from etl_dag_spark.sources import versions as ver
+    from etl_dag_spark.sources.table_sql import run_table_sql
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        star.cents("o_totalprice").alias("price_cents"),
+    )
+
+    def build(path: str) -> None:
+        ver.write_version(o.repartition(8, "o_orderkey"), path)
+        run_table_sql(
+            spark,
+            f"ALTER TABLE '{path}' ADD COLUMNS (bonus_cents bigint)",
+        )
+        run_table_sql(
+            spark, f"ALTER TABLE '{path}' ADD CHECK (price_cents >= 0)"
+        )
+        ver.write_version(
+            o.where(
+                (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") > 0)
+            )
+            .withColumn("o_orderkey", -F.col("o_orderkey"))
+            .withColumn("bonus_cents", F.lit(777).cast("long")),
+            path,
+            op="append",
+        )
+        run_table_sql(spark, f"ALTER TABLE '{path}' DROP COLUMN o_custkey")
+
+    path = _cached_version_table("sql_alter_versioned", sf_dir, build)
+    return run_table_sql(
+        spark,
+        f"""SELECT o_orderkey, price_cents,
+                   coalesce(bonus_cents, CAST(-1 AS BIGINT)) AS bonus,
+                   CAST(4 AS INT) AS snapshot
+            FROM TABLE_AT('{path}')
+            UNION ALL
+            SELECT o_orderkey, price_cents, CAST(-2 AS BIGINT),
+                   CAST(1 AS INT)
+            FROM TABLE_AT('{path}', 1)""",
+    )
+
+
 def _register_sql_table_changes() -> None:
     """Deferred registration so the oracle can be SHARED BY REFERENCE
     with ``etl_cdc_rows`` (same fixture, same closed-form SQL): a
@@ -13633,9 +13713,10 @@ _ROTATE_TO_FRONT = [
 # leads (r10 evidence — 5 rounds stale by r15), then the 3 oracles
 # whose FIRST driver hash is pending from the r14 registrations
 # (`sql_update_versioned`, `sql_table_changes`,
-# `sql_merge_update_versioned` — all driver-sim green at r14;
-# `text_unigram_lm` is rows-only and needs no slot), then fill the
-# remaining ~32 slots with the oldest r11-evidence oracles (50 carry
+# `sql_merge_update_versioned`, `sql_alter_versioned` — all driver-sim
+# green at r14; `text_unigram_lm` is rows-only and needs no slot),
+# then fill the remaining ~31 slots with the oldest r11-evidence
+# oracles (50 carry
 # r11 as of r14 — oldest-registered first) to keep the ≤4-round
 # refresh cycle alive.
 SPARK_QUERIES = {
