@@ -10,8 +10,9 @@ corpus is touched exactly once. The same shape here:
 1. one corpus pass builds (word, count), optionally capped to the top
    ``max_word_types`` by count (exact TakeOrdered top-k) so the
    iteration state is bounded no matter the corpus;
-2. each merge iteration counts adjacent symbol pairs (posexplode +
-   lead window — all codegen), takes the argmax with a deterministic
+2. each merge iteration counts adjacent symbol pairs (slice +
+   arrays_zip self-shift + explode — all codegen, ONE map-side-combined
+   shuffle, no per-word window), takes the argmax with a deterministic
    tiebreak (count desc, pair asc) via TakeOrderedAndProject, and
    applies the merge with a single literal ``F.replace`` on the
    space-separated symbol string (left-to-right non-overlapping —
@@ -26,7 +27,7 @@ literal reference Python BPE in tests/test_bpe.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_dag_spark.functions.text import tokens_column
@@ -90,18 +91,32 @@ def train_bpe(
 
     out_schema = "rank int, left string, right string, merged string, pair_count bigint"
     merges: list[tuple] = []
-    for i in range(int(num_merges)):
-        # the word id must be assigned BEFORE the explode — inside the
-        # exploded select it would number symbol rows, not words
-        toks = reprs.withColumn("wid", F.monotonically_increasing_id()).select(
-            "wid",
-            F.posexplode(F.split(F.trim("r"), "  ")).alias("pos", "sym"),
-            F.col("c"),
+    # Adjacent-pair counting is SHUFFLE-MINIMAL (r14): zip each word's
+    # symbol array against itself shifted by one (slice + arrays_zip —
+    # plain codegen expressions, no interpreted lambda, no per-word
+    # window sort), explode the pairs, and aggregate — ONE map-side-
+    # combined shuffle per merge instead of the previous
+    # posexplode → per-word window (repartition by word id) → groupBy
+    # two-shuffle shape. The frontier checkpoints LAZILY every few
+    # merges instead of eagerly every merge: the chained literal
+    # replaces are cheap codegen, so the next count job folds the
+    # materialization in — halving the per-merge job count again.
+    syms = F.split(F.trim("r"), "  ")
+    pair_rows = F.explode(
+        F.arrays_zip(
+            F.slice(syms, 1, F.size(syms) - 1).alias("sym"),
+            F.slice(syms, 2, F.size(syms) - 1).alias("nxt"),
         )
-        nxt = F.lead("sym").over(Window.partitionBy("wid").orderBy("pos"))
+    )
+    pending = 0
+    for i in range(int(num_merges)):
         best = (
-            toks.withColumn("nxt", nxt)
-            .where(F.col("nxt").isNotNull())
+            reprs.select(pair_rows.alias("pr"), F.col("c"))
+            .select(
+                F.col("pr").getField("sym").alias("sym"),
+                F.col("pr").getField("nxt").alias("nxt"),
+                "c",
+            )
             .groupBy("sym", "nxt")
             .agg(F.sum("c").alias("pc"))
             .orderBy(F.col("pc").desc(), F.col("sym"), F.col("nxt"))
@@ -117,7 +132,11 @@ def train_bpe(
                 F.col("r"), F.lit(f" {a}  {b} "), F.lit(f" {a + b} ")
             ).alias("r"),
             "c",
-        ).localCheckpoint(eager=True)  # iterative op: materialize the frontier
+        )
+        pending += 1
+        if pending == 6:  # bound the replace-chain depth (codegen size)
+            reprs = reprs.localCheckpoint(eager=False)
+            pending = 0
     return spark.createDataFrame(merges, out_schema)
 
 

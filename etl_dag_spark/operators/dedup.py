@@ -915,33 +915,104 @@ def cluster_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    driver_solve_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` → one cluster id per
     document (the min doc_id in its component) and a keep flag for the
     canonical representative — the step that turns pairwise similarity
     into an actual deduplicated corpus.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; fixpoint in
-    O(component diameter) rounds (near-dup components are tiny — chains
-    of copies — so this is 2-3 rounds in practice). Labels live in a
-    (node, label) frame shuffled by node; edges are symmetrized once.
-    No driver-side graph state.
+    ADAPTIVE physical strategy (r14, the greedy_earliest_survivors
+    pattern): only nodes that appear in some pair can change label —
+    the matched subgraph, typically a tiny fraction of a mostly-unique
+    corpus. When the (deduplicated) edge count is at most
+    ``driver_solve_max_edges`` (one count over the already-checkpointed
+    edge frame), min-label components are solved DRIVER-SIDE with one
+    union-find pass over the collected edges — replacing the fixpoint's
+    per-round Spark jobs (join + scalar-aggregate per round) whose
+    scheduler overhead dominates at small candidate volumes. Above the
+    bound, the distributed min-label fixpoint below runs over the
+    TOUCHED subgraph only (untouched docs are their own cluster by
+    construction and never enter the iteration) — the 100 TB path never
+    collects a corpus-scaled frame. The two strategies are equal by
+    construction (union-by-min keeps each tree's root at the component
+    minimum) and pinned equal in tests/test_dedup_recall.py.
+
+    Distributed path: iterative min-label propagation — each round
+    every touched node adopts the smallest label among itself and its
+    neighbors; fixpoint in O(component diameter) rounds (near-dup
+    components are tiny — chains of copies — so this is 2-3 rounds in
+    practice). Labels live in a (node, label) frame shuffled by node;
+    edges are symmetrized once. Driver state is one scalar per round.
 
     → (doc_id, cluster_id, is_canonical)
     """
-    edges = (
-        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+    spark = documents.sparkSession
+    half = (
+        pairs.select(
+            F.col("doc_id_a").cast("bigint").alias("u"),
+            F.col("doc_id_b").cast("bigint").alias("v"),
         )
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = documents.select(
-        F.col(id_col).cast("bigint").alias("node"),
-        F.col(id_col).cast("bigint").alias("label"),
-    ).localCheckpoint(eager=False)
+    all_nodes = documents.select(F.col(id_col).cast("bigint").alias("node"))
+
+    def _result(labels: DataFrame, touched_nodes: DataFrame) -> DataFrame:
+        untouched = all_nodes.join(touched_nodes, "node", "left_anti").select(
+            "node", F.col("node").alias("label")
+        )
+        return labels.unionByName(untouched).select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+
+    n_edges = half.count()
+    if n_edges <= driver_solve_max_edges:
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in half.collect():
+            u, v = int(r["u"]), int(r["v"])
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                # union by MIN label: the root of every tree is its
+                # component's minimum id, so find() IS the cluster id
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        decided = spark.createDataFrame(
+            sorted((x, _find(x)) for x in parent), "node bigint, label bigint"
+        ) if parent else spark.createDataFrame([], "node bigint, label bigint")
+        # endpoints are ⊆ documents for every caller (pairs are derived
+        # from the same frame); the semi-join pins that contract so a
+        # stray endpoint could never add an output row the distributed
+        # path would not produce
+        return _result(
+            decided.join(all_nodes, "node", "left_semi"), decided.select("node")
+        )
+
+    edges = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    touched = edges.select(F.col("u").alias("node")).distinct()
+    labels = (
+        all_nodes.join(touched, "node", "left_semi")
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
@@ -969,11 +1040,7 @@ def cluster_pairs(
         prev_sum = new_sum
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("node") == F.col("label")).alias("is_canonical"),
-    )
+    return _result(labels, labels.select("node"))
 
 
 # ------------------------------------------- incremental dedup w/ store

@@ -26,19 +26,31 @@ def bfs_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    driver_solve_max_edges: int = 500_000,
 ) -> DataFrame:
     """Multi-source BFS hop distances over a directed edge list —
     cycle-safe (every node is discovered exactly once, at its minimum
     hop count) → (node, dist INT); nodes unreachable from ``sources``
     are absent.
 
-    Level-synchronous frontier expansion: per level, one join of the
-    frontier against the edge list (shuffle sized to the frontier's
-    out-edges) and one anti-join against the visited set; the frontier
-    and visited frames follow the checkpoint discipline (visited is
-    referenced twice per level — dedupe + union — so its plan is
-    truncated each level like PageRank's ranks). Driver state is one
-    emptiness scalar per level; iteration count is O(graph diameter).
+    ADAPTIVE physical strategy (r14, the greedy_earliest_survivors
+    pattern): when the deduplicated edge list is at most
+    ``driver_solve_max_edges`` rows (one count over the persisted edge
+    frame), the exact BFS runs DRIVER-SIDE over the collected adjacency
+    list — hop counts are integers, so the two paths are bit-equal by
+    construction (pinned in tests/test_graph.py); the per-level Spark
+    jobs of the distributed loop are pure scheduler overhead on small
+    graphs. Above the bound the level-synchronous loop below runs
+    unchanged — the 100 TB path never collects an SF-scaled edge list.
+
+    Distributed path: level-synchronous frontier expansion — per level,
+    one join of the frontier against the edge list (shuffle sized to
+    the frontier's out-edges) and one anti-join against the visited
+    set; the frontier and visited frames follow the checkpoint
+    discipline (visited is referenced twice per level — dedupe + union
+    — so its plan is truncated each level like PageRank's ranks).
+    Driver state is one emptiness scalar per level; iteration count is
+    O(graph diameter).
 
     Node ids compare (and return) as STRINGS: sources and both edge
     endpoints are cast identically, so numeric ids never fall into
@@ -49,6 +61,39 @@ def bfs_distances(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),
     ).distinct().persist()
+    n_edges = e.count()
+    if n_edges <= driver_solve_max_edges:
+        try:
+            adj: dict[str, list[str]] = {}
+            for r in e.collect():
+                adj.setdefault(r["src"], []).append(r["dst"])
+        finally:
+            e.unpersist()
+        srcs = [
+            r["node"]
+            for r in sources.select(
+                F.col(sources.columns[0]).cast("string").alias("node")
+            )
+            .distinct()
+            .collect()
+        ]
+        dist: dict[str, int] = {s: 0 for s in srcs}
+        frontier = list(dist)
+        level = 0
+        while frontier:
+            level += 1
+            if level > max_iter:
+                raise RuntimeError(f"BFS did not exhaust in {max_iter} levels")
+            nxt: list[str] = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = level
+                        nxt.append(v)
+            frontier = nxt
+        return edges.sparkSession.createDataFrame(
+            sorted(dist.items()), "node string, dist int"
+        )
     try:
         visited = (
             sources.select(F.col(sources.columns[0]).cast("string").alias("node"))
@@ -85,30 +130,80 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    driver_solve_max_edges: int = 500_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, fixed ``n_iter``
     power iterations (the production form: a fixed sweep count, not a
     float-convergence driver loop).
 
-    → (node, rank); ranks sum to 1.0 (dangling-node mass is
-    redistributed uniformly each iteration, the standard correction).
+    → (node STRING, rank DOUBLE); ranks sum to 1.0 (dangling-node mass
+    is redistributed uniformly each iteration, the standard
+    correction). Node ids are cast to STRING like
+    :func:`bfs_distances`, so both adaptive paths return one type.
 
-    Per iteration: contribution = rank · w/out_w per edge, one groupBy
-    shuffle on the destination; dangling mass is a SCALAR (one-row
-    aggregate collected) folded into the teleport term — never a
-    node-sized join. Ranks persist per iteration and the previous
-    frontier unpersists only after the next one materializes
-    (SURVEY §6b-4 frontier discipline).
+    ADAPTIVE: edge lists at most ``driver_solve_max_edges`` rows after
+    folding solve driver-side in numpy (see the inline note); larger
+    graphs run the distributed loop: per iteration, contribution =
+    rank · w/out_w per edge, one groupBy shuffle on the destination;
+    dangling mass is a SCALAR (one-row aggregate collected) folded
+    into the teleport term — never a node-sized join. Ranks persist
+    per iteration and the previous frontier unpersists only after the
+    next one materializes (SURVEY §6b-4 frontier discipline).
     """
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = (
         edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+            w.alias("w"),
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
         .persist()
     )
+    # ADAPTIVE physical strategy (r14, the greedy_earliest_survivors
+    # pattern): when the folded edge list fits under the bound, the
+    # power iteration runs DRIVER-SIDE in numpy with the identical
+    # update rule — the per-sweep Spark jobs (join + groupBy + two
+    # checkpoint materializations) are pure scheduler overhead on small
+    # graphs. Float sums accumulate in edge order instead of Spark's
+    # partition order; both are within the reduction-order noise the
+    # operator already carries (rows-only registration; the numpy
+    # reference in tests/test_graph.py agrees to <=1e-9 with BOTH).
+    # Above the bound the distributed loop runs unchanged — the 100 TB
+    # path never collects an SF-scaled edge list.
+    n_edges = e.count()
+    if n_edges == 0:
+        e.unpersist()
+        return edges.sparkSession.createDataFrame([], "node string, rank double")
+    if n_edges <= driver_solve_max_edges:
+        import numpy as np
+
+        try:
+            rows = e.collect()
+        finally:
+            e.unpersist()
+        node_list = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        idx = {v: i for i, v in enumerate(node_list)}
+        n = len(node_list)
+        m = len(rows)
+        src_i = np.fromiter((idx[r["src"]] for r in rows), dtype=np.int64, count=m)
+        dst_i = np.fromiter((idx[r["dst"]] for r in rows), dtype=np.int64, count=m)
+        wv = np.fromiter((float(r["w"]) for r in rows), dtype=np.float64, count=m)
+        out_w = np.zeros(n)
+        np.add.at(out_w, src_i, wv)
+        p = wv / out_w[src_i]
+        dangling = out_w == 0.0
+        rank = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            contrib = np.zeros(n)
+            np.add.at(contrib, dst_i, rank[src_i] * p)
+            dm = float(rank[dangling].sum())
+            rank = (1.0 - damping) / n + (damping / n) * dm + damping * contrib
+        return edges.sparkSession.createDataFrame(
+            [(v, float(rank[idx[v]])) for v in node_list],
+            "node string, rank double",
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -116,10 +211,6 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    if n == 0:
-        e.unpersist()
-        nodes.unpersist()
-        return edges.sparkSession.createDataFrame([], "node string, rank double")
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # normalized edge transition weights: one frame reused every sweep
     trans = (

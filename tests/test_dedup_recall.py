@@ -257,6 +257,36 @@ def test_cluster_pairs_components(spark):
     }
 
 
+def test_cluster_pairs_adaptive_paths_equal(spark):
+    """The r14 adaptive driver-solve (union-find over collected edges)
+    and the forced distributed min-label fixpoint
+    (driver_solve_max_edges=0) produce IDENTICAL clusters — including a
+    long chain (propagation depth > 1 round) and ids arriving in
+    arbitrary edge order."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 16)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        # chain 7-6-5-4-3-2-1 written high-to-low (worst case for one
+        # propagation round), a triangle 9-10-11, a pair (14, 8), iso 12
+        [(6, 7), (5, 6), (4, 5), (3, 4), (2, 3), (1, 2),
+         (9, 10), (10, 11), (9, 11), (8, 14)],
+        "doc_id_a long, doc_id_b long",
+    )
+    fast = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dd.cluster_pairs(pairs, docs).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dd.cluster_pairs(
+            pairs, docs, driver_solve_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert (1, 1, True) in fast and (7, 1, False) in fast
+
+
 def test_operators_degrade_on_empty_inputs(spark):
     """Empty corpora / empty query sets → empty results, not crashes."""
     empty_docs = spark.createDataFrame([], "doc_id long, text string")

@@ -59,6 +59,18 @@ def test_pagerank_matches_numpy_reference(spark, edges):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.parametrize("edges", CASES)
+def test_pagerank_adaptive_paths_agree(spark, edges):
+    """The r14 driver-side numpy solve and the forced distributed loop
+    (driver_solve_max_edges=0) agree to the reduction-order tolerance
+    the operator already carries (<=1e-9; rows-only registration)."""
+    fast = _run(spark, edges, damping=0.85, n_iter=10)
+    dist = _run(spark, edges, damping=0.85, n_iter=10, driver_solve_max_edges=0)
+    assert set(fast) == set(dist)
+    for v in fast:
+        assert fast[v] == pytest.approx(dist[v], abs=1e-9)
+
+
 def test_pagerank_parallel_edges_fold(spark):
     """Duplicate (src, dst) rows sum their weights — same result as the
     pre-folded edge."""
@@ -105,6 +117,28 @@ def test_bfs_distances_cycle_safe_min_hops(spark):
     sources = spark.createDataFrame([("s",)], "node string")
     got = {r.node: r.dist for r in bfs_distances(edges, sources).collect()}
     assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_distances_adaptive_paths_equal(spark):
+    """The r14 driver-side BFS and the forced distributed loop
+    (driver_solve_max_edges=0) are bit-equal — hop counts are
+    integers."""
+    from etl_dag_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"), ("c", "s"),
+         ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("s",)], "node string")
+    fast = {(r.node, r.dist) for r in bfs_distances(edges, sources).collect()}
+    dist = {
+        (r.node, r.dist)
+        for r in bfs_distances(
+            edges, sources, driver_solve_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
 
 
 def test_bfs_distances_multi_source(spark):

@@ -96,6 +96,34 @@ def test_null_values_and_null_groups_are_excluded(spark):
     assert (r.g, r.n, r.k, r.kth_value) == ("g", 3, 2, 2)
 
 
+def test_adaptive_fanout_equals_forced_narrow(spark):
+    """The r14 adaptive fanout (wider probes, fewer scans) finds the
+    SAME order statistic as a forced fanout=4 — exactness is structural
+    (smallest v with count(<=v) >= k), independent of probe layout."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("a", rng.randrange(-1_000_000, 1_000_000)) for _ in range(500)]
+    rows += [("b", rng.randrange(0, 50)) for _ in range(101)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    adaptive = {
+        r.g: (r.n, r.k, r.kth_value)
+        for r in kth_smallest_bisect(
+            df, "g", "v", k_of_n=lambda n: (n + 1) // 2
+        ).collect()
+    }
+    narrow = {
+        r.g: (r.n, r.k, r.kth_value)
+        for r in kth_smallest_bisect(
+            df, "g", "v", k_of_n=lambda n: (n + 1) // 2, fanout=4
+        ).collect()
+    }
+    assert adaptive == narrow
+    for g in ("a", "b"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        assert adaptive[g][2] == vals[(len(vals) + 1) // 2 - 1]
+
+
 def test_group_cardinality_guard_fails_fast(spark):
     """Driver state is per-group: a high-cardinality group_col must be
     rejected BEFORE the scan loop, not OOM the driver (VERDICT r8 #3)."""
