@@ -1264,6 +1264,7 @@ def distributed_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 1_000_000,
+    driver_solve_max_rows: int = 250_000,
 ) -> tuple[DataFrame, list[list[int]], list[int]]:
     """Full-corpus Lloyd's k-means — the scale-out twin of the
     capped-sample codebook trainer (``_kmeans_centroids``): that one
@@ -1298,17 +1299,63 @@ def distributed_kmeans(
     q = _spread(quantized_vectors(embeddings, id_col, vec_col, quant)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hv = F.expr(
-        "CAST(conv(substring(md5(concat('km:', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-    )
-    seed_rows = (
-        q.select("vec_id", "q", hv.alias("__hv"))
-        .orderBy("__hv", "vec_id")
-        .limit(k)
-        .collect()
-    )  # TakeOrderedAndProject: per-partition k-heap, no global sort
-    seed_ids = [r["vec_id"] for r in seed_rows]
-    centroids = [list(r["q"]) for r in seed_rows]
+    # ADAPTIVE sweep loop (r14, the greedy_earliest_survivors pattern):
+    # Lloyd's ITERATION STATE is only the k×dim centroid table, but
+    # each distributed sweep costs one Arrow pass + one k·dim shuffle +
+    # one collect — pure scheduler overhead when the quantized corpus
+    # itself fits the driver. Under the row bound, collect q ONCE and
+    # run the identical integer sweeps in numpy (same floor(Σ/n) double
+    # division, same first-minimum argmin — the literal arithmetic
+    # tests/test_kmeans.py already replays); the FINAL assignment still
+    # runs executor-side over the persisted frame, so the returned
+    # frame is produced by the same Arrow pass either way and results
+    # are bit-equal (pinned in test_kmeans.py). Above the bound — the
+    # 100 TB path — nothing changes: seeds via TakeOrdered, sweeps as
+    # Arrow passes with k·dim partial-sum shuffles.
+    n_rows = q.count()
+    if n_rows <= driver_solve_max_rows:
+        import hashlib
+
+        pdf = q.toPandas()
+        ids_l = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+        hv_l = np.asarray(
+            [
+                int(hashlib.md5(f"km:{int(i)}".encode()).hexdigest()[:8], 16)
+                for i in ids_l
+            ],
+            dtype=np.int64,
+        )
+        order = np.lexsort((ids_l, hv_l))[:k]
+        seed_ids = [int(i) for i in ids_l[order]]
+        centroids = [[int(x) for x in row] for row in mat[order]] if len(order) else []
+        for _ in range(sweeps if centroids else 0):
+            c_mat = np.asarray(centroids, dtype=np.int64)
+            diff = mat[:, None, :] - c_mat[None, :, :]
+            cl = (diff * diff).sum(axis=2).argmin(axis=1)
+            new_c = [list(c) for c in centroids]
+            for j in range(len(centroids)):
+                members = mat[cl == j]
+                if len(members):
+                    new_c[j] = [
+                        int(x)
+                        for x in np.floor(
+                            members.sum(axis=0) / len(members)
+                        ).astype(np.int64)
+                    ]
+            centroids = new_c
+    else:
+        hv = F.expr(
+            "CAST(conv(substring(md5(concat('km:', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        seed_rows = (
+            q.select("vec_id", "q", hv.alias("__hv"))
+            .orderBy("__hv", "vec_id")
+            .limit(k)
+            .collect()
+        )  # TakeOrderedAndProject: per-partition k-heap, no global sort
+        seed_ids = [r["vec_id"] for r in seed_rows]
+        centroids = [list(r["q"]) for r in seed_rows]
 
     def assigner(cents: list[list[int]]):
         c_mat = np.asarray(cents, dtype=np.int64)
@@ -1364,19 +1411,20 @@ def distributed_kmeans(
 
         return upd
 
-    for _ in range(sweeps):
-        upd = (
-            q.mapInPandas(updater(centroids), "cluster int, dim int, s long, n long")
-            .groupBy("cluster", "dim")
-            .agg(
-                F.floor(F.sum("s") / F.sum("n")).cast("bigint").alias("cu")
+    if n_rows > driver_solve_max_rows:
+        for _ in range(sweeps):
+            upd = (
+                q.mapInPandas(updater(centroids), "cluster int, dim int, s long, n long")
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.floor(F.sum("s") / F.sum("n")).cast("bigint").alias("cu")
+                )
+                .collect()
             )
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]  # emptied cluster keeps its centroid
-        for r in upd:
-            new_c[r["cluster"]][r["dim"]] = r["cu"]
-        centroids = new_c
+            new_c = [list(c) for c in centroids]  # emptied cluster keeps its centroid
+            for r in upd:
+                new_c[r["cluster"]][r["dim"]] = r["cu"]
+            centroids = new_c
 
     schema = "vec_id long, q array<bigint>, cluster int, dist_sq long"
 

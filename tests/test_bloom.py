@@ -103,13 +103,17 @@ def test_incremental_dedup_identical_with_and_without_bloom(spark, tmp_path):
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
     outs = []
+    # bloom_min_store_bytes=0 disables the r14 size gate so the bloom
+    # variant genuinely exercises the prefilter at test scale
     for label, bits in (("bloom", 1 << 20), ("nobloom", None)):
         spark.sql(f"DROP TABLE IF EXISTS t_bloom_{label}")
         incremental_minhash_dedup(
-            d, f"t_bloom_{label}", path=str(tmp_path / label), bloom_bits=bits
+            d, f"t_bloom_{label}", path=str(tmp_path / label), bloom_bits=bits,
+            bloom_min_store_bytes=0,
         )
         res = incremental_minhash_dedup(
-            copies, f"t_bloom_{label}", path=str(tmp_path / label), bloom_bits=bits
+            copies, f"t_bloom_{label}", path=str(tmp_path / label), bloom_bits=bits,
+            bloom_min_store_bytes=0,
         )
         outs.append({r.doc_id: (r.keep, r.matched_store) for r in res.collect()})
         spark.sql(f"DROP TABLE IF EXISTS t_bloom_{label}")

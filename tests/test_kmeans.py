@@ -94,6 +94,23 @@ def test_kmeans_bit_equal_real_embeddings(spark):
     assert not mism, mism[:5]
 
 
+def test_kmeans_adaptive_paths_bit_equal(spark):
+    """The r14 driver-side sweep loop (collect-once numpy iteration)
+    and the forced distributed sweeps (driver_solve_max_rows=0) produce
+    bit-identical seeds, centroids, and assignments — the arithmetic is
+    integer end-to-end with the same floor(Σ/n) double division."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    a_fast, c_fast, s_fast = distributed_kmeans(e, k=5, sweeps=3)
+    a_dist, c_dist, s_dist = distributed_kmeans(
+        e, k=5, sweeps=3, driver_solve_max_rows=0
+    )
+    assert s_fast == s_dist
+    assert c_fast == c_dist
+    r_fast = {r["vec_id"]: (r["cluster"], r["dist_sq"]) for r in a_fast.collect()}
+    r_dist = {r["vec_id"]: (r["cluster"], r["dist_sq"]) for r in a_dist.collect()}
+    assert r_fast == r_dist
+
+
 def test_kmeans_recovers_planted_clusters(spark):
     """Blobs separated by ~20 units vs jitter ≤0.6: every blob must map
     onto exactly one k-means cluster (purity 1.0)."""
