@@ -716,7 +716,8 @@ SCENE_SCHEMA = "doc_id bigint, n_frames int, n_cuts int, cut_indices array<int>"
 
 
 def detect_scene_cuts(
-    df: DataFrame, n_frames: int = 8, threshold: float = 0.5
+    df: DataFrame, n_frames: int = 8, threshold: float = 0.5,
+    spread: bool = True,
 ) -> DataFrame:
     """Shot-boundary / scene-cut detection over the video seam — the
     classic histogram-difference method (Zhang, Kankanhalli & Smoliar
@@ -742,11 +743,15 @@ def detect_scene_cuts(
     Scale shape: one projection → repartition (a single-file source
     must not serialize the Python stage through one task, §6b-10) →
     one ``mapInPandas`` pass; frames, histograms and diffs live only
-    inside the batch — payloads never shuffle."""
+    inside the batch. ``spread=False`` skips the repartition (r14): a
+    caller that already spread BEFORE synthesizing payloads would
+    otherwise shuffle the payload bytes a second time for nothing —
+    the round-robin repartition is only the single-task rescue, and
+    payload bytes then never enter any Exchange."""
     spark = df.sparkSession
-    cols = df.select("doc_id", "payload").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    cols = df.select("doc_id", "payload")
+    if spread:
+        cols = cols.repartition(spark.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -1486,7 +1486,13 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return detect_scene_cuts(attach_video_payload(docs)).select(
+    # spread BEFORE synthesis (r14): the single-file scan would run the
+    # payload-synthesizing Arrow pass on ONE task, then shuffle the
+    # synthesized bytes; spreading the (doc_id, text) rows first
+    # parallelizes the synthesis and detect_scene_cuts skips its
+    # payload repartition entirely — bytes never shuffle (§6b-10)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    return detect_scene_cuts(attach_video_payload(spread), spread=False).select(
         "doc_id", "n_frames", "n_cuts"
     )
 
