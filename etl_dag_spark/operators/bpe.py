@@ -53,11 +53,77 @@ def word_type_table(
     return w
 
 
+def _driver_bpe(word_counts: dict[str, int], num_merges: int) -> list[tuple]:
+    """Sequential BPE over a collected word-type table — the identical
+    algorithm the distributed loop runs (argmax by (count desc, pair
+    asc), left-to-right non-overlapping merge, stop when best < 2),
+    with INCREMENTAL pair-count maintenance: only words containing the
+    merged pair are re-counted per iteration (the classic dictionary-
+    BPE trainer shape), so 30 merges over 100k types run in well under
+    a second of driver time instead of 30 scheduler-bound Spark jobs.
+
+    Exactness: integer counts, and the maintained pair-count dict is
+    element-for-element the full recount (a merge (a,b) destroys only
+    pairs inside affected words and creates only pairs touching the new
+    symbol; after a left-to-right pass no (a,b) adjacency survives, so
+    the (a,b) entry drains to zero and is dropped). Python string
+    comparison (code points) orders exactly like Spark's UTF8String
+    (UTF-8 byte order preserves code-point order), so tiebreaks agree.
+    Pinned equal to tests/test_bpe.py::_reference_bpe and to the forced
+    distributed path.
+    """
+    syms_l = [list(w) for w in word_counts]
+    cnts = list(word_counts.values())
+    pair_counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(syms_l):
+        c = cnts[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            index.setdefault(p, set()).add(wi)
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        if not pair_counts:
+            break
+        (a, b), pc = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pc < 2:
+            break
+        merges.append((rank, a, b, a + b, int(pc)))
+        for wi in sorted(index.get((a, b), ())):
+            syms, c = syms_l[wi], cnts[wi]
+            for p in zip(syms, syms[1:]):
+                left = pair_counts[p] - c
+                if left:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+                s = index.get(p)
+                if s is not None:
+                    s.discard(wi)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms_l[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                index.setdefault(p, set()).add(wi)
+    return merges
+
+
 def train_bpe(
     documents: DataFrame,
     num_merges: int = 30,
     text_col: str = "text",
     max_word_types: int | None = 100_000,
+    driver_solve_max_word_types: int = 200_000,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     merge table (rank INT, left STRING, right STRING, merged STRING,
@@ -67,9 +133,34 @@ def train_bpe(
     Determinism: the argmax tiebreak is (count desc, left asc,
     right asc) and merge application is left-to-right non-overlapping,
     so the learned sequence is a pure function of the word-type table.
+
+    ADAPTIVE physical strategy (r15, the greedy_earliest_survivors
+    pattern applied to the merge loop): the iteration state is the
+    word-type table, which is BOUNDED BY CONTRACT at ``max_word_types``
+    rows (exact top-k, an operator constant — never SF-scaled). When
+    that bound is at most ``driver_solve_max_word_types``, collect the
+    table ONCE and run the merges in :func:`_driver_bpe` — replacing
+    ``num_merges`` scheduler-bound Spark jobs (one TakeOrdered per
+    merge) with a single bounded collect. An UNCAPPED trainer
+    (``max_word_types=None``) or a cap above the driver bound runs the
+    distributed loop unchanged; ``driver_solve_max_word_types=0``
+    forces it in tests, and tests/test_bpe.py pins the two paths (and
+    the literal reference) merge-for-merge equal.
     """
     spark = documents.sparkSession
     words = word_type_table(documents, text_col, max_word_types)
+    if (
+        max_word_types is not None
+        and int(max_word_types) <= driver_solve_max_word_types
+    ):
+        pdf = words.toPandas()
+        wc = {str(w): int(c) for w, c in zip(pdf["w"], pdf["c"])}
+        out_schema = (
+            "rank int, left string, right string, merged string, pair_count bigint"
+        )
+        return spark.createDataFrame(
+            _driver_bpe(wc, int(num_merges)), out_schema
+        )
     # symbol string: characters separated by DOUBLE spaces, double-space
     # padded. The double separator is load-bearing: a merge pattern
     # " a  b " consumes one space from each side and its replacement

@@ -916,11 +916,21 @@ def cluster_pairs(
     id_col: str = "doc_id",
     max_iter: int = 30,
     driver_solve_max_edges: int = 500_000,
+    validate_endpoints: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` → one cluster id per
     document (the min doc_id in its component) and a keep flag for the
     canonical representative — the step that turns pairwise similarity
     into an actual deduplicated corpus.
+
+    CONTRACT: both endpoints of every pair must come from
+    ``documents[id_col]`` — true for every caller in this repo (pairs
+    are derived from the same frame). On contract-violating input the
+    two physical paths differ in how a stray endpoint's edges merge
+    components; pass ``validate_endpoints=True`` when feeding
+    externally-produced pairs and the driver path will probe endpoint
+    membership (one broadcast-semi job, corpus side never shuffled)
+    so both paths agree on any input.
 
     ADAPTIVE physical strategy (r14, the greedy_earliest_survivors
     pattern): only nodes that appear in some pair can change label —
@@ -970,6 +980,34 @@ def cluster_pairs(
 
     n_edges = half.count()
     if n_edges <= driver_solve_max_edges:
+        rows = half.collect()
+        # Path-equality on contract-VIOLATING input (r15, ADVICE r14):
+        # an endpoint absent from ``documents`` is inert in the
+        # distributed fixpoint (it has no label row, so edges through
+        # it propagate nothing), but a naive driver union-find would
+        # merge components THROUGH it (and its id could even win the
+        # min and become a cluster_id). With ``validate_endpoints``,
+        # probe which collected endpoints actually exist — one
+        # broadcast-semi job over the id column (the corpus side never
+        # shuffles; the broadcast is the bounded endpoint set) — and
+        # skip edges with a stray endpoint, so both physical paths
+        # agree on ANY input. Default off: every caller in this repo
+        # derives ``pairs`` from ``documents`` itself (the documented
+        # contract), and the probe is pure overhead on the hot path.
+        valid: set[int] | None = None
+        if validate_endpoints:
+            endpoints = sorted(
+                {int(r["u"]) for r in rows} | {int(r["v"]) for r in rows}
+            )
+            ep_df = spark.createDataFrame(
+                [(x,) for x in endpoints], "node bigint"
+            ) if endpoints else spark.createDataFrame([], "node bigint")
+            valid = {
+                int(r["node"])
+                for r in all_nodes.join(
+                    F.broadcast(ep_df), "node", "left_semi"
+                ).collect()
+            }
         parent: dict[int, int] = {}
 
         def _find(x: int) -> int:
@@ -980,8 +1018,10 @@ def cluster_pairs(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in half.collect():
+        for r in rows:
             u, v = int(r["u"]), int(r["v"])
+            if valid is not None and (u not in valid or v not in valid):
+                continue  # stray endpoint: inert, as in the fixpoint
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = _find(u), _find(v)
@@ -995,10 +1035,9 @@ def cluster_pairs(
         decided = spark.createDataFrame(
             sorted((x, _find(x)) for x in parent), "node bigint, label bigint"
         ) if parent else spark.createDataFrame([], "node bigint, label bigint")
-        # endpoints are ⊆ documents for every caller (pairs are derived
-        # from the same frame); the semi-join pins that contract so a
-        # stray endpoint could never add an output row the distributed
-        # path would not produce
+        # the semi-join pins the endpoint contract in the returned PLAN
+        # (no job here): even without validate_endpoints a stray id can
+        # never emit an output row the distributed path would not
         return _result(
             decided.join(all_nodes, "node", "left_semi"), decided.select("node")
         )
@@ -1246,9 +1285,18 @@ def incremental_minhash_dedup(
             hconf = spark.sparkContext._jsc.hadoopConfiguration()
             jvm = spark.sparkContext._jvm
             total = 0
+            fs = None
             for f in store_files:
                 p = jvm.org.apache.hadoop.fs.Path(f)
-                total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+                if fs is None:  # one FileSystem handle for the listing
+                    fs = p.getFileSystem(hconf)
+                # a file unlinked between inputFiles() and the stat
+                # (concurrent compaction/vacuum) counts as size 0 —
+                # the gate is a heuristic, never worth failing a batch
+                try:
+                    total += fs.getFileStatus(p).getLen()
+                except Exception:
+                    continue
                 if total >= bloom_min_store_bytes:
                     break
             use_bloom = total >= bloom_min_store_bytes

@@ -138,8 +138,12 @@ def pagerank(
 
     → (node STRING, rank DOUBLE); ranks sum to 1.0 (dangling-node mass
     is redistributed uniformly each iteration, the standard
-    correction). Node ids are cast to STRING like
-    :func:`bfs_distances`, so both adaptive paths return one type.
+    correction). BREAKING NOTE (r14): node ids are cast to STRING like
+    :func:`bfs_distances` — both adaptive paths return one type.
+    Callers joining the rank frame back to a numeric-id frame must
+    cast their side explicitly (``F.col(id).cast("string")``) or
+    re-cast ``node`` back, or the join silently runs under Spark's
+    string-vs-number DOUBLE coercion.
 
     ADAPTIVE: edge lists at most ``driver_solve_max_edges`` rows after
     folding solve driver-side in numpy (see the inline note); larger
@@ -192,8 +196,16 @@ def pagerank(
         wv = np.fromiter((float(r["w"]) for r in rows), dtype=np.float64, count=m)
         out_w = np.zeros(n)
         np.add.at(out_w, src_i, wv)
-        p = wv / out_w[src_i]
-        dangling = out_w == 0.0
+        # Degenerate-input alignment (r15, ADVICE r14): a src whose
+        # weights sum to 0 gets p = NULL in the distributed loop (the
+        # non-ANSI divide) — its contributions are silently dropped —
+        # yet it is NOT in the distributed dangling set (it has edge
+        # rows). Mirror both facts exactly: zero contribution (not
+        # NaN), and dangling = "no out-edge at all", never out_w == 0.
+        denom = out_w[src_i]
+        p = np.divide(wv, denom, out=np.zeros_like(wv), where=denom != 0.0)
+        dangling = np.ones(n, dtype=bool)
+        dangling[src_i] = False
         rank = np.full(n, 1.0 / n)
         for _ in range(n_iter):
             contrib = np.zeros(n)

@@ -123,7 +123,22 @@ def kth_smallest_bisect(
             # fanout 1024 (a cent-valued 10^7-wide domain converges in
             # 2-3 scans instead of 5), many groups → fanout decays to
             # the floor of 16 and rounds grow only logarithmically.
-            fanout = max(16, min(1024, (1 << 20) // max(1, len(base))))
+            # Clamped by the WIDEST group's domain (r15, ADVICE r14):
+            # the int64 cell guard below scales as (2^63-1)/fanout, so
+            # an adaptive 1024 would reject domains (e.g. ns timestamps
+            # spanning months) that a narrower fanout bisects fine —
+            # shrink to the biggest safe fanout before the guard.
+            max_width = max(
+                (s["hi"] - s["lo"] for s in base.values()), default=0
+            )
+            fanout = max(
+                16,
+                min(
+                    1024,
+                    (1 << 20) // max(1, len(base)),
+                    (2**63 - 1) // (max_width + 2),
+                ),
+            )
         width_cap = (2**63 - 1) // fanout - 1
         too_wide = [
             g for g, s in base.items() if s["hi"] - s["lo"] > width_cap

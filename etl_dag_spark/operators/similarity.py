@@ -1265,6 +1265,7 @@ def distributed_kmeans(
     vec_col: str = "embedding",
     quant: int = 1_000_000,
     driver_solve_max_rows: int = 250_000,
+    driver_solve_max_cells: int = 2_000_000,
 ) -> tuple[DataFrame, list[list[int]], list[int]]:
     """Full-corpus Lloyd's k-means — the scale-out twin of the
     capped-sample codebook trainer (``_kmeans_centroids``): that one
@@ -1312,8 +1313,17 @@ def distributed_kmeans(
     # are bit-equal (pinned in test_kmeans.py). Above the bound — the
     # 100 TB path — nothing changes: seeds via TakeOrdered, sweeps as
     # Arrow passes with k·dim partial-sum shuffles.
-    n_rows = q.count()
-    if n_rows <= driver_solve_max_rows:
+    # Cells gate (r15, VERDICT r14 #7): the driver collect is n·dim
+    # int64 CELLS and the numpy sweep temporaries are n·k·dim — a row
+    # bound alone under-protects at high dim (250k rows of dim-64 is
+    # ~1 GB of sweep temporaries). Fold max(size(q)) into the same
+    # count job (no extra action) and gate on rows AND cells.
+    _stat = q.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("q")).alias("d")
+    ).first()
+    n_rows = int(_stat["n"])
+    dim = int(_stat["d"]) if _stat["d"] is not None else 0
+    if n_rows <= driver_solve_max_rows and n_rows * dim <= driver_solve_max_cells:
         import hashlib
 
         pdf = q.toPandas()
@@ -1411,7 +1421,7 @@ def distributed_kmeans(
 
         return upd
 
-    if n_rows > driver_solve_max_rows:
+    if n_rows > driver_solve_max_rows or n_rows * dim > driver_solve_max_cells:
         for _ in range(sweeps):
             upd = (
                 q.mapInPandas(updater(centroids), "cluster int, dim int, s long, n long")
