@@ -1035,11 +1035,23 @@ def cluster_pairs(
         decided = spark.createDataFrame(
             sorted((x, _find(x)) for x in parent), "node bigint, label bigint"
         ) if parent else spark.createDataFrame([], "node bigint, label bigint")
-        # the semi-join pins the endpoint contract in the returned PLAN
-        # (no job here): even without validate_endpoints a stray id can
-        # never emit an output row the distributed path would not
-        return _result(
-            decided.join(all_nodes, "node", "left_semi"), decided.select("node")
+        # single-scan assembly (r15): the decided map is a broadcast
+        # LocalRelation, so ONE pass over the corpus id column labels
+        # every node — replacing the labels semi-join + untouched
+        # anti-join + union (two corpus scans and two joins) of the
+        # generic _result. A stray decided id (endpoint not in
+        # documents) simply never matches the left join — the same
+        # containment the old semi-join pinned.
+        return all_nodes.join(
+            F.broadcast(decided.withColumnRenamed("label", "__lbl")),
+            "node",
+            "left",
+        ).select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("__lbl"), F.col("node")).alias("cluster_id"),
+            (F.col("node") == F.coalesce(F.col("__lbl"), F.col("node"))).alias(
+                "is_canonical"
+            ),
         )
 
     edges = (
@@ -1083,6 +1095,23 @@ def cluster_pairs(
 
 
 # ------------------------------------------- incremental dedup w/ store
+
+
+def _greedy_keep_from_edges(edge_rows) -> dict[int, bool]:
+    """Sequential-greedy keep decisions over collected (u, v) match
+    edges (u < v): ascending id order, a node is DROPPED iff it matches
+    some earlier node that itself SURVIVED. Returns the decision for
+    every TOUCHED node (nodes with no edge are KEEP by definition and
+    absent here). Shared by :func:`greedy_earliest_survivors`'s driver
+    branch and :func:`incremental_minhash_dedup`'s fast path, so the
+    two can never drift."""
+    smaller: dict[int, list[int]] = {}
+    for r in edge_rows:
+        smaller.setdefault(int(r["v"]), []).append(int(r["u"]))
+    keep: dict[int, bool] = {}
+    for node in sorted(set(smaller) | {u for us in smaller.values() for u in us}):
+        keep[node] = not any(keep.get(u, True) for u in smaller.get(node, []))
+    return keep
 
 
 def greedy_earliest_survivors(
@@ -1142,16 +1171,7 @@ def greedy_earliest_survivors(
     n_edges = e.count()
     if n_edges <= driver_solve_max_edges:
         spark = edges.sparkSession
-        smaller: dict[int, list[int]] = {}
-        for r in e.collect():
-            smaller.setdefault(int(r["v"]), []).append(int(r["u"]))
-        keep: dict[int, bool] = {}
-        for node in sorted(
-            set(smaller) | {u for us in smaller.values() for u in us}
-        ):
-            keep[node] = not any(
-                keep.get(u, True) for u in smaller.get(node, [])
-            )
+        keep = _greedy_keep_from_edges(e.collect())
         decided = spark.createDataFrame(
             [(n, 1 if k else -1) for n, k in sorted(keep.items())],
             "node bigint, state int",
@@ -1208,6 +1228,8 @@ def incremental_minhash_dedup(
     path: str | None = None,
     bloom_bits: int | None = 1 << 20,
     bloom_min_store_bytes: int = 64 * 1024 * 1024,
+    driver_solve_max_hits: int = 500_000,
+    driver_solve_max_edges: int = 500_000,
 ) -> DataFrame:
     """Deduplicate a NEW batch of documents against a persisted MinHash
     signature store, then append the survivors' signatures — the
@@ -1355,9 +1377,98 @@ def incremental_minhash_dedup(
     )
 
     ids = new_docs.select(F.col(id_col).cast("bigint").alias("node")).distinct()
-    # store-matched docs are DROP before the in-batch greedy starts:
-    # fold them in as an edge from a virtual always-KEEP node by
-    # removing them from the undecided set entirely
+
+    # ADAPTIVE fast path (r15, VERDICT r14 #2): when the store-hit set
+    # and the in-batch match edges BOTH fit the driver bounds (one
+    # count each over already-pinned frames), every decision input
+    # becomes a DRIVER value — store hits a collected id set, greedy
+    # keep decisions the shared :func:`_greedy_keep_from_edges` map —
+    # and the returned result frame is one scan of the batch plus two
+    # broadcast joins of LocalRelations. That removes the eager result
+    # checkpoint (8-9 scheduler jobs and ~1-1.8 s per batch at sf0.1)
+    # outright, with a STRONGER post-append correctness argument than
+    # the checkpoint gave: the fast-path result plan contains no store
+    # read at all (the hit ids are literal values), so re-evaluating it
+    # after this batch's append cannot see the batch's own survivors
+    # as store matches. Above either bound the r14 shape runs
+    # unchanged — distributed greedy, eager checkpoint before append.
+    hit_ids: set[int] | None = None
+    if store_files:
+        n_hits = store_hits.count()  # materializes + caches the persist
+        if n_hits <= driver_solve_max_hits:
+            hit_ids = {int(r["doc_id"]) for r in store_hits.collect()}
+    else:
+        hit_ids = set()
+
+    keep_map: dict[int, bool] | None = None
+    if hit_ids is not None:
+        spark_b = new_docs.sparkSession
+        if hit_ids:
+            dropped_df = spark_b.createDataFrame(
+                [(x,) for x in sorted(hit_ids)], "node bigint"
+            )
+            # edge endpoints are ⊆ batch ids by construction (the nb
+            # self-join), so pruning edges to undecided×undecided is
+            # exactly an anti-join against the dropped set — broadcast
+            # of a LocalRelation, no extra shuffle
+            pruned = (
+                batch_edges.withColumnRenamed("u", "node")
+                .join(F.broadcast(dropped_df), "node", "left_anti")
+                .withColumnRenamed("node", "u")
+                .withColumnRenamed("v", "node")
+                .join(F.broadcast(dropped_df), "node", "left_anti")
+                .withColumnRenamed("node", "v")
+            )
+        else:
+            pruned = batch_edges
+        e_small = pruned.select(
+            F.col("u").cast("bigint"), F.col("v").cast("bigint")
+        ).localCheckpoint(eager=False)
+        if e_small.count() <= driver_solve_max_edges:
+            keep_map = _greedy_keep_from_edges(e_small.collect())
+
+    if keep_map is not None:
+        spark_b = new_docs.sparkSession
+        if store_files:
+            store_hits.unpersist()  # hit set captured as literal values
+        hits_df = spark_b.createDataFrame(
+            [(x,) for x in sorted(hit_ids)], "node bigint"
+        ).withColumn("__sd", F.lit(True))
+        keep_df = spark_b.createDataFrame(
+            [(n, bool(k)) for n, k in sorted(keep_map.items())],
+            "node bigint, __gk boolean",
+        )
+        result = (
+            ids.join(F.broadcast(hits_df), "node", "left")
+            .join(F.broadcast(keep_df), "node", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.when(F.col("__sd"), F.lit(False))
+                .otherwise(F.coalesce(F.col("__gk"), F.lit(True)))
+                .alias("keep"),
+                F.coalesce(F.col("__sd"), F.lit(False)).alias("matched_store"),
+            )
+        )
+        if append:
+            # survivors = batch ids minus (store hits ∪ greedy drops):
+            # an anti-join of nb against the driver-known non-survivor
+            # set — nb's doc_ids are ⊆ batch ids, and docs without
+            # signature rows have nothing to append either way
+            non_surv = sorted(
+                hit_ids | {n for n, k in keep_map.items() if not k}
+            )
+            ns_df = spark_b.createDataFrame(
+                [(x,) for x in non_surv], "doc_id bigint"
+            )
+            nb.join(F.broadcast(ns_df), "doc_id", "left_anti").write.mode(
+                "append"
+            ).bucketBy(n_store_buckets, "band", "bucket").format(
+                "parquet"
+            ).saveAsTable(store_table)
+        return result
+
+    # distributed path (store hits or match edges above the driver
+    # bounds): the r14 shape, unchanged
     store_dropped = store_hits.select(F.col("doc_id").alias("node"))
     undecided = ids.join(store_dropped, "node", "left_anti")
     # edges between two store-dropped docs are irrelevant; edges FROM a

@@ -96,34 +96,51 @@ def resolve_entities(
     Candidates come from :func:`deletion_neighborhood_keys` (recall
     for name edits ≤ 1 is structural); the match rule verified on each
     candidate pair is ``levenshtein(name_a, name_b) <= max_name_dist``
-    AND equality on every ``exact_cols`` field. One equi-join on the
-    candidate key (shuffle linear in records × name length), one
-    distinct, then the components fixpoint over verified pairs only.
+    AND equality on every ``exact_cols`` field.
+
+    r15 shape (guide §2.3 "aggregate before you shuffle"): ONE
+    ``collect_list`` aggregate folds each deletion-key bucket into a
+    sorted struct array — ``size(list)`` is exactly the key-row count
+    the old ``HAVING count(*) <= max_block`` filtered on, so the
+    df-cap, its join-back, the key-table checkpoint AND the a×b
+    self-join all collapse into a single partial-aggregated shuffle;
+    in-bucket i<j pairs are emitted map-side with posexplode + slice
+    (codegen). The pair distinct and the verify are unchanged, so the
+    candidate SET (and the replayed DuckDB oracle) is identical.
     """
     keep = [id_col, name_col, *exact_cols]
-    keys = (
-        deletion_neighborhood_keys(
-            records.select(*keep), name_col=name_col, max_block=max_block
-        )
-        # feeds both sides of the candidate self-join: materialize once
-        .localCheckpoint(eager=False)
+    keys = deletion_neighborhood_keys(
+        records.select(*keep), name_col=name_col, max_block=None
     )
-    a = keys.select(
-        F.col("__k"),
-        F.col(id_col).alias("doc_id_a"),
-        F.col(name_col).alias("__na"),
-        *[F.col(c).alias(f"__a_{c}") for c in exact_cols],
+    item = F.struct(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+        *[F.col(c).alias(f"_x_{c}") for c in exact_cols],
     )
-    b = keys.select(
-        F.col("__k"),
-        F.col(id_col).alias("doc_id_b"),
-        F.col(name_col).alias("__nb"),
-        *[F.col(c).alias(f"__b_{c}") for c in exact_cols],
+    # struct sort orders by _id first (unique), so slice(j > i) emits
+    # ascending-id pairs; duplicate (record, key) rows from character
+    # runs become equal adjacent structs, removed by the _id < _id
+    # filter — exactly what the old join's doc_id_a < doc_id_b did
+    buckets = (
+        keys.groupBy("__k")
+        .agg(F.sort_array(F.collect_list(item)).alias("its"))
+        .where(F.size("its") <= max_block)
     )
     cand = (
-        a.join(b, "__k")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .drop("__k")
+        buckets.select("its", F.posexplode("its").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(its, i + 2, size(its) - i - 1)")).alias("b"),
+        )
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("doc_id_a"),
+            F.col("b._id").alias("doc_id_b"),
+            F.col("a._nm").alias("__na"),
+            F.col("b._nm").alias("__nb"),
+            *[F.col(f"a._x_{c}").alias(f"__a_{c}") for c in exact_cols],
+            *[F.col(f"b._x_{c}").alias(f"__b_{c}") for c in exact_cols],
+        )
         .distinct()
     )
     cond = F.levenshtein(F.col("__na"), F.col("__nb")) <= max_name_dist

@@ -39,12 +39,22 @@ def release_persisted() -> None:
         _PERSISTED.pop().unpersist()
 
 
-def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def recursive_expand(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30, min_depth: int = 0
+) -> DataFrame:
     """Transitive closure with levels, seeded with every node as its own
     ancestor at level 0 (exactly the reference's first recursive query:
     every employee is a root of its own subtree).
 
     nodes: (id), edges: (child, parent) → (ancestor_id, node_id, level)
+
+    ``min_depth`` (r15): a PERFORMANCE hint — skip the per-level
+    emptiness probe for the first ``min_depth`` levels when the caller
+    knows the hierarchy is at least that deep (region→nation→customer
+    is always 2). Semantically safe under ANY data: if the hint
+    overshoots, the extra frontiers are empty frames whose joins emit
+    nothing and whose union contributes no rows — only the probe jobs
+    are saved, never rows changed.
     """
     closure = nodes.select(
         F.col("id").alias("ancestor_id"),
@@ -58,7 +68,7 @@ def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> 
     # release_persisted() reclaims them post-materialization.
     frontier = _persist(closure)
     results = [frontier]
-    for _ in range(max_iter):
+    for level in range(max_iter):
         nxt = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.node_id") == F.col("e.parent"))
@@ -69,7 +79,7 @@ def recursive_expand(nodes: DataFrame, edges: DataFrame, max_iter: int = 30) -> 
             )
         )
         nxt = _persist(nxt)
-        if nxt.isEmpty():
+        if level >= min_depth and nxt.isEmpty():
             break
         results.append(nxt)
         frontier = nxt
@@ -86,6 +96,7 @@ def ancestor_chain(
     edges: DataFrame,
     sep: str = " -> ",
     max_iter: int = 30,
+    min_depth: int = 0,
 ) -> DataFrame:
     """Path-to-root name chain per node (the reference's second recursive
     query: ``ManagerChain || ' → ' || e.Name`` filtered to complete
@@ -93,6 +104,11 @@ def ancestor_chain(
 
     nodes: (id, name), edges: (child, parent) →
     (node_id, chain, depth) — only nodes whose chain reaches a root.
+
+    ``min_depth`` (r15): performance hint like
+    :func:`recursive_expand`'s — skip the per-iteration emptiness probe
+    while ``iteration < min_depth`` when chains are known at least that
+    long. A wrong hint only joins empty frames (no rows change).
     """
     parents = edges.join(nodes, edges["parent"] == nodes["id"]).select(
         F.col("child").alias("p_child"),
@@ -107,7 +123,7 @@ def ancestor_chain(
     )
     state = _persist(state)
     done_parts: list[DataFrame] = []
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # one persisted join per iteration; finished/ongoing are two
         # cheap filters over it, and the final union of finished parts
         # reads the cache instead of replaying the join chain (persists
@@ -134,7 +150,7 @@ def ancestor_chain(
             (F.col("depth") + 1).cast("int").alias("depth"),
         )
         done_parts.append(finished)
-        if ongoing.isEmpty():
+        if it >= min_depth and ongoing.isEmpty():
             break
         state = ongoing
     else:

@@ -325,7 +325,9 @@ def bi_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sql_definitions.sql:54-84) — WITH RECURSIVE re-expressed as an
     iterative frontier join over the region→nation→customer tree."""
     nodes, edges = _hierarchy_frames(spark, sf_dir)
-    closure = recursive_expand(nodes.select("id"), edges)
+    # min_depth=2: region→nation→customer is always two edge levels —
+    # skips two per-level emptiness probe jobs (safe hint; see operator)
+    closure = recursive_expand(nodes.select("id"), edges, min_depth=2)
     na = nodes.select(F.col("id").alias("ancestor_id"), F.col("name").alias("ancestor_name"))
     nn = nodes.select(F.col("id").alias("node_id"), F.col("name").alias("node_name"))
     return (
@@ -354,7 +356,9 @@ def bi_ancestor_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-to-root name chain (sql_definitions.sql:93-121 ManagerChain),
     complete chains only."""
     nodes, edges = _hierarchy_frames(spark, sf_dir)
-    return ancestor_chain(nodes, edges)
+    # min_depth=2: customer chains are always 3 hops (two probe jobs
+    # saved; the hint is row-safe — see operator docstring)
+    return ancestor_chain(nodes, edges, min_depth=2)
 
 
 @register(
@@ -6370,33 +6374,38 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds the sketch, sizes, and inter
     )
     hvf = ss.select("source", sk.kmv_hash("s").alias("hv")).distinct()
+    # the per-source bottom-k STILL computes distributed (skew-safe
+    # salted top-k over the SF-scaled distinct-hash frame) — but its
+    # OUTPUT is ≤ sources × k rows, bounded by contract, so the pair
+    # algebra (union bottom-k, membership counts) runs driver-side on
+    # the collected sketches (r15, VERDICT r14 #5): exact integer
+    # replay of the old union→groupBy→window→groupBy pipeline, minus
+    # its four exchanges. A pair with no sketch rows emits no est row,
+    # exactly like the old GROUP BY over an empty frame.
     skf = win.per_group_top_k(
         hvf, "source", [F.col("hv")], _SRC_K, rank_col="__rn"
-    ).select("source", "hv").localCheckpoint(eager=False)  # both pair sides
+    ).select("source", "hv")
+    sketches: dict[str, set[int]] = {}
+    for r in skf.collect():
+        sketches.setdefault(r["source"], set()).add(int(r["hv"]))
     # bounded-by-contract source list → bounded driver materialization
     srcs = sorted(r.source for r in d.select("source").distinct().collect())
+    est_rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            sa = sketches.get(a, set())
+            sb = sketches.get(b, set())
+            merged = sorted(sa | sb)[:_SRC_K]
+            if not merged:
+                continue
+            matches = sum(1 for h in merged if h in sa and h in sb)
+            est_rows.append((a, b, len(merged), matches))
     pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]],
         "src_a string, src_b string",
     )
-    ra = pairs.join(
-        skf.withColumnRenamed("source", "src_a"), "src_a"
-    ).select("src_a", "src_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-    rb = pairs.join(
-        skf.withColumnRenamed("source", "src_b"), "src_b"
-    ).select("src_a", "src_b", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
-    u = (
-        ra.unionByName(rb)
-        .groupBy("src_a", "src_b", "hv")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wp = Window.partitionBy("src_a", "src_b").orderBy("hv")
-    lu = u.withColumn("__rn", F.row_number().over(wp)).where(
-        F.col("__rn") <= _SRC_K
-    )
-    est = lu.groupBy("src_a", "src_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("matches"),
+    est = spark.createDataFrame(
+        est_rows, "src_a string, src_b string, m bigint, matches bigint"
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     inter = (
@@ -7018,31 +7027,46 @@ def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).localCheckpoint(eager=False)
     width = _JSE_WIDTH
-    est = sk.countmin_join_size(
-        sk.countmin_build(co, depth=_JSE_DEPTH, width=width),
-        sk.countmin_build(cl, depth=_JSE_DEPTH, width=width),
-        depth=_JSE_DEPTH,
+    # r15 (VERDICT r14 #4): the two CMS cell tables are ≤ depth×width
+    # rows — bounded by OPERATOR CONSTANTS, never the data — so the
+    # inner-product estimate is a driver computation over two bounded
+    # collects (exact integer replay of countmin_join_size's
+    # join+groupBy+min: only common (row, pos) cells contribute, min
+    # over rows present — an absent row contributes no estimate, as in
+    # the SQL GROUP BY). The exact twin and both side totals then fold
+    # into ONE full-outer aggregate over the shared count frames (na/nb
+    # sum every key; the product term is NULL off the intersection and
+    # sum skips it), replacing the exact join + two size aggregates +
+    # three broadcast joins.
+    ca = {
+        (r["row"], r["pos"]): int(r["cell"])
+        for r in sk.countmin_build(co, depth=_JSE_DEPTH, width=width).collect()
+    }
+    cb = {
+        (r["row"], r["pos"]): int(r["cell"])
+        for r in sk.countmin_build(cl, depth=_JSE_DEPTH, width=width).collect()
+    }
+    rowest: dict[int, int] = {}
+    for cell_key, va in ca.items():
+        vb = cb.get(cell_key)
+        if vb is not None:
+            rowest[cell_key[0]] = rowest.get(cell_key[0], 0) + va * vb
+    est = min(rowest.values()) if rowest else None
+    stats = co.join(
+        cl.select(F.col("key"), F.col("c").alias("cl")), "key", "full_outer"
+    ).agg(
+        F.sum(F.col("c") * F.col("cl")).cast("bigint").alias("exact"),
+        F.sum("c").alias("na"),
+        F.sum("cl").alias("nb"),
     )
-    exact = (
-        co.join(cl.select(F.col("key"), F.col("c").alias("cl")), "key")
-        .agg(F.sum(F.col("c") * F.col("cl")).cast("bigint").alias("exact"))
-    )
-    sizes = co.agg(F.sum("c").alias("na")).join(
-        F.broadcast(cl.agg(F.sum("c").alias("nb")))
-    )
-    return (
-        est.join(F.broadcast(exact))
-        .join(F.broadcast(sizes))
-        .select(
-            "est",
-            "exact",
-            F.ceil(F.lit(2.718281828459045 / width) * F.col("na") * F.col("nb"))
-            .cast("bigint")
-            .alias("error_bound"),
-        )
-        .withColumn(
-            "within_bound", F.col("est") - F.col("exact") <= F.col("error_bound")
-        )
+    return stats.select(
+        F.lit(est).cast("bigint").alias("est"),
+        "exact",
+        F.ceil(F.lit(2.718281828459045 / width) * F.col("na") * F.col("nb"))
+        .cast("bigint")
+        .alias("error_bound"),
+    ).withColumn(
+        "within_bound", F.col("est") - F.col("exact") <= F.col("error_bound")
     )
 
 
@@ -9858,12 +9882,22 @@ def etl_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entity-resolution candidate stage (#125).
 
     All-integer output (the distance); dedup via least/greatest pair
-    canonicalization before verification."""
+    canonicalization before verification.
+
+    r15 shape (guide §2.3 "aggregate before you shuffle"): instead of
+    materializing the key table twice and equi-joining it with itself
+    (two join-side shuffles + a pre-join (nm, key) distinct), GROUP the
+    keys once — ``collect_set`` dedupes the same-key char-run variants
+    the old distinct handled AND gives each deletion-neighborhood
+    bucket as one sorted array — and emit the i<j in-bucket pairs
+    map-side with posexplode + slice (codegen, no interpreted lambda).
+    One partial-aggregated shuffle replaces the join; the pair distinct
+    and the verify are unchanged, so the candidate SET (and the hash
+    oracle) is identical."""
     names = (
         load_table(spark, sf_dir, "customer")
         .select(F.lower(F.col("c_name")).alias("nm"))
         .distinct()
-        .localCheckpoint(eager=False)  # both sides of the candidate join
     )
     # key set: the name itself (i = 0) + every single-deletion variant
     # (i = position removed) — explode a position sequence and slice in
@@ -9882,16 +9916,19 @@ def etl_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("key"),
     )
-    # a z-length character run yields the SAME key for every deletion
-    # inside the run — dedupe (nm, key) or the candidate join multiplies
-    # pair multiplicity by z×z
-    variants = variants.distinct()
-    a = variants.select(F.col("nm").alias("name_a"), "key")
-    b = variants.select(F.col("nm").alias("name_b"), "key")
+    # sorted set per bucket: ascending order makes slice(j > i) emit
+    # exactly the name_a < name_b pairs the join+filter produced
+    buckets = variants.groupBy("key").agg(
+        F.sort_array(F.collect_set("nm")).alias("ns")
+    )
     cand = (
-        a.join(b, "key")
-        .where(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
+        buckets.select("ns", F.posexplode("ns").alias("i", "name_a"))
+        .select(
+            "name_a",
+            F.explode(
+                F.expr("slice(ns, i + 2, size(ns) - i - 1)")
+            ).alias("name_b"),
+        )
         .distinct()
     )
     return cand.select(

@@ -161,3 +161,43 @@ def test_store_side_bucket_join_is_exchange_free(spark, corpus):
     # co-partition on (band, bucket); store side: none — an un-bucketed
     # store would add a third
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_adaptive_fast_path_equals_forced_distributed(spark, corpus):
+    """The r15 driver fast path (collected store hits + driver greedy,
+    no result checkpoint) and the forced distributed shape
+    (driver_solve_max_hits=0 → store hits stay a frame, distributed
+    greedy, eager checkpoint before append) must produce identical
+    keep/matched_store decisions batch for batch."""
+    _drop(spark, "t_fast", "t_dist")
+    mid = corpus.agg(F.max("doc_id")).first()[0] // 2
+    halves = [
+        corpus.where(F.col("doc_id") <= mid),
+        corpus.where(F.col("doc_id") > mid),
+    ]
+    fast, dist = [], []
+    for h in halves:
+        fast.append(
+            incremental_minhash_dedup(h, "t_fast", bloom_min_store_bytes=0)
+        )
+        dist.append(
+            incremental_minhash_dedup(
+                h,
+                "t_dist",
+                bloom_min_store_bytes=0,
+                driver_solve_max_hits=0,
+                driver_solve_max_edges=0,
+            )
+        )
+    got_f = {
+        (r.doc_id, r.keep, r.matched_store)
+        for b in fast
+        for r in b.collect()
+    }
+    got_d = {
+        (r.doc_id, r.keep, r.matched_store)
+        for b in dist
+        for r in b.collect()
+    }
+    assert got_f == got_d and len(got_f) > 0
+    _drop(spark, "t_fast", "t_dist")

@@ -50,6 +50,11 @@ def main() -> int:
         i = argv.index("--window")
         window = int(argv[i + 1])
         del argv[i : i + 2]
+    only: list[str] = []
+    if "--only" in argv:  # comma-separated query names (r15 iteration aid)
+        i = argv.index("--only")
+        only = [s for s in argv[i + 1].split(",") if s]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
@@ -82,6 +87,9 @@ def main() -> int:
     if window:
         queries = dict(list(queries.items())[:window])
         print(f"driver-sim: restricted to first {len(queries)} entries (driver window)")
+    if only:
+        queries = {n: queries[n] for n in only}
+        print(f"driver-sim: restricted to {sorted(queries)} (--only)")
     n_pass = n_fail = 0
     for name, fn in sorted(queries.items()):
         t0 = time.time()
