@@ -978,9 +978,14 @@ def cluster_pairs(
             (F.col("node") == F.col("label")).alias("is_canonical"),
         )
 
-    n_edges = half.count()
-    if n_edges <= driver_solve_max_edges:
-        rows = half.collect()
+    # one-job adaptive probe (r15): limit(bound+1).collect() answers
+    # "≤ bound edges?" AND delivers the rows when yes — replacing the
+    # count job + collect job pair. Row order differs from collect(),
+    # which union-by-min is insensitive to (the component min is the
+    # min under any union order).
+    probe = half.limit(driver_solve_max_edges + 1).collect()
+    if len(probe) <= driver_solve_max_edges:
+        rows = probe
         # Path-equality on contract-VIOLATING input (r15, ADVICE r14):
         # an endpoint absent from ``documents`` is inert in the
         # distributed fixpoint (it has no label row, so edges through
@@ -1168,10 +1173,12 @@ def greedy_earliest_survivors(
     untouched = all_nodes.join(touched, "node", "left_anti").withColumn(
         "state", F.lit(1)
     )
-    n_edges = e.count()
-    if n_edges <= driver_solve_max_edges:
+    # one-job adaptive probe (see cluster_pairs): the greedy keep map
+    # sorts nodes itself, so collect order is irrelevant
+    probe = e.limit(driver_solve_max_edges + 1).collect()
+    if len(probe) <= driver_solve_max_edges:
         spark = edges.sparkSession
-        keep = _greedy_keep_from_edges(e.collect())
+        keep = _greedy_keep_from_edges(probe)
         decided = spark.createDataFrame(
             [(n, 1 if k else -1) for n, k in sorted(keep.items())],
             "node bigint, state int",
@@ -1424,8 +1431,9 @@ def incremental_minhash_dedup(
         e_small = pruned.select(
             F.col("u").cast("bigint"), F.col("v").cast("bigint")
         ).localCheckpoint(eager=False)
-        if e_small.count() <= driver_solve_max_edges:
-            keep_map = _greedy_keep_from_edges(e_small.collect())
+        e_probe = e_small.limit(driver_solve_max_edges + 1).collect()
+        if len(e_probe) <= driver_solve_max_edges:
+            keep_map = _greedy_keep_from_edges(e_probe)
 
     if keep_map is not None:
         spark_b = new_docs.sparkSession

@@ -61,11 +61,14 @@ def bfs_distances(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),
     ).distinct().persist()
-    n_edges = e.count()
-    if n_edges <= driver_solve_max_edges:
+    # one-job adaptive probe (r15, the cluster_pairs pattern):
+    # limit(bound+1) answers the gate AND delivers the rows — BFS hop
+    # counts are insensitive to adjacency order
+    probe = e.limit(driver_solve_max_edges + 1).collect()
+    if len(probe) <= driver_solve_max_edges:
         try:
             adj: dict[str, list[str]] = {}
-            for r in e.collect():
+            for r in probe:
                 adj.setdefault(r["src"], []).append(r["dst"])
         finally:
             e.unpersist()

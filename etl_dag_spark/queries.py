@@ -2057,14 +2057,15 @@ def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_column("text")).cast("bigint").alias("n_tokens"),
     )
     m = comp.select("doc_id", "cluster_id").join(nt, "doc_id")
-    m = m.localCheckpoint(eager=False)  # feeds best, surv, and the output
-    best = m.groupBy("cluster_id").agg(F.max("n_tokens").alias("best_n"))
-    surv = (
-        m.join(best, "cluster_id")
-        .where(F.col("n_tokens") == F.col("best_n"))
-        .groupBy("cluster_id")
-        .agg(F.min("doc_id").cast("bigint").alias("survivor_id"))
-    )
+    m = m.localCheckpoint(eager=False)  # feeds surv and the output
+    # r15 argmax collapse (guide §1.2): min(struct(-n_tokens, doc_id))
+    # = (max token count, then min doc_id) in ONE aggregate — replaces
+    # the per-cluster max + join-back + tiebreak groupBy (two
+    # exchanges and a join). n_tokens ≥ 0 so the negation cannot
+    # overflow; rows identical to the oracle's decorrelated form.
+    surv = m.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("n_tokens")).alias("neg"), "doc_id")).alias("w")
+    ).select("cluster_id", F.col("w.doc_id").cast("bigint").alias("survivor_id"))
     return m.join(surv, "cluster_id").select(
         "doc_id",
         "cluster_id",
@@ -4696,21 +4697,20 @@ def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", "oc", "s_name")
     )
-    best = cand.groupBy("l_partkey").agg(F.min("oc").alias("bc"))
-    win = cand.join(best, "l_partkey").where(F.col("oc") == F.col("bc"))
-    arg = (
-        win.groupBy("l_partkey")
-        .agg(F.min("l_suppkey").alias("msk"))
-        .withColumnRenamed("l_partkey", "apk")
+    # r15 (guide §1.2): the decorrelated argmin (per-part min + join-
+    # back + min-suppkey tiebreak + join-back again — two extra
+    # exchanges and two joins) is exactly ONE lexicographic struct min:
+    # min(struct(oc, suppkey, name)) picks (min oc, then min suppkey,
+    # name rides along since (pk, sk) rows are unique) — the scalar-
+    # aggregate argmin pattern the repo already uses for etl_impute_mode.
+    best = cand.groupBy("l_partkey").agg(
+        F.min(F.struct("oc", "l_suppkey", "s_name")).alias("w")
     )
-    return (
-        win.join(arg, (F.col("l_partkey") == F.col("apk")) & (F.col("l_suppkey") == F.col("msk")))
-        .select(
-            F.col("l_partkey").cast("bigint").alias("p_partkey"),
-            F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
-            "s_name",
-            (F.col("oc") / 100.0).alias("best_unit_price"),
-        )
+    return best.select(
+        F.col("l_partkey").cast("bigint").alias("p_partkey"),
+        F.col("w.l_suppkey").cast("bigint").alias("s_suppkey"),
+        F.col("w.s_name").alias("s_name"),
+        (F.col("w.oc") / 100.0).alias("best_unit_price"),
     )
 
 
@@ -5294,14 +5294,16 @@ def etl_embedding_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("dist_sq")
         )
-        .localCheckpoint(eager=False)  # feeds the min AND the join-back
     )
-    mn = d.groupBy("vec_id").agg(F.min("dist_sq").alias("best"))
-    pred = (
-        d.join(mn, "vec_id")
-        .where(F.col("dist_sq") == F.col("best"))
-        .groupBy("vec_id", "label")
-        .agg(F.min("clabel").cast("int").alias("predicted"))
+    # r15 argmin collapse (guide §1.2): min(struct(dist, clabel)) is
+    # the per-vector (min dist, then min clabel) in ONE aggregate —
+    # replacing the per-vector-min groupBy + join-back + filter +
+    # tiebreak groupBy, and with d now single-consumer its checkpoint
+    # goes too. Same rows as the oracle's decorrelated form.
+    pred = d.groupBy("vec_id", "label").agg(
+        F.min(F.struct("dist_sq", "clabel")).alias("w")
+    ).select(
+        "label", F.col("w.clabel").cast("int").alias("predicted")
     )
     return pred.groupBy("label", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
@@ -5367,32 +5369,30 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tk.select(F.col("tok").alias("t"), F.lead("tok").over(w).alias("nxt")).where(
         F.col("nxt").isNotNull()
     )
-    # the bigram-count table feeds the stats aggregate AND the argmax
-    # join-back: one corpus window+groupBy, stage-cached
     c = bg.groupBy("t", "nxt").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).localCheckpoint(eager=False)
+    )
+    # r15 argmax collapse (guide §1.2): min(struct(-cnt, nxt)) = (max
+    # count, then min next-token) — the modal continuation in the SAME
+    # aggregate as the totals, replacing the max + join-back + tiebreak
+    # groupBy + final join (two exchanges and two joins); c is now
+    # single-consumer so its stage-cache checkpoint goes too.
     s = c.groupBy("t").agg(
         F.sum("cnt").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_continuations"),
-        F.max("cnt").alias("mx"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("nxt"))
+        ).alias("w"),
     )
-    top = (
-        c.join(s.select("t", "mx"), "t")
-        .where(F.col("cnt") == F.col("mx"))
-        .groupBy("t")
-        .agg(F.min("nxt").alias("top_next"))
-    )
-    return (
-        s.join(top, "t")
-        .select(
-            F.col("t").alias("token"),
-            "n_total",
-            "n_continuations",
-            "top_next",
-            F.col("mx").cast("bigint").alias("top_next_cnt"),
-            (F.col("mx").cast("double") / F.col("n_total")).alias("top_next_prob"),
-        )
+    return s.select(
+        F.col("t").alias("token"),
+        "n_total",
+        "n_continuations",
+        F.col("w.nxt").alias("top_next"),
+        (-F.col("w.neg")).cast("bigint").alias("top_next_cnt"),
+        ((-F.col("w.neg")).cast("double") / F.col("n_total")).alias(
+            "top_next_prob"
+        ),
     )
 
 
