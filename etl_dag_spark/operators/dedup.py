@@ -1004,9 +1004,11 @@ def cluster_pairs(
             endpoints = sorted(
                 {int(r["u"]) for r in rows} | {int(r["v"]) for r in rows}
             )
+            # __db_ leaf prefix = driver-built bounded collection (the
+            # broadcast-hint audit's reserved-name convention)
             ep_df = spark.createDataFrame(
-                [(x,) for x in endpoints], "node bigint"
-            ) if endpoints else spark.createDataFrame([], "node bigint")
+                [(x,) for x in endpoints], "__db_node bigint"
+            ).select(F.col("__db_node").alias("node"))
             valid = {
                 int(r["node"])
                 for r in all_nodes.join(
@@ -1038,8 +1040,11 @@ def cluster_pairs(
                 else:
                     parent[ru] = rv
         decided = spark.createDataFrame(
-            sorted((x, _find(x)) for x in parent), "node bigint, label bigint"
-        ) if parent else spark.createDataFrame([], "node bigint, label bigint")
+            sorted((x, _find(x)) for x in parent),
+            "__db_node bigint, __db_label bigint",
+        ).select(
+            F.col("__db_node").alias("node"), F.col("__db_label").alias("label")
+        )
         # single-scan assembly (r15): the decided map is a broadcast
         # LocalRelation, so ONE pass over the corpus id column labels
         # every node — replacing the labels semi-join + untouched
@@ -1411,9 +1416,10 @@ def incremental_minhash_dedup(
     if hit_ids is not None:
         spark_b = new_docs.sparkSession
         if hit_ids:
+            # __db_ prefix: driver-built bounded leaf (hint audit)
             dropped_df = spark_b.createDataFrame(
-                [(x,) for x in sorted(hit_ids)], "node bigint"
-            )
+                [(x,) for x in sorted(hit_ids)], "__db_node bigint"
+            ).select(F.col("__db_node").alias("node"))
             # edge endpoints are ⊆ batch ids by construction (the nb
             # self-join), so pruning edges to undecided×undecided is
             # exactly an anti-join against the dropped set — broadcast
@@ -1440,11 +1446,13 @@ def incremental_minhash_dedup(
         if store_files:
             store_hits.unpersist()  # hit set captured as literal values
         hits_df = spark_b.createDataFrame(
-            [(x,) for x in sorted(hit_ids)], "node bigint"
-        ).withColumn("__sd", F.lit(True))
+            [(x,) for x in sorted(hit_ids)], "__db_node bigint"
+        ).select(F.col("__db_node").alias("node"), F.lit(True).alias("__sd"))
         keep_df = spark_b.createDataFrame(
             [(n, bool(k)) for n, k in sorted(keep_map.items())],
-            "node bigint, __gk boolean",
+            "__db_node bigint, __db_gk boolean",
+        ).select(
+            F.col("__db_node").alias("node"), F.col("__db_gk").alias("__gk")
         )
         result = (
             ids.join(F.broadcast(hits_df), "node", "left")
@@ -1466,8 +1474,8 @@ def incremental_minhash_dedup(
                 hit_ids | {n for n, k in keep_map.items() if not k}
             )
             ns_df = spark_b.createDataFrame(
-                [(x,) for x in non_surv], "doc_id bigint"
-            )
+                [(x,) for x in non_surv], "__db_doc_id bigint"
+            ).select(F.col("__db_doc_id").alias("doc_id"))
             nb.join(F.broadcast(ns_df), "doc_id", "left_anti").write.mode(
                 "append"
             ).bucketBy(n_store_buckets, "band", "bucket").format(

@@ -110,6 +110,17 @@ def _bounded_output(node) -> bool:
         return True
     if sn in _UNSCALED_LEAVES:
         return True
+    if sn == "LogicalRDD":
+        # Reserved-prefix leaf (r15, the __pid convention): a
+        # LogicalRDD whose EVERY output attribute is named __db_* is a
+        # driver-built local collection from a size-gated collect
+        # (driver_solve bounds in dedup.py) — bounded by the gate that
+        # built it. localCheckpoint leaves keep their natural column
+        # names, so the r12 "never checkpoint a frame you intend to
+        # broadcast" protection still rejects those.
+        out = node.output()
+        names = [out.apply(i).name() for i in range(out.size())]
+        return bool(names) and all(n.startswith("__db_") for n in names)
     if sn == "LogicalRelation":
         head = node.toString().splitlines()[0]
         return "n_nationkey" in head or "r_regionkey" in head
