@@ -218,7 +218,7 @@ def stream_countmin(
             .groupBy("key")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
-        countmin_build(cnt, depth=depth, width=width).write.mode(
+        countmin_build(cnt, depth=depth, width=width).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(store_path, f"batch={batch_id}"))
 
@@ -265,7 +265,7 @@ def stream_hll(
         if batch_df.isEmpty():
             return
         keys = batch_df.select(F.explode(tokens_column("text")).alias("key"))
-        hll_registers(keys, p=p).write.mode("append").parquet(store_path)
+        hll_registers(keys, p=p).coalesce(1).write.mode("append").parquet(store_path)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -359,7 +359,7 @@ def stream_quantile_sketch(
         )
         quantile_sample_sketch(
             rows, group_col, "v", "CAST(doc_id AS STRING)", k=k
-        ).write.mode("append").parquet(store_path)
+        ).coalesce(1).write.mode("append").parquet(store_path)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -654,6 +654,8 @@ def stream_category_counts(
         (
             batch_df.groupBy(F.col(category_col).alias("category"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            # bounded frame (≤ |categories| rows): one task, one file
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(store_path, f"batch={batch_id}"))
         )

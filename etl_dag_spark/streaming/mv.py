@@ -74,6 +74,10 @@ def stream_maintain_monthly_revenue(
     fold the batch's partial aggregate into the stored months it
     touches and dynamically overwrite ONLY those partitions."""
 
+    # the view's schema is a constant of the view definition — re-reads
+    # pass it explicitly so no per-batch schema-inference job runs (r15)
+    _MV_SCHEMA = "month string, revenue_cents bigint, n_orders bigint"
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -84,14 +88,19 @@ def stream_maintain_monthly_revenue(
         )
         if exists:
             months = [r.month for r in delta.select("month").distinct().collect()]
-            current = spark.read.parquet(mv_path).where(F.col("month").isin(months))
+            current = spark.read.schema(_MV_SCHEMA).parquet(mv_path).where(
+                F.col("month").isin(months)
+            )
             folded = _fold(current, delta)
         else:
             folded = delta
         # eager checkpoint: the write must not re-read the files it is
         # replacing; the frame is group-key-bounded (months), so the
-        # materialization is small by construction
-        folded = folded.localCheckpoint()
+        # materialization is small by construction — and for the same
+        # reason it coalesces to ONE task before the partitioned write
+        # (guide §6: a multi-task write of a months-bounded frame emits
+        # tasks×months near-empty files and pays a commit per file)
+        folded = folded.coalesce(1).localCheckpoint()
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

@@ -12,7 +12,11 @@ SF_DIR_MED = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="etl-dag-spark-tests", cpus=8, shuffle_partitions=8)
+    s = get_spark(
+        app_name="etl-dag-spark-tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
