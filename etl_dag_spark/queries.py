@@ -7038,19 +7038,22 @@ def olap_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum every key; the product term is NULL off the intersection and
     # sum skips it), replacing the exact join + two size aggregates +
     # three broadcast joins.
+    # Arrow transfer (guide §6): the cell tables are ≤ depth×width =
+    # 262k rows each — toPandas moves them in one Arrow batch (~0.1 s)
+    # where row-collect() pickles per row (~2-3 s). The inner product
+    # runs in PYTHON ints (exact at any magnitude — numpy int64 would
+    # wrap once per-cell count products pass 2^63 at large SF).
+    pa_ = sk.countmin_build(co, depth=_JSE_DEPTH, width=width).toPandas()
+    pb_ = sk.countmin_build(cl, depth=_JSE_DEPTH, width=width).toPandas()
     ca = {
-        (r["row"], r["pos"]): int(r["cell"])
-        for r in sk.countmin_build(co, depth=_JSE_DEPTH, width=width).collect()
-    }
-    cb = {
-        (r["row"], r["pos"]): int(r["cell"])
-        for r in sk.countmin_build(cl, depth=_JSE_DEPTH, width=width).collect()
+        (int(r), int(p)): int(c)
+        for r, p, c in zip(pa_["row"], pa_["pos"], pa_["cell"])
     }
     rowest: dict[int, int] = {}
-    for cell_key, va in ca.items():
-        vb = cb.get(cell_key)
-        if vb is not None:
-            rowest[cell_key[0]] = rowest.get(cell_key[0], 0) + va * vb
+    for r, p, c in zip(pb_["row"], pb_["pos"], pb_["cell"]):
+        va = ca.get((int(r), int(p)))
+        if va is not None:
+            rowest[int(r)] = rowest.get(int(r), 0) + va * int(c)
     est = min(rowest.values()) if rowest else None
     stats = co.join(
         cl.select(F.col("key"), F.col("c").alias("cl")), "key", "full_outer"
